@@ -1,0 +1,49 @@
+"""Query registry: every operator from SURVEY.md section 2 becomes a named
+query with an optional DuckDB oracle-SQL twin (the driver's correctness
+gate, __spark_entry__.py contract).
+
+Conventions enforced here by construction:
+  * every computed column is aliased identically in the Spark plan and the
+    oracle SQL (the driver hashes values after sorting columns by name);
+  * double-typed aggregates are rounded on BOTH sides so floating-point
+    summation order (Spark partial aggs vs DuckDB) cannot flip the hash;
+  * window/top-k orderings always include a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over pre-registered views; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in REGISTRY.values()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}

@@ -1,0 +1,101 @@
+"""Batch sources & sinks (SURVEY.md section 2.1, S1-S5, S11).
+
+Reference behaviors re-expressed:
+  S1  ``::``-separated .dat scans with explicit schema
+      (Explorativa/Explorativa1_pyspark.ipynb:59,183,328)
+  S2  header CSVs with schema inference (Explorativa/Explorativa2.ipynb:274)
+  S3  parquet scans (Explorativa/Explorativa2.ipynb cell 1)
+  S4  parquet writes -- the reference writes curated tables with pandas
+      ``to_parquet`` (Explorativa/Explorativa1_pandas.ipynb:2255); ours uses
+      the distributed Spark writer so a 100 TB table never touches the driver.
+  S5  5-row head CSVs (Explorativa/Explorativa1_pandas.ipynb:2254)
+
+Scale notes: parquet scans get Catalyst predicate pushdown + column pruning
+for free; writers accept ``partition_by`` so big facts land partitioned for
+partition-pruned reads downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# Driver-provided testdata star schema (TESTDATA.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_dat(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = "::",
+    encoding: str = "ISO-8859-1",
+) -> DataFrame:
+    """S1: delimiter-separated text with an explicit schema, no header."""
+    return spark.read.csv(path, sep=sep, schema=schema, header=False, encoding=encoding)
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """S2: small metrics-style CSV, header + inference (driver-side footgun
+    at scale -- inference scans the data twice; keep for small files only)."""
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3: columnar scan; filters/projections push down into the file scan."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL). Read nanos as long via
+    the legacy conf, then rebuild a microsecond timestamp (integer DIV so no
+    double-precision loss on ~1.7e18 nanosecond epochs)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S4: distributed parquet write (vs the reference's pandas writer)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_head_csv(df: DataFrame, path: str, n: int = 5) -> None:
+    """S5: persist an n-row sample head as a single CSV for eyeballing."""
+    df.limit(n).coalesce(1).write.mode("overwrite").option("header", True).csv(path)

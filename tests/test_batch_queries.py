@@ -1,0 +1,23 @@
+"""Every registered catalog query must hash-match its DuckDB oracle twin
+(the driver's CORRECTNESS gate, run here at sf0.001 for speed; the driver
+runs sf0.01). Oracle-less queries get the weaker rows-only check."""
+
+from __future__ import annotations
+
+import pytest
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+from .conftest import assert_frames_match
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(sdf) >= 0  # rows-only smoke: it ran and produced a frame
+        assert len(sdf.columns) > 0
+        return
+    odf = duck.execute(q.oracle).df()
+    assert_frames_match(sdf, odf, name)
