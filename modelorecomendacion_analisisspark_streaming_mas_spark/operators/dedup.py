@@ -1,0 +1,157 @@
+"""Deduplication operators (north-star surface, BASELINE.json):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Design for 100 TB (the whole point of each shape here):
+
+* ``exact_dedup``: hash-groupBy on a fingerprint of the dedup key -- one
+  shuffle keyed by a 60-bit hash, never by the full text; group state is
+  tiny (min doc_id + count).
+* MinHash+LSH: the classic shingle -> K minhashes -> B bands -> bucket
+  self-join pipeline. The self-join is on (band_idx, band_key), NOT a
+  cross join -- candidate generation is |bucket|^2 per bucket, and the
+  expensive exact-Jaccard verify runs only on candidates. All hashing is
+  per-row projection (no Python); the only shuffles are the band-bucket
+  join and the final distinct.
+* SimHash: 32 bit-vote aggregations per doc from token hashes -- a single
+  groupBy(doc) after an explode(distinct tokens); near-identical docs get
+  equal/near-equal signatures.
+
+Hashes use the md5-based portable hash (functions/text.py:md5_hash32) so
+every stage is verifiable against the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, md5_hash32, shingles, tokenize
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, n_dups) per group -- deterministic
+    regardless of partitioning (min, not first).
+    """
+    return (
+        df.select(doc_fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``sig`` array<long> of length num_hashes
+    over distinct word-``shingle_n``-gram shingles."""
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n))
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda x, s=s: md5_hash32(x, seed=s))) for s in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingle_set"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any full band of the signature become a
+    candidate pair. Output: distinct (doc_a, doc_b), doc_a < doc_b."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact n-gram
+    Jaccard verify. Returns (doc_a, doc_b, jaccard) with jaccard rounded to
+    4 (computed on exact distinct-shingle sets, so no approximation in the
+    reported value -- MinHash only prunes the pair space)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    sets_ = sigs.select("doc_id", "shingle_set")
+    verified = (
+        cands.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle_set", "set_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle_set", "set_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit j is set when the sum of
+    per-token votes (+1 if the token hash has bit j, else -1) is positive.
+
+    Shape: explode distinct tokens -> one groupBy(doc) with ``bits``
+    conditional-sum aggregates -> recombine. One shuffle keyed by doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    ).withColumn("h", md5_hash32(F.col("token")))
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+
+    combined = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        combined = term if combined is None else combined + term
+    return agg.select("doc_id", combined.cast("long").alias("simhash"))

@@ -1,0 +1,278 @@
+"""North-star query catalog: dedup, text analysis, similarity search
+(BASELINE.json extensions) over the documents/embeddings tables.
+
+The MinHash/SimHash oracles are generated programmatically so the SQL
+mirrors the exact same md5-based hash lattice the Spark operators use --
+every stage (signature, banding, candidate pairs, exact Jaccard) is
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_LEXICONS,
+    avg_token_length,
+    distinct_token_count,
+    doc_fingerprint,
+    lang_id,
+    token_count,
+    tokenize,
+)
+from ..operators.dedup import minhash_near_duplicates, simhash
+from ..operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
+from ..sources.readers import load_table
+from .catalog import register
+
+# portable 32-bit md5 hash in DuckDB SQL
+_DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# d01: exact dedup by normalized-text fingerprint (north-star; reference
+# analogue: dropDuplicates before ALS, Modelo/Crear modelo.ipynb:89).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d01_exact_dedup_docs",
+    oracle="""
+WITH fp AS (
+  SELECT source,
+         ('0x'||substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),1,15))::UBIGINT::BIGINT AS f
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT f) AS n_unique,
+       count(*) - count(DISTINCT f) AS n_dup_docs
+FROM fp GROUP BY source
+""",
+)
+def d01_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", doc_fingerprint(F.col("text")).alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("f")).alias("n_dup_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d02: MinHash + LSH near-duplicate detection, exact-Jaccard verified.
+# H=16 hashes, 4 bands x 4 rows, word-3-gram shingles, threshold 0.8.
+# --------------------------------------------------------------------------
+
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    "list_min([" + _DUCK_H32.format(expr=f"'{s}|'||g") + " for g in s])" for s in range(16)
+) + "]"
+
+_D02_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+           ELSE [array_to_string(t, ' ')] END) AS s
+  FROM tok
+), sig AS (
+  SELECT doc_id, s, {_MINHASH_SIG_SQL} AS sg FROM sh
+), banded AS (
+  SELECT doc_id, unnest([0,1,2,3]) AS band_idx, sg FROM sig
+), keyed AS (
+  SELECT doc_id, band_idx,
+         array_to_string(sg[band_idx*4+1:band_idx*4+4], ',') AS band_key
+  FROM banded
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+               / len(list_distinct(sa.s || sb.s)), 4) AS jaccard
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
+"""
+
+
+@register("d02_minhash_near_dups", oracle=_D02_ORACLE)
+def d02_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+# --------------------------------------------------------------------------
+# d03: SimHash signatures (32-bit) per document.
+# --------------------------------------------------------------------------
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE -1 END) AS v{j}" for j in range(32)
+)
+_SIMHASH_COMBINE = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+
+_D03_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents
+), h AS (
+  SELECT doc_id, {_DUCK_H32.format(expr='token')} AS h FROM tok
+), v AS (
+  SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM v
+"""
+
+
+@register("d03_simhash_docs", oracle=_D03_ORACLE)
+def d03_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+# --------------------------------------------------------------------------
+# t01: per-language text-quality profile.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t01_text_quality",
+    oracle="""
+WITH feat AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS tok_len
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)                    AS total_tokens,
+       round(avg(n_tokens), 4)                          AS avg_tokens,
+       round(avg(n_distinct::DOUBLE / n_tokens), 6)     AS avg_distinct_ratio,
+       round(avg(tok_len), 6)                           AS avg_token_len
+FROM feat GROUP BY lang
+""",
+)
+def t01_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "lang",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct"),
+        avg_token_length("text").alias("tok_len"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 6).alias("avg_distinct_ratio"),
+        F.round(F.avg("tok_len"), 6).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t02: language-ID heuristic confusion matrix (stopword lexicons).
+# --------------------------------------------------------------------------
+
+
+def _duck_hits(lang: str) -> str:
+    lex = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({lex})))"
+
+
+_T02_ORACLE = f"""
+WITH hits AS (
+  SELECT lang,
+         {_duck_hits('en')} AS he, {_duck_hits('es')} AS hs,
+         {_duck_hits('fr')} AS hf, {_duck_hits('de')} AS hd
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN he > 0 AND he >= hs AND he >= hf AND he >= hd THEN 'en'
+              WHEN hs > 0 AND hs >= hf AND hs >= hd THEN 'es'
+              WHEN hf > 0 AND hf >= hd THEN 'fr'
+              WHEN hd > 0 THEN 'de'
+              ELSE 'unknown' END AS predicted
+  FROM hits
+)
+SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted
+"""
+
+
+@register("t02_lang_id_confusion", oracle=_T02_ORACLE)
+def t02_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# t03: token counting -- whitespace tokens + BPE-ish regex pieces.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t03_token_stats",
+    oracle="""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)            AS sum_word_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_alpha_pieces,
+       round(avg(n_chars), 4)                         AS avg_chars
+FROM documents GROUP BY source
+""",
+)
+def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("sum_word_tokens"),
+        F.sum(F.regexp_count("text", F.lit("[a-z]+")).cast("long")).alias("sum_alpha_pieces"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e01: exact cosine top-5 (brute force baseline) for query vectors 0..9.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "e01_knn_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM q, c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rn
+FROM scored QUALIFY rn <= 5
+""",
+)
+def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# e02: LSH-bucketed approximate cosine top-5 (the 100 TB scale path;
+# random hyperplanes -> engine-specific, so rows-only + recall pytest).
+# --------------------------------------------------------------------------
+
+
+@register("e02_knn_lsh", oracle=None)
+def e02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -54,3 +54,8 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
     a, b = canon(spark_df), canon(oracle_df)
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name or "query")
+    # Driver-faithful value hash: rendered values must agree too (catches
+    # e.g. DuckDB HUGEINT sums surfacing as float64 vs Spark's int64).
+    ha = a.to_csv(index=False, float_format="%.6f")
+    hb = b.to_csv(index=False, float_format="%.6f")
+    assert ha == hb, f"{name}: rendered value hash differs (dtype/format divergence)"
