@@ -1,0 +1,189 @@
+"""Streaming query catalog: each query replays the events table through a
+deterministic file stream (sources/streams.py), runs a stateful Structured
+Streaming pipeline to completion (availableNow), and returns the final
+state -- which must equal the equivalent BATCH query, giving streaming a
+real DuckDB oracle (rare for stream engines; the reference has no streaming
+correctness checks at all, SURVEY section 5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_replay
+from ..streaming.pipelines import (
+    demo_latest_topk,
+    sessionized_counts,
+    sliding_counts,
+    stream_dedup_counts,
+    streaming_group_counts,
+    tumbling_counts,
+)
+from .catalog import register
+
+
+def _replayed(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="mras_stream_")
+    schema = stage_events_for_replay(spark, sf_dir, d, copies=copies)
+    return file_stream(spark, d, schema)
+
+
+# --------------------------------------------------------------------------
+# s01: tumbling event-time windows (watermarked) -- final state == batch
+# hourly rollup.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s01_stream_tumbling_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY win_start, event_type
+""",
+)
+def s01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    _, out = run_to_memory_sink(tumbling_counts(stream), "complete")
+    return out
+
+
+# --------------------------------------------------------------------------
+# s02: sliding windows (1h width / 30m slide) -- every event lands in two
+# windows; oracle expands each event into both window starts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s02_stream_sliding_counts",
+    oracle="""
+WITH t AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS t30
+  FROM events
+), w AS (
+  SELECT event_type, unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win
+  FROM t
+)
+SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n
+FROM w GROUP BY win_start, event_type
+""",
+)
+def s02_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    _, out = run_to_memory_sink(sliding_counts(stream), "complete")
+    return out
+
+
+# --------------------------------------------------------------------------
+# s03: session windows (5-minute gap) per user -- oracle is the classic
+# gaps-and-islands rewrite.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s03_stream_session_counts",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), m AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM o
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM m GROUP BY user_id
+""",
+)
+def s03_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    _, sessions = run_to_memory_sink(sessionized_counts(stream), "complete")
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# s04: streaming dedup -- the replay dir holds TWO copies of every event;
+# dropDuplicates(event_id) must restore exact single-copy counts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s04_stream_dedup_counts",
+    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+)
+def s04_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir, copies=2)
+    _, out = run_to_memory_sink(stream_dedup_counts(stream), "complete")
+    return out
+
+
+# --------------------------------------------------------------------------
+# s05: latest-200 snapshot (T3: complete-mode sort+limit + memory sink,
+# app/spark_stream.py:31-36).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s05_stream_latest_topk",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 200
+""",
+)
+def s05_stream_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 dropped the reference's complete-mode sort+limit-without-agg
+    (app/spark_stream.py:31-36 ran on 3.5), so the latest-k snapshot uses
+    the reference's OTHER idiom: foreachBatch compaction
+    (app/spark_stream_web.py:37-52) -- per batch take the batch top-k,
+    merge with the running snapshot, trim to k. State is O(k), not O(n)."""
+    stream = _replayed(spark, sf_dir)
+    k = 200
+    snapshot: list = []
+
+    def compact(df: DataFrame, epoch_id: int) -> None:
+        batch_top = demo_latest_topk(df, k=k).collect()
+        merged = snapshot + batch_top
+        merged.sort(key=lambda r: (r["ts"], r["event_id"]), reverse=True)
+        snapshot[:] = merged[:k]
+
+    q = (
+        stream.writeStream.foreachBatch(compact)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mras_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.createDataFrame(snapshot, schema=stream.schema)
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# s06: incrementally-maintained group counts (the idiomatic replacement for
+# the reference's driver-side pandas value_counts, A8/T7).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s06_stream_group_counts",
+    oracle="""
+SELECT event_type, user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, user_id
+""",
+)
+def s06_stream_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    _, out = run_to_memory_sink(
+        streaming_group_counts(stream, "event_type", "user_id"), "complete"
+    )
+    return out

@@ -1,0 +1,105 @@
+"""Streaming sources & sinks (SURVEY.md section 2.1 S6-S10, section 2.9).
+
+The reference consumes two Kafka topics (app/spark_stream.py:20-24,
+app3/live_counts.py:41-46). This container has no broker, so the engine's
+canonical replay path is a FILE source over the events table (deterministic,
+offset-tracked, exercised in tests) plus a RATE source for load generation;
+the Kafka readers build the exact same downstream plan and are gated behind
+the connector's availability.
+
+At scale: the file source lists+tracks files per micro-batch (maxFilesPerTrigger
+bounds batch size); Kafka partitions map 1:1 to tasks -- both feed identical
+stateful plans.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .readers import load_events
+
+
+def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    return load_events(spark, sf_dir).schema
+
+
+def stage_events_for_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, copies: int = 1
+) -> StructType:
+    """Materialize the (timestamp-normalized) events table into a replay
+    directory; ``copies`` > 1 plants exact duplicates to exercise streaming
+    dedup. Returns the schema for the file-stream reader."""
+    ev = load_events(spark, sf_dir)
+    ev.write.mode("overwrite").parquet(out_dir)
+    for i in range(1, copies):
+        ev.write.mode("append").parquet(out_dir)
+    return ev.schema
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S6-analog: deterministic file-source replay (tests' Kafka stand-in)."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """S10-analog: reproducible load generator (the bots' rate contract,
+    bots/bot_random.py:39-56, without a broker)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S6/S7: Kafka source (requires the spark-sql-kafka connector jar).
+
+    Mirrors app/spark_stream.py:20-24 + the earliest-offsets variant at
+    apps_mediciones/live_counts_update_earliest.py:45-51.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    output_mode: str,
+    query_name: str | None = None,
+) -> tuple[str, "DataFrame"]:
+    """S8: run a streaming plan to completion (availableNow) into a named
+    in-memory table (the reference's serving surface, app/spark_stream.py:
+    31-36) and return (name, result DataFrame). Unique name per call so
+    concurrent/repeated driver invocations never collide."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return name, spark.table(name)

@@ -1,0 +1,133 @@
+"""Structured Streaming pipelines (SURVEY.md section 2.9, T1-T7, plus the
+watermark/event-time-window surface the reference lacks).
+
+The reference's big anti-pattern (SURVEY 3.2): it appends raw rows to a
+memory sink and re-aggregates in driver-side pandas per HTTP poll
+(app3/live_counts.py:72-80). Every aggregate here is instead maintained
+incrementally by Spark streaming state -- the serving layer only reads a
+tiny result table.
+
+State-at-scale notes on each operator:
+* update-mode groupBy counts: state is one row per group key (bounded by
+  key cardinality, not stream length).
+* tumbling/sliding windows + watermark: state per (window, key), evicted
+  once the watermark passes window end -- bounded by (window span x keys).
+* session windows: state per open session, merged on overlap.
+* dropDuplicates within watermark: state per key inside the watermark
+  horizon only (the 100 TB answer to unbounded dedup state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.etl import when_chain
+
+# Reference age bins, app3/live_counts.py:52-61.
+AGE_BINS = [
+    (None, 18, "<18"),
+    (18, 25, "18-24"),
+    (25, 35, "25-34"),
+    (35, 45, "35-44"),
+    (45, 50, "45-49"),
+    (50, 56, "50-55"),
+    (56, None, "56+"),
+]
+
+
+def feedback_age_bins(stream: DataFrame, json_col: str = "value") -> DataFrame:
+    """T1+T2: parse the feedback JSON payload (schema per
+    app3/live_counts.py:29-39) and derive the age bin."""
+    schema = (
+        "gender string, occupation string, age int, "
+        "ratings array<struct<filmId: int, rating: int>>"
+    )
+    parsed = stream.select(
+        F.from_json(F.col(json_col).cast("string"), schema).alias("j")
+    ).select("j.*")
+    return parsed.withColumn("age_bin", when_chain(F.col("age"), AGE_BINS))
+
+
+def demo_latest_topk(stream: DataFrame, ts_col: str = "ts", k: int = 200) -> DataFrame:
+    """T3: latest-k snapshot (app/spark_stream.py:31-36). Sort+limit is only
+    legal in complete mode with the memory sink; state is the full input, so
+    this stays a bounded-serving surface, never a scale path."""
+    return stream.orderBy(F.desc(ts_col), F.desc("event_id")).limit(k)
+
+
+def streaming_group_counts(stream: DataFrame, *keys: str) -> DataFrame:
+    """A8/T7 done right: incrementally-maintained group counts (update or
+    complete mode) instead of the reference's per-request pandas
+    value_counts (app3/live_counts.py:72-80)."""
+    return stream.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling window counts with watermark (the section 2.9
+    "not present" surface)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in width/slide windows."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based), the canonical stateful
+    sessionization the reference's driver-side counting can't express."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def stream_dedup_counts(stream: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """O9/A7 on a stream: exact dedup by event id, then per-type counts.
+    (dropDuplicatesWithinWatermark is the bounded-state variant; plain
+    dropDuplicates here because the replay harness is finite.)"""
+    return (
+        stream.dropDuplicates([id_col])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,49 @@
+"""foreachBatch sinks (T6/S9).
+
+The reference's foreachBatch callbacks snapshot JSON for a web page
+(app/spark_stream_web.py:37-57) and append metrics CSVs
+(apps_mediciones/live_counts_metrics.py:72-83). Here: a dedup-compacting
+JSON snapshot sink with the same observable behavior, built on DataFrame
+ops instead of pandas on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def foreach_batch_json_snapshot(
+    path: str,
+    dedup_cols: list[str],
+    order_col: str,
+    keep_last: int = 200,
+):
+    """Returns a foreachBatch(fn) callback: per micro-batch, dedup on
+    ``dedup_cols``, keep the ``keep_last`` latest by ``order_col``, write an
+    atomic JSON snapshot (the app/spark_stream_web.py:48-51 contract --
+    pandas drop_duplicates + tail, re-expressed as DataFrame ops)."""
+    state: dict[str, list[dict]] = {"rows": []}
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        new = (
+            df.dropDuplicates(dedup_cols)
+            .orderBy(F.desc(order_col))
+            .limit(keep_last)
+            .toJSON()
+            .collect()
+        )
+        merged = {tuple(json.loads(r)[c] for c in dedup_cols): json.loads(r) for r in new}
+        for r in state["rows"]:
+            merged.setdefault(tuple(r[c] for c in dedup_cols), r)
+        rows = sorted(merged.values(), key=lambda r: r[order_col], reverse=True)[:keep_last]
+        state["rows"] = rows
+        tmp = f"{path}.tmp.{epoch_id}"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, "rows": rows}, f)
+        os.replace(tmp, path)
+
+    return write_batch
