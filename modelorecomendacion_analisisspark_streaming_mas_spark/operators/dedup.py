@@ -41,6 +41,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# MinHash permutation family: h_i(x) = (A_i * base(x) + B_i) mod P with one
+# shared md5 base hash -- 16x cheaper than 16 independent md5 passes, and
+# trivially mirrored in the oracle SQL. P is the smallest prime > 2^32;
+# A_i,B_i < 2^20 keep A*base < 2^52, safely inside exact int64 arithmetic.
+MINHASH_PRIME = 4_294_967_311
+MINHASH_A = [709 + 31 * i for i in range(64)]
+MINHASH_B = [127 + 97 * i for i in range(64)]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -50,11 +59,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: ``sig`` array<long> of length num_hashes
     over distinct word-``shingle_n``-gram shingles."""
-    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n))
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda x, s=s: md5_hash32(x, seed=s))) for s in range(num_hashes)]
-    )
-    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingle_set"), sig.alias("sig"))
+    # Two-step projection ON PURPOSE: ``base_h`` is referenced by all
+    # num_hashes permutations below; keeping it a separate (expensive,
+    # multiply-referenced) projection stops CollapseProject from re-inlining
+    # the md5 pass 16x -- one md5 per shingle instead of num_hashes.
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("shingle_set"),
+    ).withColumn("base_h", F.transform("shingle_set", lambda x: md5_hash32(x)))
+
+    def perm_min(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        # single-arg lambda: a 2-arg HOF lambda would receive the array
+        # index as its second argument and clobber a captured default
+        return F.array_min(
+            F.transform("base_h", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+        )
+
+    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
+    return staged.select("doc_id", "shingle_set", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

@@ -587,7 +587,8 @@ def q16_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q17_sample_stats", oracle=None)
 def q17_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # narrow projection: the four counts only need one column's pages
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     sampled = li.sample(withReplacement=False, fraction=0.05, seed=42)
     train, test = li.randomSplit([0.8, 0.2], seed=42)
     return spark.createDataFrame(

@@ -25,9 +25,18 @@ from ..streaming.pipelines import (
 from .catalog import register
 
 
+# Replay staging is deterministic per (sf_dir, copies): stage once per
+# process and reuse across queries (bench runs all six s* entries).
+_STAGED: dict[tuple[str, int], tuple[str, "object"]] = {}
+
+
 def _replayed(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
-    d = tempfile.mkdtemp(prefix="mras_stream_")
-    schema = stage_events_for_replay(spark, sf_dir, d, copies=copies)
+    key = (sf_dir, copies)
+    if key not in _STAGED:
+        d = tempfile.mkdtemp(prefix="mras_stream_")
+        schema = stage_events_for_replay(spark, sf_dir, d, copies=copies)
+        _STAGED[key] = (d, schema)
+    d, schema = _STAGED[key]
     return file_stream(spark, d, schema)
 
 

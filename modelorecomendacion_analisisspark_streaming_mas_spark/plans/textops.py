@@ -64,8 +64,11 @@ def d01_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # H=16 hashes, 4 bands x 4 rows, word-3-gram shingles, threshold 0.8.
 # --------------------------------------------------------------------------
 
+from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
+
 _MINHASH_SIG_SQL = "[" + ", ".join(
-    "list_min([" + _DUCK_H32.format(expr=f"'{s}|'||g") + " for g in s])" for s in range(16)
+    f"list_min([({MINHASH_A[i]}*h + {MINHASH_B[i]}) % {MINHASH_PRIME} for h in hb])"
+    for i in range(16)
 ) + "]"
 
 _D02_ORACLE = f"""
@@ -77,8 +80,10 @@ WITH tok AS (
            THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
            ELSE [array_to_string(t, ' ')] END) AS s
   FROM tok
+), hb_t AS (
+  SELECT doc_id, s, [{_DUCK_H32.format(expr='g')} for g in s] AS hb FROM sh
 ), sig AS (
-  SELECT doc_id, s, {_MINHASH_SIG_SQL} AS sg FROM sh
+  SELECT doc_id, s, {_MINHASH_SIG_SQL} AS sg FROM hb_t
 ), banded AS (
   SELECT doc_id, unnest([0,1,2,3]) AS band_idx, sg FROM sig
 ), keyed AS (
