@@ -1,0 +1,139 @@
+"""Graph analytics (SURVEY.md section 2.10, G1-G4) -- DataFrame-native.
+
+The reference uses GraphFrames over the bipartite user-movie graph
+(GraphFrames_prueba/Explorativa3.ipynb:88-102: vertices = users+movies with
+a ``tipo`` tag, edges user->movie weighted by rating; pageRank cell 12, CC
+cell 15). The GraphFrames jar is unavailable offline, and -- as SURVEY
+section 2.10 notes -- its degree/PR/CC all lower to the same DataFrame
+joins/aggregations used here, so this module IS the documented fallback,
+with identical semantics:
+
+* degrees == edges.groupBy(dst).count()
+* pageRank: iterated sparse matrix-vector product, rank = reset +
+  (1-reset) * sum(rank_src/out_deg_src) -- GraphFrames' un-normalized
+  formulation (ranks sum to ~|V|), uniform edge weight.
+* connectedComponents: min-label propagation to fixpoint (the small-star/
+  large-star algorithm's simple variant; fine for the bounded iteration
+  counts of near-bipartite-clique graphs).
+
+One deliberate improvement: the reference re-uses raw MovieLens ids as
+vertex ids, and userId/filmId RANGES OVERLAP (1..6040 vs 1..3952), silently
+merging unrelated user/movie vertices. Vertex ids here are prefixed
+('c<custkey>' / 'p<partkey>') so the bipartite sets stay disjoint.
+
+Scale: each PR iteration is one shuffle (join on src + groupBy dst);
+lineage is truncated with localCheckpoint every few iterations (reliable
+checkpoint on a cluster). CC iterations double the reach per step ->
+O(log(diameter)) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bipartite_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """G1: vertices (customers+parts, tagged) and distinct directed edges
+    customer->part from the order fact (the ratings-graph analog)."""
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    customers = edges.select(F.col("src").alias("id")).distinct().withColumn("tipo", F.lit("customer"))
+    parts = edges.select(F.col("dst").alias("id")).distinct().withColumn("tipo", F.lit("part"))
+    vertices = customers.unionByName(parts)  # O8
+    return vertices, edges
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """G2: per-vertex in-degree (== GraphFrames g.inDegrees)."""
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("inDegree"))
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outDegree"))
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """G3: GraphFrames-semantics PageRank (resetProbability=0.15,
+    maxIter=10 -- Explorativa3.ipynb:372-376). Returns (id, pagerank)."""
+    damp = 1.0 - reset_prob
+    e = edges.join(out_degrees(edges), edges.src == F.col("id")).select(
+        "src", "dst", "outDegree"
+    ).cache()
+    ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+    for i in range(max_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("outDegree")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            vertices.join(contribs, vertices.id == contribs.dst, "left")
+            .select(
+                "id",
+                (F.lit(reset_prob) + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("id", F.col("rank").alias("pagerank"))
+    e.unpersist()
+    return out
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """G4: undirected connected components by min-label propagation.
+    Returns (id, component) where component is the lexicographically
+    smallest vertex id reachable."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select("id", F.col("id").alias("component"))
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

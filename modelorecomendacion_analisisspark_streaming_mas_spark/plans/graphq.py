@@ -1,0 +1,107 @@
+"""Graph query catalog (G1-G4) over the customer->part bipartite graph.
+
+g02's oracle is the full 10-iteration PageRank UNROLLED into SQL CTEs --
+the DataFrame loop and the SQL recurrence compute the identical fixpoint
+prefix, so even an iterative graph algorithm gets a hash-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.algorithms import bipartite_graph, connected_components, in_degrees, pagerank
+from .catalog import register
+
+_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 'p' || l.l_partkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)"""
+
+
+# --------------------------------------------------------------------------
+# g01: in-degrees (G2) -- top-100 most-connected parts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "g01_part_in_degrees",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT dst AS id, count(*) AS inDegree
+FROM edges GROUP BY dst
+ORDER BY inDegree DESC, id
+LIMIT 100
+""",
+)
+def g01_part_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = bipartite_graph(spark, sf_dir)
+    return in_degrees(edges).orderBy(F.desc("inDegree"), F.asc("id")).limit(100)
+
+
+# --------------------------------------------------------------------------
+# g02: PageRank (G3), reset 0.15, 10 iterations, GraphFrames semantics.
+# --------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        """verts AS (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+)""",
+        """deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+)""",
+        """e AS (
+  SELECT edges.src, edges.dst, deg.d FROM edges JOIN deg ON edges.src = deg.src
+)""",
+        "r0 AS (\n  SELECT id, 1.0 AS rank FROM verts\n)",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(
+            f"""r{n} AS (
+  SELECT v.id, 0.15 + 0.85 * COALESCE(s.contrib, 0.0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst, sum(r.rank / e.d) AS contrib
+    FROM e JOIN r{n - 1} r ON e.src = r.id GROUP BY e.dst
+  ) s ON v.id = s.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, round(rank, 6) AS pagerank
+FROM r{iters}
+ORDER BY rank DESC, id
+LIMIT 100
+"""
+    )
+
+
+@register("g02_pagerank_top100", oracle=_pagerank_oracle(10))
+def g02_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, edges = bipartite_graph(spark, sf_dir)
+    pr = pagerank(vertices, edges, reset_prob=0.15, max_iter=10)
+    return (
+        pr.orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(100)
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# g03: connected components (G4) -- component-size histogram (the
+# reference's cells 16-17 shape). Iterative fixpoint -> rows-only check;
+# semantics are pinned by tests/test_graph.py's planted-component cases.
+# --------------------------------------------------------------------------
+
+
+@register("g03_component_histogram", oracle=None)
+def g03_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, edges = bipartite_graph(spark, sf_dir)
+    cc = connected_components(vertices, edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components")).orderBy("size")

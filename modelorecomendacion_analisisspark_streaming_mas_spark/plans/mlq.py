@@ -1,0 +1,46 @@
+"""ML query catalog (M1-M6). ALS factorization is seeded but its numeric
+fixpoint is engine-specific (block partitioning, float order), so these are
+rows-only entries; the numeric semantics are pinned by tests/test_recommend.py
+(fold-in reproduces MLlib's ridge normal equations exactly at convergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.recommend import (
+    build_als,
+    fold_in,
+    item_factor_matrix,
+    ratings_from_testdata,
+)
+from .catalog import register
+
+
+@register("m01_als_top5_recs", oracle=None)
+def m01_als_top5_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M4: train on the derived ratings, top-5 recommendations for the
+    20 most active users (modest rank/iters to keep the bench honest)."""
+    ratings = ratings_from_testdata(spark, sf_dir)
+    model = build_als(rank=8, max_iter=8).fit(ratings)
+    active = ratings.groupBy("userId").count().orderBy(F.desc("count"), "userId").limit(20)
+    recs = model.recommendForUserSubset(active.select("userId"), 5)
+    return recs.select(
+        "userId",
+        F.explode("recommendations").alias("rec"),
+    ).select("userId", F.col("rec.itemId").alias("itemId"), F.round("rec.rating", 3).alias("score"))
+
+
+@register("m02_cold_start_fold_in", oracle=None)
+def m02_cold_start_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: cold-start fold-in (app4/recommender.py:39-53) for a synthetic
+    new user seeded with 5 ratings; returns the top-5 catalog scores."""
+    ratings = ratings_from_testdata(spark, sf_dir)
+    model = build_als(rank=8, max_iter=8).fit(ratings)
+    ids, Y = item_factor_matrix(model)
+    seed = [(int(ids[i]), float(1 + i % 5)) for i in range(5)]
+    recs = fold_in(ids, Y, seed, top_n=5)
+    return spark.createDataFrame(
+        [(int(i), round(s, 3)) for i, s in recs], "itemId long, score double"
+    )

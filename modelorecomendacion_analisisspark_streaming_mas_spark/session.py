@@ -61,4 +61,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Iterative algorithms (ALS, PageRank, connected components) need lineage
+    # truncation: deep unchckpointed lineages overflow the serializer
+    # (observed at ALS maxIter=40). Cheap to set unconditionally.
+    if spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="spark_ckpt_"))
     return spark

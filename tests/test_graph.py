@@ -1,0 +1,73 @@
+"""Graph algorithm semantics tests: hand-checkable PageRank fixpoint and
+planted connected components."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+    connected_components,
+    in_degrees,
+    pagerank,
+)
+
+
+def _vertices(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # a -> b, a -> c, b -> c, c -> a
+    ids = ["a", "b", "c"]
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(_vertices(spark, ids), _edges(spark, pairs), max_iter=10).collect()
+    }
+    # same recurrence in numpy
+    idx = {v: i for i, v in enumerate(ids)}
+    out_deg = np.zeros(3)
+    for s, _ in pairs:
+        out_deg[idx[s]] += 1
+    r = np.ones(3)
+    for _ in range(10):
+        contrib = np.zeros(3)
+        for s, d in pairs:
+            contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        r = 0.15 + 0.85 * contrib
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_pagerank_dangling_vertex_gets_reset_only(spark):
+    # b has no in-links beyond a; c is a sink; d is isolated
+    ids = ["a", "b", "c", "d"]
+    pairs = [("a", "b"), ("b", "c")]
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(_vertices(spark, ids), _edges(spark, pairs), max_iter=5).collect()
+    }
+    assert abs(got["d"] - 0.15) < 1e-12  # isolated: reset mass only
+    assert got["c"] > got["b"] > got["d"]
+
+
+def test_connected_components_planted(spark):
+    ids = ["a", "b", "c", "x", "y", "z", "lone"]
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(_vertices(spark, ids), _edges(spark, pairs)).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    assert got["lone"] == "lone"
+
+
+def test_in_degrees(spark):
+    pairs = [("a", "c"), ("b", "c"), ("a", "d")]
+    got = {r["id"]: r["inDegree"] for r in in_degrees(_edges(spark, pairs)).collect()}
+    assert got == {"c": 2, "d": 1}

@@ -1,0 +1,138 @@
+"""ALS module tests (M1-M6): training quality, persistence round-trip,
+fold-in agreement with ALSModel.transform, distributed fold-in twin."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.ml.recommend import (
+    build_als,
+    fold_in,
+    fold_in_batch,
+    item_factor_matrix,
+    ratings_from_testdata,
+    train_eval,
+)
+
+
+@pytest.fixture(scope="module")
+def ratings(spark, sf_dir):
+    return ratings_from_testdata(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def model_rmse(ratings):
+    # smaller rank/iters than the reference config to keep tests quick;
+    # the reference config itself is exercised in bench/entry paths
+    return train_eval(ratings, rank=8, max_iter=8)
+
+
+def test_als_trains_and_beats_constant_predictor(ratings, model_rmse):
+    model, rmse = model_rmse
+    # constant-mean predictor RMSE == stddev of ratings; ALS must beat it
+    stats = ratings.agg(F.stddev("rating").alias("sd")).collect()[0]
+    assert 0 < rmse < stats["sd"] * 1.05
+    assert model.rank == 8
+
+
+def test_recommend_for_all_users(model_rmse):
+    model, _ = model_rmse
+    recs = model.recommendForAllUsers(5)
+    row = recs.first()
+    assert len(row["recommendations"]) == 5
+    assert recs.count() > 0
+
+
+def test_model_persistence_roundtrip(model_rmse, spark):
+    from pyspark.ml.recommendation import ALSModel
+
+    model, _ = model_rmse
+    path = tempfile.mkdtemp(prefix="mras_als_") + "/model"
+    model.write().overwrite().save(path)
+    loaded = ALSModel.load(path)
+    assert loaded.rank == model.rank
+    assert loaded.itemFactors.count() == model.itemFactors.count()
+
+
+def test_fold_in_agrees_with_transform(model_rmse, ratings, spark):
+    """A user vector refit from the user's OWN ratings should rank items
+    similarly to the trained model's predictions for that user."""
+    model, _ = model_rmse
+    ids, Y = item_factor_matrix(model)
+    user = ratings.groupBy("userId").count().orderBy(F.desc("count")).first()["userId"]
+    seed = [
+        (r["itemId"], float(r["rating"]))
+        for r in ratings.filter(F.col("userId") == user).collect()
+    ]
+    folded = fold_in(ids, Y, seed, top_n=len(ids), exclude_rated=False)
+    folded_scores = dict(folded)
+
+    cand = spark.createDataFrame([(user, int(i)) for i in ids], "userId int, itemId int")
+    preds = {r["itemId"]: r["prediction"] for r in model.transform(cand).collect()}
+    common = sorted(set(folded_scores) & set(preds))
+    a = np.array([folded_scores[i] for i in common])
+    b = np.array([preds[i] for i in common])
+    # MLlib trains the user vector with NNLS, the serving fold-in is an
+    # unconstrained ridge (app4/recommender.py:39-46): exact factors differ
+    # (this is the reference's own serving-vs-training gap), but the induced
+    # scores must still agree
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.7, corr
+
+
+def test_fold_in_exact_on_unconstrained_model(ratings, spark):
+    """With nonnegative=False both sides solve the same ridge problem, so
+    fold-in must reproduce the model's own scores almost exactly."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.ml.recommend import build_als
+
+    train = ratings
+    # high iteration count so the stored user factors sit at the alternating
+    # fixed point (a half-converged model's user factors lag the final item
+    # factors by one half-step and fold-in agreement degrades)
+    model = build_als(rank=8, max_iter=25, seed=42)
+    model.setNonnegative(False)
+    fitted = model.fit(train)
+    ids, Y = item_factor_matrix(fitted)
+    user = train.groupBy("userId").count().orderBy(F.desc("count")).first()["userId"]
+    seed = [
+        (r["itemId"], float(r["rating"]))
+        for r in train.filter(F.col("userId") == user).collect()
+    ]
+    folded = dict(fold_in(ids, Y, seed, top_n=len(ids), exclude_rated=False))
+    cand = spark.createDataFrame([(user, int(i)) for i in ids], "userId int, itemId int")
+    preds = {r["itemId"]: r["prediction"] for r in fitted.transform(cand).collect()}
+    common = sorted(set(folded) & set(preds))
+    a = np.array([folded[i] for i in common])
+    b = np.array([preds[i] for i in common])
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_fold_in_batch_matches_numpy(model_rmse, spark):
+    model, _ = model_rmse
+    ids, Y = item_factor_matrix(model)
+    seed = [(int(ids[0]), 5.0), (int(ids[1]), 3.0), (int(ids[2]), 1.0)]
+    seed_df = spark.createDataFrame(
+        [(9999, i, r) for i, r in seed], "userId int, itemId int, rating float"
+    )
+    out = fold_in_batch(model, seed_df).collect()
+    assert len(out) == 1
+    u_dist = np.array(out[0]["features"])
+
+    rated = np.array([i for i, _ in seed])
+    mask = np.isin(ids, rated)
+    Yr = Y[mask]
+    r_order = np.array([dict(seed)[i] for i in ids[mask]])
+    A = Yr.T @ Yr + 0.1 * len(seed) * np.eye(model.rank)
+    u_np = np.linalg.solve(A, Yr.T @ r_order)
+    np.testing.assert_allclose(u_dist, u_np, rtol=1e-8)
+
+
+def test_fold_in_empty_seed(model_rmse):
+    model, _ = model_rmse
+    ids, Y = item_factor_matrix(model)
+    assert fold_in(ids, Y, [(999999999, 5.0)]) == []
