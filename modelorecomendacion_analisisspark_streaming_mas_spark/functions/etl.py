@@ -96,6 +96,7 @@ def range_lookup_join(
     value_col: str,
     out_col: str,
     default: str | None = None,
+    high_exclusive: bool = False,
 ) -> DataFrame:
     """U1 re-expressed: the reference's ``zip_to_state`` Python UDF
     (Explorativa/Explorativa1_pyspark.ipynb:268-287) scans 58 (low, high,
@@ -106,7 +107,12 @@ def range_lookup_join(
     Rows matching no range get ``default`` (reference fills ``'Other'``).
     """
     b = F.broadcast(ranges.select(low_col, high_col, value_col))
-    cond = (F.col(key_col) >= F.col(low_col)) & (F.col(key_col) <= F.col(high_col))
+    upper = (
+        F.col(key_col) < F.col(high_col)
+        if high_exclusive
+        else F.col(key_col) <= F.col(high_col)
+    )
+    cond = (F.col(key_col) >= F.col(low_col)) & upper
     joined = df.join(b, cond, "left").drop(low_col, high_col)
     out = joined.withColumnRenamed(value_col, out_col)
     if default is not None:

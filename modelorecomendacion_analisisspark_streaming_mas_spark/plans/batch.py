@@ -17,7 +17,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.etl import map_lookup, ts_to_ddmmyyyy, when_chain
+from ..functions.etl import map_lookup, range_lookup_join, ts_to_ddmmyyyy, when_chain
 from ..operators.topk import global_rank, grouped_top_k, top_k
 from ..sources.readers import load_table
 from .catalog import register
@@ -583,6 +583,50 @@ def q16_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # modelo.ipynb:93). Seeded but engine-specific -> no SQL oracle (driver
 # records a rows-only check); the pytest suite asserts statistical bounds.
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# q18: range-table lookup join (U1 re-expressed: the reference's
+# zip_to_state Python UDF, Explorativa1_pyspark.ipynb:268-287, becomes a
+# broadcast non-equi join against an in-memory range table -- S11 + P8).
+# --------------------------------------------------------------------------
+
+TIERS = [
+    (0.0, 2500.0, "bronze"),
+    (2500.0, 5000.0, "silver"),
+    (5000.0, 8000.0, "gold"),
+    (8000.0, 1.0e18, "platinum"),
+]
+
+
+@register(
+    "q18_range_lookup_tiers",
+    oracle="""
+WITH tiers(tlow, thigh, tier) AS (
+  VALUES (0.0, 2500.0, 'bronze'), (2500.0, 5000.0, 'silver'),
+         (5000.0, 8000.0, 'gold'), (8000.0, 1e18, 'platinum')
+)
+SELECT c.c_mktsegment, COALESCE(t.tier, 'Other') AS tier, count(*) AS n
+FROM customer c
+LEFT JOIN tiers t ON c.c_acctbal >= t.tlow AND c.c_acctbal < t.thigh
+GROUP BY c.c_mktsegment, tier
+""",
+)
+def q18_range_lookup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    tiers = spark.createDataFrame(TIERS, "tlow double, thigh double, tier string")  # S11
+    tiered = range_lookup_join(
+        customer,
+        "c_acctbal",
+        tiers,
+        "tlow",
+        "thigh",
+        "tier",
+        out_col="tier",
+        default="Other",  # negative balances match no range
+        high_exclusive=True,
+    )
+    return tiered.groupBy("c_mktsegment", "tier").agg(F.count(F.lit(1)).alias("n"))
 
 
 @register("q17_sample_stats", oracle=None)

@@ -41,6 +41,61 @@ def generate_feedback_events(n: int, seed: int = 42, age_range: tuple[int, int] 
     return out
 
 
+def write_movielens_fixtures(
+    dir_path: str,
+    n_movies: int = 200,
+    n_users: int = 300,
+    n_ratings: int = 5000,
+    seed: int = 42,
+) -> dict[str, str]:
+    """Deterministic MovieLens-shaped ``::``-separated .dat fixtures per
+    FIXTURES.md sections 1-3: titles with extractable years, pipe-joined
+    genres, zips including unmapped ones (exercises the 'Other' fill),
+    a few orphan filmIds and duplicate (user,film) pairs."""
+    rng = random.Random(seed)
+    os.makedirs(dir_path, exist_ok=True)
+    genres = [
+        "Action", "Adventure", "Animation", "Children's", "Comedy", "Crime",
+        "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror", "Musical",
+        "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+    ]
+    words = ["Silent", "Golden", "Lost", "Broken", "Midnight", "Electric", "Paper", "Iron"]
+    nouns = ["City", "River", "Dream", "Garden", "Empire", "Station", "Harbor", "Mirror"]
+
+    movies_path = os.path.join(dir_path, "movies.dat")
+    with open(movies_path, "w", encoding="ISO-8859-1") as f:
+        for mid in range(1, n_movies + 1):
+            title = f"{rng.choice(words)} {rng.choice(nouns)} ({rng.randint(1950, 2000)})"
+            gs = "|".join(rng.sample(genres, rng.randint(1, 3)))
+            f.write(f"{mid}::{title}::{gs}\n")
+
+    users_path = os.path.join(dir_path, "users.dat")
+    age_codes = [1, 18, 25, 35, 45, 50, 56]
+    with open(users_path, "w", encoding="ISO-8859-1") as f:
+        for uid in range(1, n_users + 1):
+            zip5 = f"{rng.randint(1, 999):03d}{rng.randint(0, 99):02d}"
+            if uid % 29 == 0:  # unmapped prefix -> 'Other'
+                zip5 = f"999{rng.randint(0, 99):02d}"
+            f.write(
+                f"{uid}::{rng.choice('MF')}::{rng.choice(age_codes)}::"
+                f"{rng.randint(0, 20)}::{zip5}\n"
+            )
+
+    ratings_path = os.path.join(dir_path, "ratings.dat")
+    with open(ratings_path, "w", encoding="ISO-8859-1") as f:
+        for _ in range(n_ratings):
+            uid = rng.randint(1, n_users)
+            # ~2% orphan filmIds beyond the movie catalog (left-join nulls)
+            mid = rng.randint(1, n_movies + max(1, n_movies // 50))
+            ts = rng.randint(946684800, 1046684800)  # ~2000-2003
+            f.write(f"{uid}::{mid}::{rng.randint(1, 5)}::{ts}\n")
+        # planted duplicate (user,film) pairs
+        for _ in range(25):
+            f.write(f"1::1::{rng.randint(1, 5)}::{rng.randint(946684800, 1046684800)}\n")
+
+    return {"movies": movies_path, "users": users_path, "ratings": ratings_path}
+
+
 def write_feedback_jsonl(dir_path: str, n: int, files: int = 1, seed: int = 42) -> list[dict]:
     """Write n events split across ``files`` JSON-lines files (one file per
     micro-batch when replayed with maxFilesPerTrigger=1). Returns the

@@ -1,0 +1,79 @@
+"""End-to-end MovieLens ETL tests -- the reference's own correctness checks
+(SURVEY section 5: cardinality preservation, 'Other' zip fill, year
+extraction, genre arrays) on deterministic fixtures."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.functions.movielens import (
+    AGE_GROUPS,
+    etl_pipeline,
+)
+from modelorecomendacion_analisisspark_streaming_mas_spark.sources.generators import (
+    write_movielens_fixtures,
+)
+
+
+@pytest.fixture(scope="module")
+def etl(spark):
+    d = tempfile.mkdtemp(prefix="mras_ml_")
+    paths = write_movielens_fixtures(d)
+    return etl_pipeline(spark, paths["movies"], paths["users"], paths["ratings"])
+
+
+def test_movies_schema_and_year(etl):
+    movies = etl["movies"]
+    assert [f.name for f in movies.schema] == ["filmId", "film", "genders", "year"]
+    rows = movies.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert 1950 <= r["year"] <= 2000
+        assert "(" not in r["film"]  # year stripped
+        assert 1 <= len(r["genders"]) <= 3
+        assert "" not in r["genders"]  # empties filtered (F6)
+
+
+def test_users_age_groups_and_state(etl):
+    users = etl["users"]
+    rows = users.collect()
+    assert len(rows) == 300
+    valid = {m for m, _ in AGE_GROUPS.values()}
+    letters = {l for _, l in AGE_GROUPS.values()}
+    for r in rows:
+        assert r["age_group_mean"] in valid
+        assert r["age_group_letter"] in letters
+        assert r["state"] is not None
+    # planted unmapped zips (uid % 29 == 0) must be 'Other'
+    others = users.filter(F.col("state") == "Other").count()
+    assert others >= 300 // 29
+
+
+def test_ratings_date_format(etl):
+    r = etl["ratings"].first()
+    assert len(r["date"]) == 10 and r["date"][2] == "/" and r["date"][5] == "/"
+    assert r["ts"] is not None
+
+
+def test_denormalized_preserves_cardinality(etl):
+    """The reference's core row-count audit: left joins must not drop or
+    duplicate fact rows (Explorativa1_pyspark.ipynb:367)."""
+    assert etl["ratings_full"].count() == etl["ratings"].count() == 5025
+
+
+def test_orphan_films_yield_nulls(etl):
+    orphans = etl["ratings_full"].filter(F.col("film").isNull()).count()
+    assert orphans > 0  # planted ~2% orphan filmIds
+
+
+def test_occupation_labels(etl):
+    labs = {r["occupation"] for r in etl["users"].select("occupation").distinct().collect()}
+    assert "programmer" in labs and labs.issubset(
+        set(__import__(
+            "modelorecomendacion_analisisspark_streaming_mas_spark.functions.movielens",
+            fromlist=["OCCUPATIONS"],
+        ).OCCUPATIONS.values())
+    )
