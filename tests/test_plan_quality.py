@@ -1,0 +1,88 @@
+"""Physical-plan quality gate (the 100 TB discipline, SURVEY section 4):
+filters push into the parquet scan, scans prune columns, small dims
+broadcast, top-k lowers to TakeOrderedAndProject, and no row-at-a-time
+Python ever appears in a catalog query's hot path.
+
+These assertions are what keeps a correctness-green plan from silently
+regressing into a scale-hostile one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# batch-shaped queries whose plan can be built without executing anything
+PLANNABLE = [
+    n
+    for n in sorted(REGISTRY)
+    if n[0] in "qdte" and n not in ("q17_sample_stats",)  # q17 builds via collect
+]
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    p = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan reads only the 7 needed columns
+    assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
+
+
+def test_q04_star_join_broadcasts_dims(spark):
+    p = _plan(spark, "q04_star_join_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in p
+
+
+def test_q13_topk_lowers_to_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q13_top_orders")
+
+
+def test_q02_flagship_aggregates_before_join(spark):
+    """The fact table must collapse (partial hash agg) before touching the
+    part dim -- the order that makes the join dim-sized at 100 TB."""
+    p = _plan(spark, "q02_flagship_top_tokens")
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
+    # physical plans print top-down: the join consumes the agg, so the
+    # aggregate appears BELOW (after) the join node in the string
+    assert "FileScan parquet" in p[join_pos:]
+
+
+def test_e01_broadcasts_query_side(spark):
+    p = _plan(spark, "e01_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_no_python_udf_in_hot_path(spark, name):
+    """Catalog queries are JVM-only: no BatchEvalPython (row Python UDF)
+    anywhere; Arrow-batched Python only in explicitly-Python operators
+    (multimodal/ml), none of which are in this set."""
+    p = _plan(spark, name)
+    assert "BatchEvalPython" not in p, name
+    assert "ArrowEvalPython" not in p, name
+    assert "FlatMapGroupsInPandas" not in p, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in PLANNABLE if n.startswith(("q0", "q1"))],
+)
+def test_scans_have_column_pruning(spark, name):
+    """Every parquet scan must project a subset schema, never all columns
+    of a wide table unless the query truly needs them."""
+    p = _plan(spark, name)
+    for frag in p.split("ReadSchema: ")[1:]:
+        schema = frag.split("\n")[0]
+        if "lineitem" in p and "l_comment" in schema:
+            raise AssertionError(f"{name}: unpruned lineitem scan: {schema}")

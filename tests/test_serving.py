@@ -1,0 +1,98 @@
+"""Serving veneer tests: the reference's HTTP contracts driven through a
+real socket (app4 /recommend payload shape, app3 /counts, app2 /submit)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.serving import (
+    CountsProvider,
+    RecommenderState,
+    make_server,
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    rng = np.random.default_rng(7)
+    ids = np.arange(1, 51, dtype=np.int64)
+    Y = np.abs(rng.standard_normal((50, 8)))
+    titles = {int(i): f"Movie {i}" for i in ids}
+    spool = os.path.join(tempfile.mkdtemp(prefix="mras_spool_"), "feedback.jsonl")
+
+    class Rows:
+        def __call__(self):
+            return [{"gender": "Hombre", "n": 3}, {"gender": "Mujer", "n": 4}]
+
+    srv = make_server(
+        0,
+        recommender=RecommenderState(ids, Y, titles),
+        counts=CountsProvider(Rows()),
+        spool_path=spool,
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, spool
+    srv.shutdown()
+
+
+def _req(srv, path, payload=None):
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}{path}"
+    if payload is None:
+        r = urllib.request.urlopen(url, timeout=10)
+    else:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+        )
+        r = urllib.request.urlopen(req, timeout=10)
+    return r.status, json.loads(r.read())
+
+
+def test_recommend_contract(server):
+    srv, _ = server
+    status, body = _req(
+        srv, "/recommend", {"ratings": [{"filmId": 1, "rating": 5}, {"filmId": 2, "rating": 4}]}
+    )
+    assert status == 200
+    recs = body["recommendations"]
+    assert len(recs) == 5
+    assert {"filmId", "title", "score"} <= set(recs[0])
+    assert all(r["filmId"] not in (1, 2) for r in recs)  # rated items masked
+
+
+def test_counts_endpoint(server):
+    srv, _ = server
+    status, body = _req(srv, "/counts")
+    assert status == 200
+    assert body["counts"] == [{"gender": "Hombre", "n": 3}, {"gender": "Mujer", "n": 4}]
+
+
+def test_submit_spools_payload(server):
+    srv, spool = server
+    payload = {"gender": "Mujer", "age": 33, "ratings": [{"filmId": 3, "rating": 5}]}
+    status, body = _req(srv, "/submit", payload)
+    assert status == 200 and body["queued"]
+    assert json.loads(open(spool).read().splitlines()[-1]) == payload
+
+
+def test_error_paths(server):
+    srv, _ = server
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv, "/recommend", {"ratings": []})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv, "/recommend", {"ratings": [{"film": 1}]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(srv, "/nope")
+    assert e.value.code == 404
