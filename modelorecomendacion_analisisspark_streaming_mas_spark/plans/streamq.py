@@ -19,6 +19,8 @@ from ..streaming.pipelines import (
     sessionized_counts,
     sliding_counts,
     stream_dedup_counts,
+    stream_dedup_within_watermark,
+    stream_stream_click_purchase_join,
     streaming_group_counts,
     tumbling_counts,
 )
@@ -196,3 +198,46 @@ def s06_stream_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_group_counts(stream, "event_type", "user_id"), "complete"
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# s07: stream-stream inner join (clicks x purchases within 30 minutes) --
+# the finite replay runs in one availableNow batch, so the final append-mode
+# output equals the batch interval join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s07_stream_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = _replayed(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = _replayed(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_click_purchase_join(clicks, purchases, within="30 minutes")
+    _, out = run_to_memory_sink(joined, "append")
+    return out
+
+
+# --------------------------------------------------------------------------
+# s08: dropDuplicatesWithinWatermark -- bounded-state dedup over a replay
+# planted with 2x copies; surviving rows must equal single-copy counts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s08_stream_dedup_watermark",
+    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+)
+def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir, copies=2)
+    deduped = stream_dedup_within_watermark(stream)
+    _, out = run_to_memory_sink(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))

@@ -122,6 +122,50 @@ def sessionized_counts(
     )
 
 
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (the section 2.9 'not present' surface):
+    purchases joined to same-user clicks within ``within``. Both sides
+    watermarked so join state evicts once the constraint window passes --
+    the bounded-state contract stream-stream joins require at scale."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+    )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, id_col: str = "event_id", watermark: str = "4 hours"
+) -> DataFrame:
+    """Bounded-state streaming dedup: state only spans the watermark horizon
+    (the 100 TB answer to unbounded dropDuplicates state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
+
+
 def stream_dedup_counts(stream: DataFrame, id_col: str = "event_id") -> DataFrame:
     """O9/A7 on a stream: exact dedup by event id, then per-type counts.
     (dropDuplicatesWithinWatermark is the bounded-state variant; plain
