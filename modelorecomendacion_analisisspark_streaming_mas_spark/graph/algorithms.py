@@ -47,10 +47,15 @@ def bipartite_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         )
         .distinct()
+        # materialize once: vertices derive from edges twice, and every
+        # algorithm iteration would otherwise re-run the fact join+distinct
+        # (eager localCheckpoint beat .cache() ~3x here -- cache's
+        # re-optimization of the cached plan per derivation is not free)
+        .localCheckpoint(eager=True)
     )
     customers = edges.select(F.col("src").alias("id")).distinct().withColumn("tipo", F.lit("customer"))
     parts = edges.select(F.col("dst").alias("id")).distinct().withColumn("tipo", F.lit("part"))
-    vertices = customers.unionByName(parts)  # O8
+    vertices = customers.unionByName(parts).localCheckpoint(eager=True)  # O8
     return vertices, edges
 
 
@@ -73,9 +78,12 @@ def pagerank(
     """G3: GraphFrames-semantics PageRank (resetProbability=0.15,
     maxIter=10 -- Explorativa3.ipynb:372-376). Returns (id, pagerank)."""
     damp = 1.0 - reset_prob
-    e = edges.join(out_degrees(edges), edges.src == F.col("id")).select(
-        "src", "dst", "outDegree"
-    ).cache()
+    # loop-invariant edge+degree frame, materialized once
+    e = (
+        edges.join(out_degrees(edges), edges.src == F.col("id"))
+        .select("src", "dst", "outDegree")
+        .localCheckpoint(eager=True)
+    )
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
     for i in range(max_iter):
         contribs = (
@@ -95,9 +103,7 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select("id", F.col("rank").alias("pagerank"))
-    e.unpersist()
-    return out
+    return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
 def connected_components(
@@ -106,8 +112,10 @@ def connected_components(
     """G4: undirected connected components by min-label propagation.
     Returns (id, component) where component is the lexicographically
     smallest vertex id reachable."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)  # loop-invariant
     )
     labels = vertices.select("id", F.col("id").alias("component"))
     for i in range(max_iter):

@@ -85,3 +85,79 @@ def q21_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         "attributed_id",
     )
+
+
+# --------------------------------------------------------------------------
+# q22/q23: skew-mitigation operators -- salted two-phase aggregation and
+# salted replicated join. The oracles are the UNSALTED equivalents: salting
+# must be result-invisible.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q22_salted_group_count",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q22_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_group_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_group_count(
+        li, "l_returnflag", salt_from=["l_orderkey", "l_linenumber"], sum_col="l_quantity"
+    )
+    return out.select("l_returnflag", "n", F.round("sum_l_quantity", 2).alias("qty"))
+
+
+@register(
+    "q23_salted_join_revenue",
+    oracle="""
+SELECT p.p_brand, count(*) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q23_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_broadcast_explode_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"), "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), "p_brand"
+    )
+    joined = salted_broadcast_explode_join(
+        li, part, key="k", salt_from=["l_orderkey", "l_linenumber"], n_salts=8
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q24: distinct-count aggregations. Exact countDistinct carries the oracle;
+# approx_count_distinct (HLL++) is engine-specific and is bounded within 5%
+# of exact by tests/test_batch_queries.py::test_approx_distinct_error.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q24_distinct_counts",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

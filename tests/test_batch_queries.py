@@ -21,3 +21,17 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         return
     odf = duck.execute(q.oracle).df()
     assert_frames_match(sdf, odf, name)
+
+
+def test_approx_distinct_error(spark, sf_dir):
+    """HLL++ approx_count_distinct stays within its advertised error of the
+    exact distinct count (the scale path for distinct aggregation)."""
+    from pyspark.sql import functions as F
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
