@@ -281,3 +281,69 @@ def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# t04: TF-IDF top terms per language. Implemented directly in DataFrame ops
+# (not ml.feature) so the exact formula -- tf = n/len, idf = ln((N+1)/(df+1))+1
+# -- mirrors 1:1 into the oracle. Top-5 terms per lang by mean tf-idf.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "t04_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), tf AS (
+  SELECT doc_id, lang, term, n_tokens, count(*) AS n
+  FROM tok GROUP BY doc_id, lang, term, n_tokens
+), df_t AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n_docs AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term,
+         avg((tf.n::DOUBLE / tf.n_tokens) * (ln((n_docs.n + 1.0) / (df_t.df + 1.0)) + 1.0)) AS avg_tfidf
+  FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN n_docs
+  GROUP BY tf.lang, tf.term
+)
+SELECT lang, term, round(avg_tfidf, 8) AS tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_tfidf DESC, term) AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= 5
+""",
+)
+def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize("text")).alias("term"),
+        F.size(tokenize("text")).alias("n_tokens"),
+    )
+    tf = tok.groupBy("doc_id", "lang", "term", "n_tokens").agg(F.count(F.lit(1)).alias("n"))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .withColumn(
+            "tfidf_doc",
+            (F.col("n") / F.col("n_tokens"))
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+        .groupBy("lang", "term")
+        .agg(F.avg("tfidf_doc").alias("avg_tfidf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lang", "term", F.round("avg_tfidf", 8).alias("tfidf"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -35,3 +35,18 @@ def test_approx_distinct_error(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_approx_quantile_api(spark, sf_dir):
+    """A5: DataFrame.approxQuantile with error 0.0 == exact median, the
+    reference's exact idiom (Explorativa/Explorativa2.ipynb:358)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    [med] = li.approxQuantile("l_quantity", [0.5], 0.0)
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT quantile_disc(l_quantity, 0.5) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert abs(med - exact) < 1e-9

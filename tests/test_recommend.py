@@ -136,3 +136,15 @@ def test_fold_in_empty_seed(model_rmse):
     model, _ = model_rmse
     ids, Y = item_factor_matrix(model)
     assert fold_in(ids, Y, [(999999999, 5.0)]) == []
+
+
+def test_tune_als_grid(ratings):
+    """M5: TrainValidationSplit grid search (reference grid shape,
+    Crear modelo.ipynb:584-610) -- tiny grid to keep the suite fast."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.ml.recommend import tune_als
+
+    best, results = tune_als(ratings, ranks=[4, 8], regs=[0.1], iters=[5])
+    assert len(results) == 2
+    assert all(m > 0 for _, m in results)
+    best_rank = min(results, key=lambda r: r[1])[0]["rank"]
+    assert best.rank == best_rank

@@ -106,3 +106,18 @@ def test_foreach_batch_snapshot_sink(spark, sf_dir):
         .collect()
     ]
     assert top_ids == expected
+
+
+def test_kafka_source_builder_gated(spark):
+    """S6/S7: the Kafka reader builds the documented plan when the
+    connector jar is present; absent (this container), it must fail with
+    the standard DATA_SOURCE_NOT_FOUND guidance, not something cryptic."""
+    import pytest
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.streams import kafka_stream
+
+    try:
+        df = kafka_stream(spark, "localhost:9092", "feedback", "earliest")
+        assert "value" in df.columns  # jar present: schema is the kafka one
+    except Exception as ex:
+        assert "kafka" in str(ex).lower()
+        pytest.skip("kafka connector not available (expected in container)")
