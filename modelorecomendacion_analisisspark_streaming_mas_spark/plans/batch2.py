@@ -161,3 +161,64 @@ def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q25: pivot (groupBy().pivot() with a pinned value list -- at scale ALWAYS
+# pin values: the two-pass distinct-discovery variant scans the fact twice).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q25_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q25_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q26: analytic ranking family -- dense_rank / percent_rank / ntile /
+# cume_dist in one partitioned window (SURVEY 2.6 extension surface).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q26_rank_family",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       CAST(dense_rank()   OVER w AS BIGINT) AS drank,
+       round(percent_rank() OVER w, 6)       AS prank,
+       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+       round(cume_dist()   OVER w, 6)        AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q26_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -121,3 +121,59 @@ def test_kafka_source_builder_gated(spark):
     except Exception as ex:
         assert "kafka" in str(ex).lower()
         pytest.skip("kafka connector not available (expected in container)")
+
+
+def test_watermark_late_data_contract_append_mode(spark):
+    """The late-data contract (SURVEY 2.9's biggest reference gap), pinned
+    empirically because it is SUBTLER than 'late rows are dropped':
+
+    the watermark is a STATE-EVICTION bound, not a strict admission filter.
+    A late row arriving while its window's state still exists merges into
+    it; only rows arriving AFTER the window was emitted+evicted are dropped.
+    """
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.streams import (
+        file_stream,
+        run_to_memory_sink,
+    )
+
+    d = tempfile.mkdtemp(prefix="mras_wm_")
+    schema = "ts timestamp, k string"
+
+    def write_file(name, rows, mtime):
+        path = os.path.join(d, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            path + ".tmp"
+        )
+        # move the part file up as a single visible file with a pinned mtime
+        part = [f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(path + ".tmp", part), os.path.join(d, name))
+        os.utime(os.path.join(d, name), (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: on-time events; max 10:55 -> watermark becomes 10:45
+    write_file("b1.parquet", [(t(10, 5), "a"), (t(10, 10), "a"), (t(10, 55), "a")], 1000)
+    # batch 2: advances watermark to 11:10 -> [10:00,10:30) AND [10:30,11:00)
+    # emit and their state evicts
+    write_file("b2.parquet", [(t(11, 20), "a")], 2000)
+    # batch 3: late row for the ALREADY-EVICTED [10:00,10:30) -> dropped
+    write_file("b3.parquet", [(t(10, 7), "a")], 3000)
+
+    from pyspark.sql import functions as F
+
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("win"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", "HH:mm").alias("start"), "n")
+    )
+    _, out = run_to_memory_sink(agg, "append")
+    got = {r["start"]: r["n"] for r in out.collect()}
+    # [10:00,10:30): the two on-time rows only -- batch 3's 10:07 dropped
+    # (state evicted). [10:30,11:00): the 10:55 row. [11:00,11:30): never
+    # emits (watermark never passes its end).
+    assert got == {"10:00": 2, "10:30": 1}, got
