@@ -84,6 +84,27 @@ def lang_id(col: Column | str) -> Column:
     return expr.otherwise("unknown")
 
 
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+ROLLING_BASE = 31
+
+
+def rolling_hash(tokens: Column) -> Column:
+    """Rabin-Karp polynomial rolling hash over per-token md5 hashes:
+    ``h = fold(tokens, 0, (acc, t) -> (acc*B + h32(t) mod M) mod M)``.
+
+    Every step stays below 2^36 (``(M-1)*B + M``), safely inside exact
+    int64 arithmetic. Elements are pre-reduced mod M so the DuckDB oracle's
+    ``list_reduce`` (which seeds the fold with the FIRST element rather
+    than 0) produces the identical sequence.
+    """
+    hb = F.transform(tokens, lambda t: md5_hash32(t) % F.lit(ROLLING_MOD))
+    return F.aggregate(
+        hb,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % F.lit(ROLLING_MOD),
+    )
+
+
 def doc_fingerprint(col: Column | str, bits_hex: int = 15) -> Column:
     """Deterministic document fingerprint: 60-bit md5 prefix of the
     normalized (trimmed, space-collapsed, lowercased) text."""

@@ -153,6 +153,72 @@ def minhash_near_duplicates(
     return verified
 
 
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard self-join via prefix filtering (PPJoin-style).
+
+    Unlike MinHash (probabilistic pruning, can miss pairs), this finds
+    EVERY pair with Jaccard >= threshold: a pair can only match if the
+    rare-first prefixes of their shingle sets (first ``|s| - ceil(t*|s|)
+    + 1`` shingles when globally ordered by ascending document frequency,
+    shingle as tie-break) share at least one shingle. The inverted index
+    is built over prefixes only -- posting lists shrink by factor ~(1-t),
+    and orders by rarity, so hot shingles never index anything.
+
+    Scale shape (100 TB): two shuffles to build the df-ordered prefixes
+    (shingle-df agg + per-doc rank), one equi-join on prefix shingles
+    (never a cross join), then the exact verify over candidate pairs only.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4.
+    """
+    from pyspark.sql import Window
+
+    sets_ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
+    ).withColumn("sz", F.size("s"))
+
+    exploded = sets_.select("doc_id", "sz", F.explode("s").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix = (
+        exploded.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "shingle")
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cands.join(sets_.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a")), "doc_a")
+        .join(sets_.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit j is set when the sum of
     per-token votes (+1 if the token hash has bit j, else -1) is positive.

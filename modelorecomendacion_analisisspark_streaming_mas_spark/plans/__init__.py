@@ -6,6 +6,7 @@ from . import batch2  # noqa: E402,F401
 from . import graphq  # noqa: E402,F401
 from . import mlq  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
+from . import northstar2  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "query_map", "oracle_map"]

@@ -222,3 +222,37 @@ def q26_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+# --------------------------------------------------------------------------
+# q27: lag/lead analytics over each customer's order sequence (SURVEY 2.6
+# "not present" row -- analytic offsets + date arithmetic).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q27_lag_lead_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2)  AS delta_prev,
+       round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_next,
+       CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q27_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("delta_next"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias(
+            "days_since_prev"
+        ),
+    )

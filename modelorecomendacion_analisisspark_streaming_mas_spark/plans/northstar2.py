@@ -1,0 +1,174 @@
+"""North-star catalog, part 2: exact n-gram-Jaccard near-dup (prefix
+filtering), embedding-cosine near-dup (NumPy matmul scan), IVF-flat ANN,
+and rolling-hash document fingerprinting.
+
+Relative to textops.py these fill the remaining BASELINE.json dedup /
+similarity families: d02 is the PROBABILISTIC near-dup (MinHash prunes,
+can miss), d04 is the EXACT one (prefix filter, complete at any
+threshold); e01/e02 are brute-force / LSH ANN, e03 is the IVF scale path
+with a full SQL oracle (its quantizer is deterministic, unlike k-means).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import ROLLING_BASE, ROLLING_MOD, rolling_hash, shingles, tokenize
+from ..operators.dedup import ngram_jaccard_join
+from ..operators.similarity import cosine_near_dup_matmul, ivf_cosine_topk
+from ..sources.readers import load_table
+from .catalog import register
+
+_DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# d04: EXACT n-gram Jaccard self-join at threshold 0.5 via prefix filtering
+# (PPJoin). Complements d02: at 0.5, 16-hash/4-band MinHash would miss
+# pairs (P[candidate] = 1-(1-0.5^4)^4 = 23%); the prefix filter misses none.
+# --------------------------------------------------------------------------
+
+_D04_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+           ELSE [array_to_string(t, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), ex AS (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+), prefix AS (
+  SELECT doc_id, shingle FROM (
+    SELECT e.doc_id, e.sz, e.shingle,
+           row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.shingle) AS rn
+    FROM ex e JOIN dfreq d USING (shingle)
+  ) WHERE rn <= sz - ceil(0.5 * sz) + 1
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+             / len(list_distinct(sa.s || sb.s)), 4) AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+      / len(list_distinct(sa.s || sb.s)) >= 0.5
+"""
+
+
+@register("d04_ngram_jaccard_dedup", oracle=_D04_ORACLE)
+def d04_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+
+
+# --------------------------------------------------------------------------
+# d05: embedding-cosine near-dup -- a 5% "new ingest" sample scanned against
+# the full corpus by Arrow-batched NumPy matmul (mapInPandas). threshold
+# 0.35 sits at the ~99.9th percentile of this corpus's pair cosines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d05_embedding_near_dups",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 20 = 0)
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       round(list_dot_product(q.v, e.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+FROM q JOIN e ON q.vec_id <> e.vec_id
+WHERE list_dot_product(q.v, e.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) >= 0.35
+""",
+)
+def d05_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_matmul(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), threshold=0.35
+    )
+
+
+# --------------------------------------------------------------------------
+# e03: IVF-flat ANN with a deterministic coarse quantizer (vec_id % 37 docks
+# as centroids), nprobe=2, exact cosine top-5 within probed lists. Full SQL
+# oracle -- the IVF structure itself is verified, not just row counts.
+# --------------------------------------------------------------------------
+
+_E03_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS cc
+  FROM e, cent
+), ranked AS (
+  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+), lists AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cid FROM ranked WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM ranked WHERE crn <= 2 AND vec_id < 10
+), sim AS (
+  SELECT p.query_id, l.neighbor_id,
+         list_dot_product(p.qv, l.nv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))) AS cos_raw
+  FROM probes p JOIN lists l USING (cid)
+  WHERE p.query_id <> l.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rn
+FROM sim QUALIFY rn <= 5
+"""
+
+
+@register("e03_knn_ivf", oracle=_E03_ORACLE)
+def e03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, k=5, nprobe=2, query_pred=lambda vid: vid < 10)
+
+
+# --------------------------------------------------------------------------
+# t05: document fingerprinting -- Rabin-Karp rolling hash of the full token
+# stream + winnowing-style min-hash over 8-token windows (the standard
+# plagiarism/near-dup fingerprint pair).
+# --------------------------------------------------------------------------
+
+_T05_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+         [{_DUCK_H32.format(expr='x')} % {ROLLING_MOD} for x in t] AS hb,
+         CASE WHEN len(t) >= 8
+           THEN [array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]
+           ELSE [array_to_string(t, ' ')] END AS w
+  FROM tok
+)
+SELECT doc_id,
+       list_reduce(hb, (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD}) AS roll_fp,
+       list_min([{_DUCK_H32.format(expr='g')} for g in w]) AS min_window_fp,
+       CAST(len(w) AS BIGINT) AS n_windows
+FROM feat
+"""
+
+
+@register("t05_doc_fingerprints", oracle=_T05_ORACLE)
+def t05_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    win = shingles(toks, 8)
+    return docs.select(
+        "doc_id",
+        rolling_hash(toks).alias("roll_fp"),
+        F.array_min(F.transform(win, lambda g: md5_hash32(g))).alias("min_window_fp"),
+        F.size(win).cast("long").alias("n_windows"),
+    )

@@ -86,3 +86,117 @@ def test_lsh_knn_recall_floor(spark, sf_dir):
     bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
     aset = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert len(bset & aset) / len(bset) >= 0.4  # floor on near-random vectors
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must be COMPLETE: identical pair set to the O(n^2)
+    cross-join at the same threshold (the guarantee MinHash can't give)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.text import (
+        shingles,
+        tokenize,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        ngram_jaccard_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+
+    sets_ = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("s"),
+    )
+    a = sets_.select(F.col("id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sets_.select(F.col("id").alias("doc_b"), F.col("s").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cosine_matmul_agrees_with_hof_bruteforce(spark, sf_dir):
+    """The NumPy-matmul scan and the JVM HOF fold must agree pair-for-pair
+    (same pairs, cosines equal to the rounded 4 decimals)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.similarity import (
+        cosine_near_dup_matmul,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_near_dup_matmul(emb, q, threshold=0.3).collect()
+    }
+    brute = cosine_topk_bruteforce(emb, q, k=10**9)
+    want = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute.filter(F.col("cosine") >= 0.3).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_ivf_recall_and_score_fidelity(spark, sf_dir):
+    """IVF@nprobe=2 must (a) never invent scores -- every returned cosine
+    equals the brute-force cosine for that pair -- and (b) keep recall@5
+    above a floor on this corpus."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_cosine_topk(emb, k=5, nprobe=2, query_pred=lambda v: v < 10).collect()
+    exact = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=10**9).collect()
+    }
+    for r in ivf:
+        assert exact_cos[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    want_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.2, recall
+
+
+def test_rolling_hash_matches_reference_impl(spark):
+    """Rabin-Karp fold pinned against a driver-side Python recomputation."""
+    import hashlib
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        rolling_hash,
+        tokenize,
+    )
+
+    texts = ["alpha beta gamma", "alpha beta gamma", "alpha beta delta", "solo"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_hash(tokenize(F.col("text"))).alias("fp")).collect()
+    }
+
+    def py_roll(text: str) -> int:
+        acc = 0
+        for tok in text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % ROLLING_MOD
+            acc = (acc * ROLLING_BASE + h) % ROLLING_MOD
+        return acc
+
+    assert got == {i: py_roll(t) for i, t in enumerate(texts)}
+    assert got[0] == got[1] and got[0] != got[2]
