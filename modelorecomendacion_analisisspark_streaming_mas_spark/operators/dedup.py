@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, md5_hash32, shingles, tokenize
+from ..sources.readers import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -63,10 +64,14 @@ def minhash_signatures(
     # num_hashes permutations below; keeping it a separate (expensive,
     # multiply-referenced) projection stops CollapseProject from re-inlining
     # the md5 pass 16x -- one md5 per shingle instead of num_hashes.
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("shingle_set"),
-    ).withColumn("base_h", F.transform("shingle_set", lambda x: md5_hash32(x)))
+    staged = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("shingle_set"),
+        )
+        .withColumn("base_h", F.transform("shingle_set", lambda x: md5_hash32(x)))
+    )
 
     def perm_min(i: int):
         a, b = MINHASH_A[i], MINHASH_B[i]
@@ -170,35 +175,66 @@ def ngram_jaccard_join(
     is built over prefixes only -- posting lists shrink by factor ~(1-t),
     and orders by rarity, so hot shingles never index anything.
 
-    Scale shape (100 TB): two shuffles to build the df-ordered prefixes
-    (shingle-df agg + per-doc rank), one equi-join on prefix shingles
-    (never a cross join), then the exact verify over candidate pairs only.
+    Scale shape (100 TB): the shingle-set build is spread across the
+    cluster up front (``spread``, a no-op on wide scans) and persisted -- it is probed
+    three times (prefix build + both verify sides) and recomputing the
+    string n-gram expansion is the dominant CPU cost. Document frequency
+    comes from a window count over the exploded shingles (ONE shuffle,
+    where groupBy+join-back would shuffle the same data twice); the
+    per-doc rarity rank is a second shuffle; the prefix equi-join never
+    degenerates to a cross join; the exact verify touches candidate
+    pairs only.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 4.
     """
     from pyspark.sql import Window
 
-    sets_ = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
-    ).withColumn("sz", F.size("s"))
-
-    exploded = sets_.select("doc_id", "sz", F.explode("s").alias("shingle"))
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-    prefix = (
-        exploded.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id", "shingle")
+    sets_ = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
+        )
+        .withColumn("sz", F.size("s"))
+        .persist()
     )
 
+    exploded = sets_.select("doc_id", "sz", F.explode("s").alias("shingle"))
+    w_df = Window.partitionBy("shingle")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix = (
+        exploded.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "shingle", "rn", "sz")
+    )
+
+    # PPJoin pruning predicates. Both are safe for the FIRST common prefix
+    # shingle of any true match (overlap o <= min remaining suffix length),
+    # so filter-then-distinct loses no >=threshold pair:
+    #   length: a match needs t*max(sz) <= min(sz);
+    #   positional: o >= ceil(t/(1+t)*(sz_a+sz_b)) but
+    #               o <= 1 + min(sz_a-rn_a, sz_b-rn_b).
     a, b = prefix.alias("a"), prefix.alias("b")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(threshold) * F.greatest("a.sz", "b.sz")
+                <= F.least("a.sz", "b.sz")
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+                )
+                >= min_overlap
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -226,10 +262,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Shape: explode distinct tokens -> one groupBy(doc) with ``bits``
     conditional-sum aggregates -> recombine. One shuffle keyed by doc id.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
-    ).withColumn("h", md5_hash32(F.col("token")))
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+        )
+        .withColumn("h", md5_hash32(F.col("token")))
+    )
 
     votes = [
         F.sum(

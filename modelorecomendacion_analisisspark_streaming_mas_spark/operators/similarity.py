@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.readers import spread
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -50,7 +52,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c = candidates.select(
+    c = spread(candidates).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -224,7 +226,7 @@ def lsh_cosine_topk(
         ).select(f"{side}_id", f"{side}_v", "bk.t", "bk.b")
 
     qb = bucketed(queries, "q")
-    cb = bucketed(candidates, "c")
+    cb = bucketed(spread(candidates), "c")
     pairs = (
         cb.join(F.broadcast(qb), ["t", "b"])
         .filter(F.col("c_id") != F.col("q_id"))

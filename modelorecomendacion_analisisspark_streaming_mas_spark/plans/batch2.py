@@ -256,3 +256,39 @@ def q27_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q28: DETERMINISTIC hash sampling -- the reproducible twin of q17's
+# Bernoulli sample(). At 100 TB, rerunnable pipelines sample by content
+# hash (stable across runs, engines, partitionings), not by RNG; the
+# md5-bucket filter also pushes into the scan stage. Exact oracle (the
+# portable md5 hash is bit-identical in DuckDB).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q28_hash_sample_stats",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 10 = 0
+GROUP BY o_orderstatus
+""",
+)
+def q28_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(md5_hash32(F.col("o_orderkey").cast("string")) % 10 == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -172,3 +172,58 @@ def t05_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(win, lambda g: md5_hash32(g))).alias("min_window_fp"),
         F.size(win).cast("long").alias("n_windows"),
     )
+
+
+# --------------------------------------------------------------------------
+# mm01: multimodal metadata-only resize planning. The media table is the
+# deterministic synth (documents text as blobs + typed metadata struct);
+# the query computes per-image resize targets WITHOUT reading the binary
+# column (parquet column pruning -- asserted in test_multimodal). Full SQL
+# oracle over the same metadata derivation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm01_resize_plan",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id AS id,
+         (length(text) % 640 + 32)::INT AS width,
+         (length(text) % 480 + 32)::INT AS height
+  FROM documents
+)
+SELECT id, width, height,
+       round(width  * least(1.0, 256.0 / greatest(width, height)))::INT AS target_w,
+       round(height * least(1.0, 256.0 / greatest(width, height)))::INT AS target_h
+FROM meta
+""",
+)
+def mm01_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import resize_plan, synth_image_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(synth_image_table(spark, docs, "doc_id", "text"), max_side=256)
+
+
+# --------------------------------------------------------------------------
+# mm02: Arrow-batched feature extraction over the binary column via
+# mapInPandas (the stubbed-codec decode path). Deterministic (md5-seeded
+# fake decode) but not SQL-expressible -> rows-only driver check; the
+# numeric fidelity is pinned by tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+
+
+@register("mm02_image_features")
+def mm02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import extract_image_features, synth_image_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_image_table(spark, docs, "doc_id", "text")
+    feats = extract_image_features(media)
+    return feats.select(
+        "id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
+            "feature_sq_sum"
+        ),
+        "width",
+    )

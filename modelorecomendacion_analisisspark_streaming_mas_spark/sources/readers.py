@@ -58,6 +58,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row projections.
+
+    A small parquet file arrives as ONE input partition, serializing any
+    expensive expression chain (md5 lattices, shingle expansion) onto a
+    single core. On a real cluster a 100 TB scan is already thousands of
+    splits, so this is a no-op there -- it only round-robins when the scan
+    has fewer partitions than the session's parallelism. (Plan-level check
+    only; triggers no job.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
