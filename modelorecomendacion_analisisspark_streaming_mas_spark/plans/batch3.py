@@ -1,0 +1,76 @@
+"""Batch coverage round 3: semi/anti joins (EXISTS / NOT EXISTS) and
+explicit GROUPING SETS -- the remaining 'not present' join/agg shapes from
+SURVEY sections 2.4/2.5 that q19/q20 (rollup/cube) did not yet pin.
+
+Scale notes: left_semi/left_anti build the same hash/sort-merge plans as
+inner joins but never materialize right columns (smaller shuffle payload);
+both auto-broadcast when the filtered right side is small. GROUPING SETS
+lowers to a single Expand + one hash aggregate -- one scan regardless of
+how many sets are requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+
+@register(
+    "q29_semi_anti_customers",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def q29_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order but no URGENT order, per segment:
+    left_semi (EXISTS) chained with left_anti (NOT EXISTS). Neither join
+    carries right-side columns through the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "q30_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by-priority, by-status, grand total) in one
+    Expand+HashAggregate pass over a single scan. coalesce('ALL') keeps the
+    set-marker rows distinguishable (neither column holds real NULLs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_q30")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_q30
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

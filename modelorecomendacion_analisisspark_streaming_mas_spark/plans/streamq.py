@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_replay
+from ..streaming.stateful import longest_run_per_user
 from ..streaming.pipelines import (
     demo_latest_topk,
     sessionized_counts,
@@ -58,7 +59,7 @@ FROM events GROUP BY win_start, event_type
 )
 def s01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
-    _, out = run_to_memory_sink(tumbling_counts(stream), "complete")
+    _, out = run_to_memory_sink(tumbling_counts(stream), "complete", shuffle_partitions=8)
     return out
 
 
@@ -85,7 +86,7 @@ FROM w GROUP BY win_start, event_type
 )
 def s02_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
-    _, out = run_to_memory_sink(sliding_counts(stream), "complete")
+    _, out = run_to_memory_sink(sliding_counts(stream), "complete", shuffle_partitions=8)
     return out
 
 
@@ -112,7 +113,7 @@ FROM m GROUP BY user_id
 )
 def s03_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
-    _, sessions = run_to_memory_sink(sessionized_counts(stream), "complete")
+    _, sessions = run_to_memory_sink(sessionized_counts(stream), "complete", shuffle_partitions=8)
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -131,7 +132,7 @@ def s03_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s04_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir, copies=2)
-    _, out = run_to_memory_sink(stream_dedup_counts(stream), "complete")
+    _, out = run_to_memory_sink(stream_dedup_counts(stream), "complete", shuffle_partitions=8)
     return out
 
 
@@ -195,7 +196,9 @@ FROM events GROUP BY event_type, user_id
 def s06_stream_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
     _, out = run_to_memory_sink(
-        streaming_group_counts(stream, "event_type", "user_id"), "complete"
+        streaming_group_counts(stream, "event_type", "user_id"),
+        "complete",
+        shuffle_partitions=8,
     )
     return out
 
@@ -222,7 +225,7 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _replayed(spark, sf_dir).filter(F.col("event_type") == "click")
     purchases = _replayed(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = stream_stream_click_purchase_join(clicks, purchases, within="30 minutes")
-    _, out = run_to_memory_sink(joined, "append")
+    _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
     return out
 
 
@@ -239,5 +242,50 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir, copies=2)
     deduped = stream_dedup_within_watermark(stream)
-    _, out = run_to_memory_sink(deduped, "append")
+    _, out = run_to_memory_sink(deduped, "append", shuffle_partitions=8)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# s09: applyInPandasWithState custom stateful operator -- per-user longest
+# consecutive same-event_type run (order-dependent: no streaming groupBy
+# aggregate can express it). Oracle: batch gaps-and-islands SQL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s09_stream_longest_run",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events
+), isl AS (
+  SELECT user_id, event_type, count(*) AS run_len, min(rn) AS start_rn
+  FROM ord GROUP BY user_id, event_type, rn - rt
+), best AS (
+  SELECT user_id, event_type AS best_type, run_len AS best_run,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, start_rn) AS pick
+  FROM isl
+)
+SELECT b.user_id, b.best_run, b.best_type, c.n_events
+FROM best b
+JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) c
+  USING (user_id)
+WHERE b.pick = 1
+""",
+)
+def s09_stream_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    runs = longest_run_per_user(stream)
+    _, out = run_to_memory_sink(runs, "update", shuffle_partitions=8)
+    # n_events strictly increases per emission, so max_by picks each user's
+    # final state even if availableNow split the replay into several batches.
+    return out.groupBy("user_id").agg(
+        F.max("best_run").alias("best_run"),
+        F.max_by("best_type", "n_events").alias("best_type"),
+        F.max("n_events").alias("n_events"),
+    )

@@ -87,19 +87,33 @@ def run_to_memory_sink(
     df: DataFrame,
     output_mode: str,
     query_name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> tuple[str, "DataFrame"]:
     """S8: run a streaming plan to completion (availableNow) into a named
     in-memory table (the reference's serving surface, app/spark_stream.py:
     31-36) and return (name, result DataFrame). Unique name per call so
-    concurrent/repeated driver invocations never collide."""
-    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    concurrent/repeated driver invocations never collide.
+
+    ``shuffle_partitions`` sizes the STATE STORE parallelism, pinned at
+    query start for the checkpoint's lifetime: a stream-stream join opens
+    4 state-store instances per shuffle partition, so this must track
+    expected state volume, not batch defaults (4-5x on replay-sized state;
+    on a real cluster size it to executors x cores). Set-and-restore is
+    safe because availableNow + awaitTermination is synchronous."""
     spark = df.sparkSession
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name, spark.table(name)

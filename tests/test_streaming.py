@@ -177,3 +177,47 @@ def test_watermark_late_data_contract_append_mode(spark):
     # (state evicted). [10:30,11:00): the 10:55 row. [11:00,11:30): never
     # emits (watermark never passes its end).
     assert got == {"10:00": 2, "10:30": 1}, got
+
+
+def test_longest_run_custom_state(spark):
+    """applyInPandasWithState exemplar: crafted stream pinning run-length
+    semantics, including the earliest-island tie-break and multi-batch
+    state carry-over (2 files replayed => >=1 state reuse when the file
+    source splits batches; semantics identical either way because the
+    second file is strictly later in event time)."""
+    import datetime as dt
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful import (
+        longest_run_per_user,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(i, user, typ):
+        return (i, t0 + dt.timedelta(seconds=i), user, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # user 1: a a b b -> tie (2 vs 2), earliest island wins => ('a', 2)
+    # user 2: a b b b a -> ('b', 3)
+    part1 = [row(1, 1, "a"), row(2, 1, "a"), row(3, 1, "b"),
+             row(10, 2, "a"), row(11, 2, "b"), row(12, 2, "b")]
+    part2 = [row(4, 1, "b"), row(13, 2, "b"), row(14, 2, "a")]
+
+    d = tempfile.mkdtemp(prefix="mras_runs_")
+    df1 = spark.createDataFrame(part1, cols)
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
+    _, out = run_to_memory_sink(longest_run_per_user(stream), "update")
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("best_run").alias("best_run"),
+            F.max_by("best_type", "n_events").alias("best_type"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    got = {r["user_id"]: (r["best_run"], r["best_type"], r["n_events"]) for r in final}
+    assert got == {1: (2, "a", 4), 2: (3, "b", 5)}
