@@ -74,3 +74,37 @@ def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "q31_small_qty_revenue",
+    oracle="""
+SELECT p_brand, count(*) AS n_lines,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p_brand
+""",
+)
+def q31_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below half their part's average quantity
+    (correlated scalar subquery). Catalyst de-correlates it into one
+    aggregate-then-join pass -- the per-part average is a single shuffled
+    aggregate reused across all probe rows, never a re-executed subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    li.createOrReplaceTempView("lineitem_q31")
+    part.createOrReplaceTempView("part_q31")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_lines,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+        FROM lineitem_q31 l JOIN part_q31 p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem_q31 l2
+            WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+        """
+    )

@@ -1,0 +1,86 @@
+"""Spark 4 Python Data Source API: the reference's raw `::`-delimited
+MovieLens `.dat` format (Explorativa/Explorativa1_pyspark.ipynb:59) as a
+FIRST-CLASS pluggable source -- `spark.read.format("dat")` -- instead of the
+csv-reader workaround in readers.py::read_dat.
+
+Why this exists (beyond parity): the csv reader cannot express true
+multi-char delimiters pre-Spark-4 semantics portably, and a registered
+Python data source demonstrates the engine's extension path for formats
+Spark lacks natively (the same scaffold carries a proprietary log format
+or a tokenizer-output shard format at 100 TB).
+
+Scale design: one InputPartition per file (files are the reference's unit
+of parallelism for .dat dumps); each partition streams line-by-line
+(no whole-file materialization) and yields plain tuples that Spark
+converts via Arrow. Casting to the declared schema happens engine-side.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _DatFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class DatDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.sep = options.get("sep", "::")
+        self.encoding = options.get("encoding", "ISO-8859-1")
+        path = options.get("path")
+        if not path:
+            raise ValueError("dat source requires a path")
+        self.files = sorted(glob.glob(os.path.join(path, "*")) if os.path.isdir(path) else [path])
+
+    def partitions(self):  # one task per file
+        return [_DatFilePartition(p) for p in self.files]
+
+    def read(self, partition: _DatFilePartition) -> Iterator[tuple]:
+        n = len(self.schema.fields)
+        conv = []
+        for f in self.schema.fields:
+            t = f.dataType.typeName()
+            if t in ("integer", "long", "short"):
+                conv.append(int)
+            elif t in ("double", "float"):
+                conv.append(float)
+            else:
+                conv.append(lambda s: s)
+        with open(partition.path, encoding=self.encoding) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split(self.sep, n - 1)
+                yield tuple(
+                    conv[i](parts[i]) if i < len(parts) and parts[i] != "" else None
+                    for i in range(n)
+                )
+
+
+class DatDataSource(DataSource):
+    """Usage::
+
+        spark.dataSource.register(DatDataSource)
+        spark.read.format("dat").schema("userId int, gender string, ...")
+             .option("sep", "::").load(path)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "dat"
+
+    def reader(self, schema: StructType) -> DatDataSourceReader:
+        return DatDataSourceReader(schema, dict(self.options))
+
+
+def register_dat_source(spark) -> None:
+    spark.dataSource.register(DatDataSource)

@@ -77,3 +77,41 @@ def test_occupation_labels(etl):
             fromlist=["OCCUPATIONS"],
         ).OCCUPATIONS.values())
     )
+
+
+def test_python_datasource_dat_matches_csv_reader(spark, tmp_path):
+    """Spark 4 Python Data Source: format('dat') must produce exactly the
+    rows the csv-based read_dat produces on the same `::` fixtures
+    (differential oracle, one partition per file)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.generators import (
+        write_movielens_fixtures,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        register_dat_source,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import read_dat
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.movielens import (
+        RATINGS_RAW_SCHEMA,
+    )
+
+    paths = write_movielens_fixtures(str(tmp_path), n_movies=50, n_users=60, n_ratings=800)
+    register_dat_source(spark)
+
+    via_ds = (
+        spark.read.format("dat")
+        .schema(RATINGS_RAW_SCHEMA)
+        .load(paths["ratings"])
+    )
+    via_csv = read_dat(spark, paths["ratings"], RATINGS_RAW_SCHEMA)
+    assert via_ds.schema == via_csv.schema
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, via_csv.collect()))
+    assert a == b and len(a) == 825
+
+    # movies: string columns with multi-char '::' delimiter and '|' genres
+    movies_schema = "filmId int, film string, genders string"
+    m_ds = spark.read.format("dat").schema(movies_schema).load(paths["movies"])
+    m_csv = read_dat(spark, paths["movies"], movies_schema)
+    assert sorted(map(tuple, m_ds.collect())) == sorted(map(tuple, m_csv.collect()))
+    # one input partition per file
+    assert m_ds.rdd.getNumPartitions() == 1
