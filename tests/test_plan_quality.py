@@ -86,3 +86,31 @@ def test_scans_have_column_pruning(spark, name):
         schema = frag.split("\n")[0]
         if "lineitem" in p and "l_comment" in schema:
             raise AssertionError(f"{name}: unpruned lineitem scan: {schema}")
+
+
+def test_q30_grouping_sets_single_expand(spark):
+    """GROUPING SETS must lower to ONE Expand + hash aggregate over a single
+    scan -- not one scan per grouping set."""
+    p = _plan(spark, "q30_grouping_sets")
+    assert p.count("Expand") == 1
+    assert p.count("FileScan parquet") == 1
+
+
+def test_q31_subquery_decorrelated(spark):
+    """The correlated scalar subquery must be de-correlated into an
+    aggregate-then-join, never a per-row re-executed subquery."""
+    p = _plan(spark, "q31_small_qty_revenue")
+    assert "Subquery" not in p
+    # per-part average = its own aggregate feeding a join
+    assert p.count("HashAggregate") >= 2
+    assert "Join" in p
+
+
+def test_q29_semi_anti_carry_no_payload(spark):
+    """left_semi/left_anti keep only the probe side's columns; the orders
+    scan must read just the join key (+ the anti filter column)."""
+    p = _plan(spark, "q29_semi_anti_dedup") if "q29_semi_anti_dedup" in REGISTRY else _plan(spark, "q29_semi_anti_customers")
+    import re
+    for m in re.finditer(r"ReadSchema: ([^\n]*)", p):
+        if "o_custkey" in m.group(1):
+            assert "o_totalprice" not in m.group(1) and "o_orderdate" not in m.group(1)
