@@ -84,3 +84,70 @@ class DatDataSource(DataSource):
 
 def register_dat_source(spark) -> None:
     spark.dataSource.register(DatDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: the reference's Kafka load bots (bots/bot_random.py:
+# 23-28, rates at bots/bot_*.py) as a FIRST-CLASS streaming source instead
+# of external producer processes. Offsets are the event index, and every
+# event is regenerated deterministically FROM its index -- so recovery /
+# readBetweenOffsets replays byte-identical data, giving the source the
+# exactly-once replay contract Kafka gives via (partition, offset).
+# ---------------------------------------------------------------------------
+
+import json
+import random
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+from .generators import GENDERS, OCCUPATIONS
+
+
+class FeedbackBotStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.batch = int(options.get("eventsPerBatch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _event(self, i: int) -> tuple:
+        rng = random.Random((self.seed << 32) ^ i)
+        payload = {
+            "gender": rng.choice(GENDERS),
+            "occupation": rng.choice(OCCUPATIONS),
+            "age": rng.randint(18, 70),
+            "ratings": [
+                {"filmId": rng.randint(1, 5), "rating": rng.randint(1, 5)}
+                for _ in range(5)
+            ],
+        }
+        return (i, json.dumps(payload, sort_keys=True))
+
+    def read(self, start: dict):
+        s = start["index"]
+        e = s + self.batch
+        return iter([self._event(i) for i in range(s, e)]), {"index": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([self._event(i) for i in range(start["index"], end["index"])])
+
+
+class FeedbackBotDataSource(DataSource):
+    """`spark.readStream.format("feedback_bot").option("eventsPerBatch", n)`
+    -> `(offset bigint, value string)` rows, value being the exact feedback
+    JSON contract of the reference's topic (app3/live_counts.py:29-39)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "feedback_bot"
+
+    def schema(self) -> str:
+        return "offset bigint, value string"
+
+    def simpleStreamReader(self, schema) -> FeedbackBotStreamReader:
+        return FeedbackBotStreamReader(dict(self.options))
+
+
+def register_feedback_bot_source(spark) -> None:
+    spark.dataSource.register(FeedbackBotDataSource)

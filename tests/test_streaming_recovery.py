@@ -102,3 +102,53 @@ def test_observed_metrics_on_stream(spark):
     assert obs, "no observed metrics reported"
     assert sum(m["rows"] for m in obs) == 5
     assert sum(m["total_value"] for m in obs) == 15.0
+
+
+def test_feedback_bot_streaming_source(spark):
+    """Python streaming data source (SimpleDataSourceStreamReader): the
+    bots-as-a-source emit index-keyed deterministic feedback JSON; rows in
+    the sink must equal regeneration from their offsets (the replayability
+    contract), and the payloads must parse through the reference's
+    feedback pipeline."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        FeedbackBotStreamReader,
+        register_feedback_bot_source,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.pipelines import (
+        feedback_age_bins,
+    )
+
+    register_feedback_bot_source(spark)
+    stream = (
+        spark.readStream.format("feedback_bot")
+        .option("eventsPerBatch", 50)
+        .option("seed", 7)
+        .load()
+    )
+    name = "fb_bot_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 100:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.table(name).collect()
+    assert len(rows) >= 100
+    ref = FeedbackBotStreamReader({"eventsPerBatch": 50, "seed": 7})
+    for r in rows:
+        assert (r["offset"], r["value"]) == ref._event(r["offset"])
+
+    # payloads ride the reference's parse/bin pipeline unchanged
+    binned = feedback_age_bins(spark.table(name), "value")
+    got = binned.where(F.col("age_bin").isNull()).count()
+    assert got == 0 and binned.count() == len(rows)
