@@ -133,6 +133,45 @@ def bench_streaming(spark, seconds: float = 15.0) -> dict:
     return out
 
 
+# The driver captures only the LAST 2000 characters of stdout and parses the
+# JSON line from that window (round 1: a 2140-char line was clipped at the
+# front and recorded as parsed=null). The emitted line therefore inlines only
+# these headline queries — one per capability pillar — and the full per-query
+# breakdown goes to BENCH_DETAIL.json next to this script.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q02_flagship_top_tokens",
+    "q04_star_join_revenue",
+    "q14_running_spend",
+    "q21_asof_click_attribution",
+    "q23_salted_join_revenue",
+    "d02_minhash_near_dups",
+    "e03_knn_ivf",
+    "t04_tfidf_top_terms",
+    "g02_pagerank_top100",
+    "m01_als_top5_recs",
+    "s01_stream_tumbling_counts",
+    "s07_stream_stream_join",
+    "s09_stream_longest_run",
+    "mm02_image_features",
+)
+
+MAX_LINE = 1800  # hard budget, < the driver's 2000-char tail window
+
+
+def emit(payload: dict) -> None:
+    """Print the bench JSON line, guaranteed to fit the driver's tail capture.
+
+    Trims the inline query dict (headline-first) if the encoded line would
+    exceed MAX_LINE; the untrimmed detail is always in BENCH_DETAIL.json.
+    """
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > MAX_LINE and payload["queries"]:
+        payload["queries"].popitem()
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -156,18 +195,36 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "batch_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming_trigger_ms": streaming,
-                "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
-            }
-        )
+    detail = {
+        "metric": "batch_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming_trigger_ms": streaming,
+        "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+    }
+    with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    inline = {k: timings[k] for k in HEADLINE if k in timings}
+    emit(
+        {
+            "metric": "batch_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": inline,
+            "n_queries": len(timings),
+            "other_queries_sec": round(total - sum(inline.values()), 3),
+            "detail": "BENCH_DETAIL.json",
+            "sf": detail["sf"],
+            "streaming_trigger_ms": {
+                k: {"batch_mean_ms": v["batch_mean_ms"], "trigger_mean_ms": v["trigger_mean_ms"]}
+                for k, v in streaming.items()
+            },
+            "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+        }
     )
 
 
