@@ -61,9 +61,15 @@ def salted_broadcast_explode_join(
     n_salts: int = 8,
 ) -> DataFrame:
     """Skew-safe equi-join: small side replicated per salt, big side salted
-    deterministically; join on (key, salt)."""
+    deterministically; join on (key, salt).
+
+    The exploded small side is explicitly broadcast -- n_salts copies can
+    exceed ``autoBroadcastJoinThreshold`` even when one copy would not, and
+    falling back to a shuffled join of the exploded table would silently
+    defeat the whole point of salting (results stay identical either way).
+    """
     small_exploded = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     big_salted = big.withColumn("_salt", _det_salt(salt_from, n_salts).cast("int"))
-    return big_salted.join(small_exploded, [key, "_salt"]).drop("_salt")
+    return big_salted.join(F.broadcast(small_exploded), [key, "_salt"]).drop("_salt")

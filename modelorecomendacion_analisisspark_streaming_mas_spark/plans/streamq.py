@@ -279,6 +279,13 @@ WHERE b.pick = 1
 """,
 )
 def s09_stream_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PRECONDITION (see streaming/stateful.py module docstring): run
+    # stitching across micro-batches assumes per-user non-decreasing ts at
+    # batch boundaries. It holds here because the un-split availableNow
+    # replay delivers ONE batch; a maxFilesPerTrigger or differently-keyed
+    # source would break it -- which the operator now DETECTS via its
+    # ooo_events output (asserted 0 by tests/test_streaming.py rather than
+    # silently trusted).
     stream = _replayed(spark, sf_dir)
     runs = longest_run_per_user(stream)
     _, out = run_to_memory_sink(runs, "update", shuffle_partitions=8)

@@ -72,6 +72,11 @@ def make_server(
     """Build (not start) the HTTP server; call ``serve_forever`` in a
     thread. Port 0 picks a free port (server.server_address[1])."""
 
+    # ThreadingHTTPServer handles each request on its own thread; appends to
+    # the spool must be serialized or concurrent large writes can interleave
+    # and corrupt JSONL lines.
+    spool_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -111,9 +116,12 @@ def make_server(
                     return
                 self._json(200, {"recommendations": recommender.recommend(seed)})
             elif self.path == "/submit" and spool_path is not None:
-                os.makedirs(os.path.dirname(spool_path), exist_ok=True)
-                with open(spool_path, "a") as f:
-                    f.write(json.dumps(payload) + "\n")
+                spool_dir = os.path.dirname(spool_path)
+                if spool_dir:  # bare filename -> cwd, nothing to create
+                    os.makedirs(spool_dir, exist_ok=True)
+                line = json.dumps(payload) + "\n"
+                with spool_lock, open(spool_path, "a") as f:
+                    f.write(line)
                 self._json(200, {"queued": True})
             else:
                 self._json(404, {"error": "not found"})

@@ -30,6 +30,20 @@ class _DatFilePartition(InputPartition):
         self.path = path
 
 
+def _permissive(cast):
+    """PERMISSIVE-mode numeric conversion: a malformed field becomes null,
+    matching what the csv-reader twin (readers.py::read_dat) does, instead
+    of killing the task with an uncaught ValueError."""
+
+    def convert(s: str):
+        try:
+            return cast(s)
+        except ValueError:
+            return None
+
+    return convert
+
+
 class DatDataSourceReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
@@ -49,14 +63,15 @@ class DatDataSourceReader(DataSourceReader):
         for f in self.schema.fields:
             t = f.dataType.typeName()
             if t in ("integer", "long", "short"):
-                conv.append(int)
+                conv.append(_permissive(int))
             elif t in ("double", "float"):
-                conv.append(float)
+                conv.append(_permissive(float))
             else:
                 conv.append(lambda s: s)
         with open(partition.path, encoding=self.encoding) as fh:
             for line in fh:
-                line = line.rstrip("\n")
+                # CRLF files must not leave \r glued to the last column
+                line = line.rstrip("\r\n")
                 if not line:
                     continue
                 parts = line.split(self.sep, n - 1)

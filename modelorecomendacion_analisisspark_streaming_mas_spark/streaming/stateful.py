@@ -10,12 +10,21 @@ streaming ``groupBy`` aggregate can express (count/sum/min/max are all
 order-insensitive), which is exactly when the custom-state escape hatch is
 warranted.
 
-Scale notes: state is O(1) per key (5 scalars), Arrow-batched per group;
+ORDERING CONTRACT: rows are sorted by (ts, event_id) *within* each
+micro-batch, but runs are stitched across batches in arrival order --
+correct only when the source delivers each user's events in non-decreasing
+ts across batch boundaries (single-batch availableNow replay, or a source
+keyed by user such as Kafka with user_id partitioning). The operator
+cannot re-order history it has already folded into state, so instead of
+silently mis-counting it DETECTS violations: state carries the max event
+time seen, and every event arriving below it increments the emitted
+``ooo_events`` column. ``ooo_events == 0`` certifies the run counts;
+``> 0`` means the cross-batch precondition was broken and downstream
+should treat ``best_run`` as approximate (or re-run in batch).
+
+Scale notes: state is O(1) per key (7 scalars), Arrow-batched per group;
 shuffle partitions size the state-store parallelism just like any other
-stateful operator. Rows within a micro-batch are sorted inside the UDF;
-cross-batch ordering is the source's append order (file replay stages one
-batch; on Kafka, per-partition order with keyed partitioning gives the
-same guarantee).
+stateful operator.
 """
 
 from __future__ import annotations
@@ -26,8 +35,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = "user_id bigint, best_run bigint, best_type string, n_events bigint"
-STATE_SCHEMA = "last_type string, cur_run bigint, best_run bigint, best_type string, n_events bigint"
+OUT_SCHEMA = (
+    "user_id bigint, best_run bigint, best_type string, n_events bigint, ooo_events bigint"
+)
+STATE_SCHEMA = (
+    "last_type string, cur_run bigint, best_run bigint, best_type string, "
+    "n_events bigint, last_ts_us bigint, ooo_events bigint"
+)
+
+
+def _ts_micros(ts: pd.Series) -> pd.Series:
+    """Event time as int64 epoch-micros regardless of arrow/pandas dtype."""
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        return ts.astype("int64") // 1000  # ns -> us
+    return ts.astype("int64")
 
 
 def _longest_run_fn(
@@ -36,12 +57,22 @@ def _longest_run_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        last_type, cur_run, best_run, best_type, n_events = state.get
+        last_type, cur_run, best_run, best_type, n_events, last_ts_us, ooo = state.get
     else:
-        last_type, cur_run, best_run, best_type, n_events = None, 0, 0, None, 0
+        last_type, cur_run, best_run, best_type, n_events, last_ts_us, ooo = (
+            None, 0, 0, None, 0, None, 0,
+        )
     rows = pd.concat(list(pdfs), ignore_index=True)
     # Deterministic event order: event time, unique id as tiebreak.
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = _ts_micros(rows["ts"])
+    if last_ts_us is not None and len(ts_us):
+        # Events below the high-water mark arrived across a batch boundary
+        # out of order -- state can't rewind, so count the violation.
+        ooo += int((ts_us < last_ts_us).sum())
+    if len(ts_us):
+        hi = int(ts_us.max())
+        last_ts_us = hi if last_ts_us is None else max(last_ts_us, hi)
     for et in rows["event_type"]:
         if et == last_type:
             cur_run += 1
@@ -51,13 +82,14 @@ def _longest_run_fn(
         if cur_run > best_run:
             best_run, best_type = cur_run, et
         n_events += 1
-    state.update((last_type, cur_run, best_run, best_type, n_events))
+    state.update((last_type, cur_run, best_run, best_type, n_events, last_ts_us, ooo))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "best_run": [best_run],
             "best_type": [best_type],
             "n_events": [n_events],
+            "ooo_events": [ooo],
         }
     )
 
@@ -66,7 +98,9 @@ def longest_run_per_user(stream: DataFrame) -> DataFrame:
     """Per-user longest consecutive same-``event_type`` run, maintained as
     custom streaming state. Emits one updated row per user per micro-batch;
     ``n_events`` strictly increases per emission, so the latest row per user
-    is the one with max ``n_events``."""
+    is the one with max ``n_events``. ``ooo_events`` counts cross-batch
+    event-time order violations (see module docstring) -- 0 certifies the
+    run counts are exact."""
     return stream.groupBy("user_id").applyInPandasWithState(
         _longest_run_fn,
         outputStructType=OUT_SCHEMA,

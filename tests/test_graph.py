@@ -67,6 +67,34 @@ def test_connected_components_planted(spark):
     assert got["lone"] == "lone"
 
 
+def test_connected_components_pointer_jump_beats_diameter(spark):
+    """A 12-node path has diameter 11; one-hop propagation needs 11 rounds.
+    The pointer-jumping shortcut must converge in far fewer (reach at least
+    doubles per round), so max_iter=5 suffices."""
+    ids = [f"n{i:02d}" for i in range(12)]
+    pairs = [(ids[i], ids[i + 1]) for i in range(11)]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            _vertices(spark, ids), _edges(spark, pairs), max_iter=5
+        ).collect()
+    }
+    assert set(got.values()) == {"n00"}
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    import pytest
+
+    ids = ["a", "b", "c", "d", "e", "f"]
+    pairs = [(ids[i], ids[i + 1]) for i in range(5)]
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(_vertices(spark, ids), _edges(spark, pairs), max_iter=1).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _vertices(spark, ids), _edges(spark, pairs), max_iter=1, on_nonconverged="raise"
+        ).collect()
+
+
 def test_in_degrees(spark):
     pairs = [("a", "c"), ("b", "c"), ("a", "d")]
     got = {r["id"]: r["inDegree"] for r in in_degrees(_edges(spark, pairs)).collect()}

@@ -115,3 +115,28 @@ def test_python_datasource_dat_matches_csv_reader(spark, tmp_path):
     assert sorted(map(tuple, m_ds.collect())) == sorted(map(tuple, m_csv.collect()))
     # one input partition per file
     assert m_ds.rdd.getNumPartitions() == 1
+
+
+def test_python_datasource_dat_crlf_and_malformed_numerics(spark, tmp_path):
+    """CRLF line endings must not leave \\r on the last column, and a
+    malformed numeric field becomes null (PERMISSIVE, matching the csv
+    twin) instead of raising in the task."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        register_dat_source,
+    )
+
+    p = tmp_path / "crlf.dat"
+    p.write_bytes(b"1::alpha::10\r\n2::beta::oops\r\n3::gamma\r\n")
+    register_dat_source(spark)
+    rows = sorted(
+        map(
+            tuple,
+            spark.read.format("dat")
+            .schema("id int, name string, score int")
+            .load(str(p))
+            .collect(),
+        )
+    )
+    # row 1: clean parse, no trailing \r on score; row 2: 'oops' -> null;
+    # row 3: short line -> missing trailing field null
+    assert rows == [(1, "alpha", 10), (2, "beta", None), (3, "gamma", None)]

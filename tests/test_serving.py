@@ -83,6 +83,46 @@ def test_submit_spools_payload(server):
     assert json.loads(open(spool).read().splitlines()[-1]) == payload
 
 
+def test_submit_bare_filename_spool(tmp_path, monkeypatch):
+    """A bare-filename spool path (empty dirname) must not crash makedirs."""
+    monkeypatch.chdir(tmp_path)
+    srv = make_server(0, spool_path="bare_spool.jsonl")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _req(srv, "/submit", {"ok": 1})
+        assert status == 200 and body["queued"]
+        assert json.loads((tmp_path / "bare_spool.jsonl").read_text()) == {"ok": 1}
+    finally:
+        srv.shutdown()
+
+
+def test_submit_concurrent_appends_keep_lines_intact(server):
+    """ThreadingHTTPServer handles requests concurrently; the spool lock
+    must keep every JSONL line parseable and complete under parallel
+    large-payload submits."""
+    srv, spool = server
+    payload = {"blob": "x" * 50_000, "ratings": [{"filmId": i, "rating": 5} for i in range(50)]}
+    errs = []
+
+    def submit():
+        try:
+            _req(srv, "/submit", payload)
+        except Exception as e:  # pragma: no cover - diagnostic only
+            errs.append(e)
+
+    threads = [threading.Thread(target=submit) for _ in range(16)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    lines = [ln for ln in open(spool).read().splitlines() if '"blob"' in ln]
+    assert len(lines) == 16
+    for ln in lines:
+        assert json.loads(ln) == payload  # no interleaved/torn lines
+
+
 def test_error_paths(server):
     srv, _ = server
     import urllib.error

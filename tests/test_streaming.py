@@ -221,3 +221,40 @@ def test_longest_run_custom_state(spark):
     )
     got = {r["user_id"]: (r["best_run"], r["best_type"], r["n_events"]) for r in final}
     assert got == {1: (2, "a", 4), 2: (3, "b", 5)}
+    # the second file is strictly later in event time, so the cross-batch
+    # ordering precondition held and the operator certifies it
+    assert out.agg(F.max("ooo_events")).first()[0] == 0
+
+
+def test_longest_run_detects_out_of_order_across_batches(spark):
+    """When a later micro-batch delivers events BELOW a user's event-time
+    high-water mark, run stitching is no longer trustworthy -- the operator
+    must surface that via ooo_events instead of silently mis-counting."""
+    import datetime as dt
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful import (
+        longest_run_per_user,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(i, user, typ):
+        return (i, t0 + dt.timedelta(seconds=i), user, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    part1 = [row(10, 1, "a"), row(11, 1, "a")]
+    part2 = [row(5, 1, "b"), row(12, 1, "a")]  # event_id 5 is 5s EARLIER
+
+    d = tempfile.mkdtemp(prefix="mras_ooo_")
+    df1 = spark.createDataFrame(part1, cols)
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
+    _, out = run_to_memory_sink(longest_run_per_user(stream), "update")
+    ooo = out.groupBy("user_id").agg(F.max("ooo_events").alias("ooo")).collect()
+    by_user = {r["user_id"]: r["ooo"] for r in ooo}
+    # Either the file source staged both files in one batch (sorted -> no
+    # violation possible) or two batches (one violation). Under
+    # max_files_per_trigger=1 it must be two batches => exactly 1.
+    assert by_user[1] == 1, by_user
