@@ -39,15 +39,35 @@ from pyspark.sql import functions as F
 def bipartite_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """G1: vertices (customers+parts, tagged) and distinct directed edges
     customer->part from the order fact (the ratings-graph analog)."""
+    v, e = bipartite_graph_encoded(spark, sf_dir)
+    edges = e.select(
+        decode_vertex_id(F.col("src")).alias("src"),
+        decode_vertex_id(F.col("dst")).alias("dst"),
+    )
+    vertices = v.select(decode_vertex_id(F.col("id")).alias("id"), "tipo")
+    return vertices, edges
+
+
+def bipartite_graph_encoded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Same graph, vertex ids packed into LONGS: customer c -> 2c,
+    part p -> 2p+1 (disjoint by parity, the prefixed-string scheme's
+    integer twin). Iterative algorithms shuffle the id columns every
+    round -- 8-byte longs hash/compare/serialize several times faster
+    than strings, so graph queries iterate on the encoded graph and
+    decode only at the presentation edge (``decode_vertex_id``, a pure
+    expression -- no join). The orders side of the build join is
+    explicitly broadcast: (o_orderkey, o_custkey) is ~16 bytes/row,
+    far under any sensible threshold, and it saves shuffling the
+    fact-table side."""
     from ..sources.readers import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
         )
         .distinct()
         # materialize once: vertices derive from edges twice, and every
@@ -62,6 +82,14 @@ def bipartite_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return vertices, edges
 
 
+def decode_vertex_id(nid) -> F.Column:
+    """Packed long vertex id -> the reference-parity prefixed string
+    ('c<custkey>' / 'p<partkey>') as a pure expression (no lookup join)."""
+    return F.when(
+        nid % 2 == 0, F.concat(F.lit("c"), (nid / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("p"), ((nid - 1) / 2).cast("long")))
+
+
 def in_degrees(edges: DataFrame) -> DataFrame:
     """G2: per-vertex in-degree (== GraphFrames g.inDegrees)."""
     return edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("inDegree"))
@@ -69,6 +97,19 @@ def in_degrees(edges: DataFrame) -> DataFrame:
 
 def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outDegree"))
+
+
+# Vertex-frame row count under which iterative algorithms broadcast the
+# per-iteration small side (ranks/labels) instead of shuffling the edge
+# table every round. localCheckpoint erases Catalyst's size stats, so
+# auto-broadcast never fires on these frames -- the explicit, counted
+# decision below is the AQE-spirit replacement. ~5M rows of (long, double)
+# is well under typical executor memory; beyond it, fall back to shuffle.
+BROADCAST_VERTEX_LIMIT = 5_000_000
+
+
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
 
 
 def pagerank(
@@ -79,24 +120,31 @@ def pagerank(
     checkpoint_every: int = 3,
 ) -> DataFrame:
     """G3: GraphFrames-semantics PageRank (resetProbability=0.15,
-    maxIter=10 -- Explorativa3.ipynb:372-376). Returns (id, pagerank)."""
+    maxIter=10 -- Explorativa3.ipynb:372-376). Returns (id, pagerank).
+
+    When the vertex set is small (< BROADCAST_VERTEX_LIMIT) every
+    iteration broadcasts the rank frame: the edge table then never
+    shuffles -- each round is a map-side broadcast join + partial-agg
+    whose shuffle carries only ~|V| partially-summed contributions,
+    not |E| rows."""
     damp = 1.0 - reset_prob
+    small = vertices.count() < BROADCAST_VERTEX_LIMIT  # cheap: checkpointed
     # loop-invariant edge+degree frame, materialized once
     e = (
-        edges.join(out_degrees(edges), edges.src == F.col("id"))
+        edges.join(_maybe_broadcast(out_degrees(edges), small), edges.src == F.col("id"))
         .select("src", "dst", "outDegree")
         .localCheckpoint(eager=True)
     )
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
     for i in range(max_iter):
         contribs = (
-            e.join(ranks, e.src == ranks.id)
+            e.join(_maybe_broadcast(ranks, small), e.src == ranks.id)
             .select("dst", (F.col("rank") / F.col("outDegree")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            vertices.join(contribs, vertices.id == contribs.dst, "left")
+            vertices.join(_maybe_broadcast(contribs, small), vertices.id == contribs.dst, "left")
             .select(
                 "id",
                 (F.lit(reset_prob) + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
@@ -116,7 +164,8 @@ def connected_components(
     on_nonconverged: str = "warn",
 ) -> DataFrame:
     """G4: undirected connected components. Returns (id, component) where
-    component is the lexicographically smallest vertex id reachable.
+    component is the smallest reachable vertex id under the id column's
+    native ordering (lexicographic for strings, numeric for encoded longs).
 
     Each round does (1) min-label propagation over edges, then (2) a
     pointer-jumping shortcut ``label(v) <- label(label(v))`` -- valid
@@ -135,18 +184,21 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)  # loop-invariant
     )
+    # small vertex set -> broadcast the label frame per round so the
+    # (2x) edge table never shuffles (see pagerank for the rationale)
+    small = vertices.count() < BROADCAST_VERTEX_LIMIT
     labels = vertices.select("id", F.col("id").alias("component"))
     changed = 1
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
+            sym.join(_maybe_broadcast(labels, small), sym.src == labels.id)
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("component").alias("ncomp"))
         )
         # carry the previous label through so the convergence check below
         # is a column compare on one frame, not an extra self-join
         hop = (
-            labels.join(neighbor_min, labels.id == F.col("nid"), "left")
+            labels.join(_maybe_broadcast(neighbor_min, small), labels.id == F.col("nid"), "left")
             .select(
                 "id",
                 F.col("component").alias("prev"),
@@ -158,7 +210,7 @@ def connected_components(
         # pointer jump: re-resolve each label through the freshly-hopped map
         lut = hop.select(F.col("id").alias("lid"), F.col("component").alias("lcomp"))
         new_labels = (
-            hop.join(lut, hop.component == F.col("lid"), "left")
+            hop.join(_maybe_broadcast(lut, small), hop.component == F.col("lid"), "left")
             .select(
                 "id",
                 "prev",

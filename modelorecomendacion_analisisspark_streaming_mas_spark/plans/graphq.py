@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph.algorithms import bipartite_graph, connected_components, in_degrees, pagerank
+from ..graph.algorithms import (
+    bipartite_graph_encoded,
+    connected_components,
+    decode_vertex_id,
+    in_degrees,
+    pagerank,
+)
 from .catalog import register
 
 _EDGES_SQL = """
@@ -36,8 +42,15 @@ LIMIT 100
 """,
 )
 def g01_part_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, edges = bipartite_graph(spark, sf_dir)
-    return in_degrees(edges).orderBy(F.desc("inDegree"), F.asc("id")).limit(100)
+    # degrees aggregate on packed-long ids (cheap shuffle), decode to the
+    # reference's prefixed strings only for ordering + presentation
+    _, edges = bipartite_graph_encoded(spark, sf_dir)
+    return (
+        in_degrees(edges)
+        .select(decode_vertex_id(F.col("id")).alias("id"), "inDegree")
+        .orderBy(F.desc("inDegree"), F.asc("id"))
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -83,10 +96,13 @@ LIMIT 100
 
 @register("g02_pagerank_top100", oracle=_pagerank_oracle(10))
 def g02_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vertices, edges = bipartite_graph(spark, sf_dir)
+    # 10 join+agg rounds iterate on packed-long ids; decode happens once,
+    # before the (rank, string-id) tie-break ordering the oracle pins
+    vertices, edges = bipartite_graph_encoded(spark, sf_dir)
     pr = pagerank(vertices, edges, reset_prob=0.15, max_iter=10)
     return (
-        pr.orderBy(F.desc("pagerank"), F.asc("id"))
+        pr.select(decode_vertex_id(F.col("id")).alias("id"), "pagerank")
+        .orderBy(F.desc("pagerank"), F.asc("id"))
         .limit(100)
         .select("id", F.round("pagerank", 6).alias("pagerank"))
     )
@@ -101,7 +117,9 @@ def g02_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("g03_component_histogram", oracle=None)
 def g03_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vertices, edges = bipartite_graph(spark, sf_dir)
+    # component labels never leave the query (histogram of sizes), so the
+    # packed-long graph needs no decode at all
+    vertices, edges = bipartite_graph_encoded(spark, sf_dir)
     cc = connected_components(vertices, edges)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components")).orderBy("size")

@@ -95,6 +95,39 @@ def test_connected_components_nonconvergence_is_loud(spark):
         ).collect()
 
 
+def test_encoded_graph_decodes_to_string_graph(spark):
+    """The packed-long graph (customer c -> 2c, part p -> 2p+1) must decode
+    to exactly the prefixed-string graph the reference's scheme produces."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        bipartite_graph,
+        bipartite_graph_encoded,
+        decode_vertex_id,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    v_str, e_str = bipartite_graph(spark, sf)
+    v_enc, e_enc = bipartite_graph_encoded(spark, sf)
+    assert dict(v_enc.dtypes)["id"] == "bigint"
+    decoded_edges = sorted(
+        map(
+            tuple,
+            e_enc.select(
+                decode_vertex_id(F.col("src")).alias("src"),
+                decode_vertex_id(F.col("dst")).alias("dst"),
+            ).collect(),
+        )
+    )
+    assert decoded_edges == sorted(map(tuple, e_str.collect()))
+    assert v_enc.count() == v_str.count()
+    # parity split matches the tipo tag
+    bad = v_enc.filter(
+        ((F.col("id") % 2 == 0) & (F.col("tipo") != "customer"))
+        | ((F.col("id") % 2 == 1) & (F.col("tipo") != "part"))
+    ).count()
+    assert bad == 0
+
+
 def test_in_degrees(spark):
     pairs = [("a", "c"), ("b", "c"), ("a", "d")]
     got = {r["id"]: r["inDegree"] for r in in_degrees(_edges(spark, pairs)).collect()}
