@@ -4,6 +4,7 @@ from .catalog import REGISTRY, Query, oracle_map, query_map, register
 from . import batch  # noqa: E402,F401
 from . import batch2  # noqa: E402,F401
 from . import batch3  # noqa: E402,F401
+from . import batch4  # noqa: E402,F401
 from . import graphq  # noqa: E402,F401
 from . import mlq  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
