@@ -296,3 +296,12 @@ def s09_stream_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("best_type", "n_events").alias("best_type"),
         F.max("n_events").alias("n_events"),
     )
+
+
+# NOTE: an s10 entry for transformWithStateInPandas (streaming/
+# stateful_v2.py) is deliberately NOT registered: Spark 4's successor
+# stateful API speaks protobuf to the state server and this container has
+# no google.protobuf, so the query would fail identically under the
+# driver. The implementation + oracle-shaped test live behind a skip gate
+# in tests/test_streaming.py; s09 (applyInPandasWithState) remains the
+# exercised custom-state surface.

@@ -9,6 +9,7 @@ import os
 import tempfile
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from modelorecomendacion_analisisspark_streaming_mas_spark.sources.generators import (
@@ -224,6 +225,43 @@ def test_longest_run_custom_state(spark):
     # the second file is strictly later in event time, so the cross-batch
     # ordering precondition held and the operator certifies it
     assert out.agg(F.max("ooo_events")).first()[0] == 0
+
+
+def test_transform_with_state_running_counts(spark):
+    """Spark 4 transformWithStateInPandas (stateful_v2): running per-type
+    (count, sum) must equal the batch groupBy over the replayed events.
+    Skips where google.protobuf is absent (the API's state-server protocol
+    needs it; see stateful_v2 module docstring)."""
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        running_count_sum_per_type,
+    )
+
+    d = tempfile.mkdtemp(prefix="mras_tws_")
+    rows = [(i, f"t{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = file_stream(spark, d, df.schema)
+    _, out = run_to_memory_sink(
+        running_count_sum_per_type(stream.select("event_type", "value")), "update"
+    )
+    final = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in out.groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .collect()
+    }
+    expect = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == expect
 
 
 def test_longest_run_detects_out_of_order_across_batches(spark):
