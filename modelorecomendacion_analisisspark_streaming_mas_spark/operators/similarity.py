@@ -17,6 +17,7 @@ Scale shapes:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,20 +50,22 @@ def cosine_topk_bruteforce(
     cosine with neighbor_id tie-break, cosine rounded to 4 for stable
     cross-engine comparison.
     """
+    # norms are per-ROW quantities: compute them once per side, not per
+    # pair (each query/candidate participates in many pairs; the per-pair
+    # recompute was the dominant cost). sqrt(dot(v,v)) here is the same
+    # expression evaluated per pair before -- results are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     c = spread(candidates).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_raw",
-            _dot(F.col("qv"), F.col("cv"))
-            / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
-        )
+        .withColumn("cos_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -149,30 +152,33 @@ def ivf_cosine_topk(
     the list equi-join. Search cost drops from |Q|x|C| to
     |Q| x nprobe x avg-list-size.
     """
+    # per-row norm computed once (see cosine_topk_bruteforce: the per-pair
+    # recompute was the dominant cost; values are bit-identical)
     e = embeddings.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv")
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
     )
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "cc",
-        _dot(F.col("v"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
     )
     wc = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cid"))
-    ranked = scored.withColumn("crn", F.row_number().over(wc)).select("vid", "v", "cid", "crn")
+    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
+        "vid", "v", "vn", "cid", "crn"
+    )
     lists = ranked.filter(F.col("crn") == 1).select(
-        F.col("vid").alias("neighbor_id"), F.col("v").alias("nv"), "cid"
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("nv"), F.col("vn").alias("nn"), "cid"
     )
     probes = ranked.filter(F.col("crn") <= nprobe)
     if query_pred is not None:
         probes = probes.filter(query_pred(F.col("vid")))
-    probes = probes.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cid")
+    probes = probes.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "cid"
+    )
 
     pairs = probes.join(lists, "cid").filter(F.col("query_id") != F.col("neighbor_id"))
     sim = pairs.withColumn(
-        "cos_raw",
-        _dot(F.col("qv"), F.col("nv"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))),
+        "cos_raw", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -192,15 +198,32 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _signature(vec_col, planes: list[list[float]]):
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _all_signatures_udf(tables: list[list[list[float]]]):
+    """Arrow-batched signature computation: ONE (batch x dim) @ (dim x
+    n_tables*n_planes) matmul yields every table's sign bits at once.
+
+    The previous pure-expression version unrolled n_tables x n_planes
+    separate 64-element HOF folds with literal plane arrays -- whole-stage
+    codegen compiled minutes' worth of generated Java for what BLAS does
+    in one call, and the compile cost alone dominated the query. This is
+    the documented "UDFs are the slow path ... EXCEPT vectorized math"
+    carve-out: signatures via Arrow matmul, bucketing/join/top-k stay JVM.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(tables, dtype=np.float64)  # (n_tables, n_planes, dim)
+    n_tables, n_planes, dim = P.shape
+    flat = P.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights per plane
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (V @ flat.T >= 0).reshape(len(V), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)  # (batch, n_tables)
+        return pd.Series(list(buckets))
+
+    return sigs
 
 
 def lsh_cosine_topk(
@@ -218,25 +241,34 @@ def lsh_cosine_topk(
     ``n_planes`` hyperplanes; dot products only within shared buckets."""
     tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
+    sig_udf = _all_signatures_udf(tables)
+
     def bucketed(df: DataFrame, side: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        sig = F.array(*[F.struct(F.lit(t).alias("t"), _signature(v, tables[t]).alias("b")) for t in range(n_tables)])
-        return df.select(
-            F.col(id_col).alias(f"{side}_id"), v.alias(f"{side}_v"), F.explode(sig).alias("bk")
-        ).select(f"{side}_id", f"{side}_v", "bk.t", "bk.b")
+        # norm once per input row, BEFORE the n_tables-way explode (and
+        # long before pair scoring, where it used to be recomputed per pair);
+        # all table signatures in one Arrow matmul, posexplode to (t, b)
+        v = F.col(f"{side}_v")
+        base = (
+            df.select(
+                F.col(id_col).alias(f"{side}_id"), _as_double(F.col(vec_col)).alias(f"{side}_v")
+            )
+            .withColumn(f"{side}_n", F.sqrt(_dot(v, v)))
+            .withColumn("sigs", sig_udf(v))
+        )
+        return base.select(
+            f"{side}_id", f"{side}_v", f"{side}_n", F.posexplode("sigs").alias("t", "b")
+        )
 
     qb = bucketed(queries, "q")
     cb = bucketed(spread(candidates), "c")
     pairs = (
         cb.join(F.broadcast(qb), ["t", "b"])
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "q_v", "c_v")
+        .select("q_id", "c_id", "q_v", "q_n", "c_v", "c_n")
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = pairs.withColumn(
-        "cos_raw",
-        _dot(F.col("q_v"), F.col("c_v"))
-        / (F.sqrt(_dot(F.col("q_v"), F.col("q_v"))) * F.sqrt(_dot(F.col("c_v"), F.col("c_v")))),
+        "cos_raw", _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
     return (
