@@ -285,6 +285,67 @@ def q38_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q40_gap_fill_daily",
+    oracle="""
+WITH b AS (
+  SELECT event_type, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY event_type
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+), daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.n, 0) AS n,
+       coalesce(last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
+FROM spine s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+""",
+)
+def q40_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill, the imputation pattern of a
+    feature/training pipeline: per event_type, a complete daily spine via
+    sequence()+explode, left-joined to daily aggregates, gaps carried
+    forward with last(..., ignorenulls=True) over an unbounded-preceding
+    frame. The spine generation is an O(|keys| x days) Generate -- no
+    driver loop -- and the fill is one partitioned window, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)).alias("v_filled"),
+        )
+    )
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,
