@@ -83,11 +83,17 @@ def kafka_stream(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_to_memory_sink(
     df: DataFrame,
     output_mode: str,
     query_name: str | None = None,
     shuffle_partitions: int | None = None,
+    rocksdb_state: bool = False,
 ) -> tuple[str, "DataFrame"]:
     """S8: run a streaming plan to completion (availableNow) into a named
     in-memory table (the reference's serving surface, app/spark_stream.py:
@@ -99,12 +105,23 @@ def run_to_memory_sink(
     4 state-store instances per shuffle partition, so this must track
     expected state volume, not batch defaults (4-5x on replay-sized state;
     on a real cluster size it to executors x cores). Set-and-restore is
-    safe because availableNow + awaitTermination is synchronous."""
+    safe because availableNow + awaitTermination is synchronous.
+
+    ``rocksdb_state`` switches the state store to the RocksDB provider
+    (off-heap, spills to local disk) -- the 100 TB configuration when
+    per-key state exceeds executor heap (e.g. billions of dedup keys).
+    Results are provider-independent, pinned by
+    tests/test_streaming_recovery.py::test_rocksdb_state_store_parity."""
     spark = df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if rocksdb_state:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     try:
         q = (
             df.writeStream.format("memory")
@@ -116,4 +133,11 @@ def run_to_memory_sink(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if rocksdb_state:
+            if prev_provider is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
     return name, spark.table(name)

@@ -104,6 +104,46 @@ def test_observed_metrics_on_stream(spark):
     assert sum(m["total_value"] for m in obs) == 15.0
 
 
+def test_rocksdb_state_store_parity(spark):
+    """The RocksDB state store provider (off-heap state, the 100 TB
+    configuration for key cardinalities beyond executor heap) must produce
+    byte-identical aggregates to the default HDFS-backed provider, on both
+    a streaming groupBy and a watermarked dedup."""
+    import tempfile as tf
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.streams import (
+        run_to_memory_sink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), i % 5, f"t{i % 3}", float(i), "{}")
+        for i in range(200)
+    ]
+    d = tf.mkdtemp(prefix="mras_rocks_")
+    spark.createDataFrame(rows, cols).coalesce(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    def counts(rocksdb: bool):
+        stream = file_stream(spark, d, schema)
+        agg = streaming_group_counts(stream, "event_type")
+        _, out = run_to_memory_sink(agg, "update", rocksdb_state=rocksdb)
+        return {
+            r["event_type"]: (r["n"],)
+            for r in out.groupBy("event_type")
+            .agg(F.max("n").alias("n"))
+            .collect()
+        }
+
+    assert counts(rocksdb=True) == counts(rocksdb=False)
+    # provider conf restored afterwards (other tests keep default provider)
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+        or "RocksDB" not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )
+
+
 def test_feedback_bot_streaming_source(spark):
     """Python streaming data source (SimpleDataSourceStreamReader): the
     bots-as-a-source emit index-keyed deterministic feedback JSON; rows in
