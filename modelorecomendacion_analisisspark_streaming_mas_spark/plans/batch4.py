@@ -346,6 +346,50 @@ def q40_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q41_range_frame_trailing_spend",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
+       CAST(count(*) OVER w AS BIGINT) AS n_28d,
+       round(sum(o_totalprice) OVER w, 2) AS spend_28d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INT)
+  RANGE BETWEEN 27 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def q41_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): per customer, order count and
+    spend over the trailing 28 DAYS -- not the trailing 28 rows. The frame
+    is defined on the day offset, so same-day peer rows always aggregate
+    together and the result is deterministic under any tie order (a ROWS
+    frame would not be). One shuffle on the partition key; the frame scan
+    is a single sorted pass per partition."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day"))
+        .rangeBetween(-27, Window.currentRow)
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", day.alias("day"), "o_totalprice")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day",
+            F.count(F.lit(1)).over(w).alias("n_28d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_28d"),
+        )
+    )
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,
