@@ -145,6 +145,8 @@ HEADLINE = (
     "q14_running_spend",
     "q21_asof_click_attribution",
     "q23_salted_join_revenue",
+    "q33_group_regression",
+    "q40_gap_fill_daily",
     "d02_minhash_near_dups",
     "e03_knn_ivf",
     "t04_tfidf_top_terms",
@@ -177,8 +179,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="mras-bench")
 
-    # JVM/codegen warm-up on the smallest table so q01 doesn't pay startup.
+    # Steady-state warm-up (unmeasured): the suite iterates alphabetically,
+    # so without this the d*/e* queries would absorb all of the one-time
+    # JVM/codegen/Arrow-worker startup cost and read as artificially slow.
+    # q02 warms scan+agg+broadcast-join+window codegen; e01 warms the
+    # Arrow/pandas worker pool.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for warm_q in ("q02_flagship_top_tokens", "e01_knn_bruteforce"):
+        REGISTRY[warm_q].fn(spark, sf_dir).count()
 
     # Streaming first: trigger latency is the noise-sensitive measurement,
     # so it runs on a quiet JVM (before ALS/graph churn raises GC pressure).

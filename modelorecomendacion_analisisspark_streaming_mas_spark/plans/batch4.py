@@ -390,6 +390,50 @@ def q41_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "q42_try_arithmetic",
+    oracle="""
+WITH t AS (
+  SELECT c_mktsegment,
+         TRY_CAST(CAST(c_custkey AS VARCHAR) ||
+                  CASE WHEN c_custkey % 7 = 0 THEN 'x' ELSE '' END AS BIGINT) AS parsed,
+         CASE WHEN c_custkey % 10 = 0 THEN NULL
+              ELSE c_acctbal / (c_custkey % 10) END AS ratio
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) FILTER (WHERE parsed IS NULL) AS BIGINT) AS n_bad,
+       CAST(sum(parsed) AS BIGINT) AS sum_parsed,
+       round(avg(ratio), 2) AS avg_ratio
+FROM t GROUP BY c_mktsegment
+""",
+)
+def q42_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: Spark 4 runs ANSI mode by default, where a
+    bad cast or division by zero FAILS the job -- try_cast/try_divide are
+    the row-level null-on-error escape valves (the dirty-data path of any
+    large ingest). Every 7th customer key gets a poisoned numeric string;
+    every 10th hits a zero divisor. The oracle mirrors the null semantics
+    with portable CASE/TRY_CAST."""
+    cust = load_table(spark, sf_dir, "customer")
+    poisoned = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("x")).otherwise(F.lit("")),
+    )
+    t = cust.select(
+        "c_mktsegment",
+        poisoned.try_cast("bigint").alias("parsed"),
+        F.try_divide(F.col("c_acctbal"), F.nullif(F.col("c_custkey") % 10, F.lit(0))).alias(
+            "ratio"
+        ),
+    )
+    return t.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("parsed").isNull(), 1)).alias("n_bad"),
+        F.sum("parsed").alias("sum_parsed"),
+        F.round(F.avg("ratio"), 2).alias("avg_ratio"),
+    )
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,
