@@ -117,10 +117,15 @@ def pagerank(
     edges: DataFrame,
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """G3: GraphFrames-semantics PageRank (resetProbability=0.15,
     maxIter=10 -- Explorativa3.ipynb:372-376). Returns (id, pagerank).
+
+    checkpoint_every=2 measured best at sf0.1 (each broadcast build
+    re-executes the plan back to the last checkpoint, so deep cadences
+    re-run whole iterations; every-iteration checkpointing pays one extra
+    materialization job per round instead).
 
     When the vertex set is small (< BROADCAST_VERTEX_LIMIT) every
     iteration broadcasts the rank frame: the edge table then never
