@@ -179,19 +179,21 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="mras-bench")
 
-    # Steady-state warm-up (unmeasured): the suite iterates alphabetically,
-    # so without this the d*/e* queries would absorb all of the one-time
-    # JVM/codegen/Arrow-worker startup cost and read as artificially slow.
-    # q02 warms scan+agg+broadcast-join+window codegen; e01 warms the
-    # Arrow/pandas worker pool.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    for warm_q in ("q02_flagship_top_tokens", "e01_knn_bruteforce"):
-        REGISTRY[warm_q].fn(spark, sf_dir).count()
 
     # Streaming first: trigger latency is the noise-sensitive measurement,
     # so it runs on a quiet JVM (before ALS/graph churn raises GC pressure).
     streaming = bench_streaming(spark)
     print(f"  streaming: {streaming}", file=sys.stderr)
+
+    # Steady-state warm-up (unmeasured, AFTER the latency-sensitive
+    # streaming section): the suite iterates alphabetically, so without
+    # this the d*/e* queries would absorb all of the one-time
+    # JVM/codegen/Arrow-worker startup cost and read as artificially slow.
+    # q02 warms scan+agg+broadcast-join+window codegen; e01 warms the
+    # Arrow/pandas worker pool.
+    for warm_q in ("q02_flagship_top_tokens", "e01_knn_bruteforce"):
+        REGISTRY[warm_q].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
