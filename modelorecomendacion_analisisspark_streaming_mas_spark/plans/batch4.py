@@ -434,6 +434,56 @@ def q42_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q43_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q43_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmap buckets (Spark 4
+    bitmap_* aggregates): values hash into fixed-size bucket bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), per-bucket bitmaps OR
+    together under partial aggregation, and the final count is a sum of
+    popcounts. Unlike count(DISTINCT) -- a full shuffle of every distinct
+    value -- the shuffle carries one 4KB bitmap per (group, bucket), and
+    the partials are STORABLE: materialize them daily and re-aggregate
+    across any date range without touching raw data. Verified exact
+    against the count(DISTINCT) oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    buckets = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number(F.col("l_partkey")).alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias("bm"))
+    return buckets.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_parts")
+    )
+
+
+@register("q44_hll_sketch_distinct", oracle=None)
+def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL (Spark 4 hll_sketch_agg / hll_union):
+    approximate distinct customers per priority, plus a MERGED sketch
+    across two disjoint date halves via hll_union -- the re-aggregatable
+    form approx_count_distinct lacks (HLL++ there returns a number;
+    sketches return state you can store and union later, the 100 TB
+    rollup pattern). Estimates are implementation-defined -> rows-only
+    check here; the error bound vs exact is pinned in
+    tests/test_batch_queries.py::test_hll_sketch_error."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderdate"
+    )
+    half = F.when(F.year("o_orderdate") < 1996, "early").otherwise("late")
+    halves = orders.groupBy("o_orderpriority", half.alias("half")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return (
+        halves.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,

@@ -37,6 +37,28 @@ def test_approx_distinct_error(spark, sf_dir):
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
 
 
+def test_hll_sketch_error(spark, sf_dir):
+    """q44's DataSketches HLL estimates (including the cross-half
+    hll_union_agg merge) stay within 5% of exact distinct counts."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in REGISTRY["q44_hll_sketch_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
+
+
 def test_approx_quantile_api(spark, sf_dir):
     """A5: DataFrame.approxQuantile with error 0.0 == exact median, the
     reference's exact idiom (Explorativa/Explorativa2.ipynb:358)."""
