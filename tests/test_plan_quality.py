@@ -110,6 +110,52 @@ def test_scans_have_column_pruning(spark, name):
             raise AssertionError(f"{name}: unpruned lineitem scan: {schema}")
 
 
+def test_join_hints_respected(spark):
+    """Strategy hints must override the planner's default choice: a dim
+    join that auto-broadcasts flips to SortMergeJoin under merge() and to
+    ShuffledHashJoin under shuffle_hash() -- the manual overrides for when
+    statistics mislead the planner (stale stats, post-filter blowup)."""
+    from pyspark.sql import functions as F
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import load_table
+
+    cust = load_table(spark, SF, "customer")
+    nation = load_table(spark, SF, "nation")
+
+    def plan_of(joined):
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    default = plan_of(cust.join(nation, cust.c_nationkey == nation.n_nationkey))
+    assert "BroadcastHashJoin" in default  # tiny dim: planner broadcasts
+
+    merged = plan_of(cust.join(nation.hint("merge"), cust.c_nationkey == nation.n_nationkey))
+    assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
+
+    hashed = plan_of(
+        cust.join(nation.hint("shuffle_hash"), cust.c_nationkey == nation.n_nationkey)
+    )
+    assert "ShuffledHashJoin" in hashed and "BroadcastHashJoin" not in hashed
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy() writes must enable partition pruning on read: a filter
+    on the partition column shows up as PartitionFilters on the scan (file
+    listing skips non-matching directories), never as a post-scan filter
+    over all partitions."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import load_table
+
+    out = str(tmp_path / "orders_by_priority")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter("o_orderpriority = '1-URGENT'")
+    p = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    frag = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderpriority" in frag and "1-URGENT" in frag
+    # and the data survives the round trip
+    assert back.count() == load_table(spark, SF, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).count()
+
+
 def test_q30_grouping_sets_single_expand(spark):
     """GROUPING SETS must lower to ONE Expand + hash aggregate over a single
     scan -- not one scan per grouping set."""
