@@ -483,6 +483,41 @@ def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SQL = """
+WITH RECURSIVE mo(mi, hi) AS (
+  SELECT mn, mx FROM (
+    SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mn,
+           CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mx
+    FROM {orders}
+  )
+  UNION ALL
+  SELECT mi + 1, hi FROM mo WHERE mi < hi
+),
+monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM {orders} GROUP BY 1
+)
+SELECT mo.mi, coalesce(m.n_orders, 0) AS n_orders,
+       coalesce(m.revenue, 0.0) AS revenue
+FROM mo LEFT JOIN monthly m ON m.mi = mo.mi
+"""
+
+
+@register("q45_recursive_month_spine", oracle=_RECURSIVE_SQL.format(orders="orders"))
+def q45_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.0's recursive CTE): a complete month spine
+    unrolled by linear recursion from the min to the max order month --
+    the bounds ride along in the working table so the recursive term
+    needs no subquery -- left-joined to monthly aggregates. The oracle is
+    the IDENTICAL recursive SQL in DuckDB. Recursion depth = month span
+    (~85), each step a one-row working set: the engine executes it as an
+    iterative union, not a self-join explosion."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q45")
+    return spark.sql(_RECURSIVE_SQL.format(orders="orders_q45"))
+
+
 @register(
     "q39_udtf_doc_chunks",
     oracle="""
