@@ -519,6 +519,47 @@ def q45_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_array_hof_top3",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         list_sort(list(l_extendedprice), 'DESC') AS prices,
+         sum(l_extendedprice) AS total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, n_items,
+       round(list_aggregate(prices[1:3], 'sum'), 2) AS top3_sum,
+       round(list_aggregate(prices[1:3], 'sum') / total, 4) AS top3_share
+FROM per_order
+""",
+)
+def q46_array_hof_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as first-class relational surface:
+    collect per-order prices, sort descending (array_sort + comparator),
+    slice the top 3, fold with aggregate() -- all inside whole-stage
+    codegen, no Python and no second shuffle (the per-group sort happens
+    inside already-grouped rows, unlike a window rank which would shuffle
+    again). Slicing 3 sorted doubles is order-deterministic, so the fold
+    is bit-stable and hash-matches DuckDB's list_aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.reverse(F.array_sort(F.collect_list("l_extendedprice"))).alias("prices"),
+        F.sum("l_extendedprice").alias("total"),
+    )
+    top3_sum = F.aggregate(
+        F.slice("prices", 1, 3), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_order.select(
+        "l_orderkey",
+        "n_items",
+        F.round(top3_sum, 2).alias("top3_sum"),
+        F.round(top3_sum / F.col("total"), 4).alias("top3_share"),
+    )
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,
