@@ -560,6 +560,57 @@ def q46_array_hof_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q47_map_type_roundtrip",
+    oracle="""
+WITH per_nation AS (
+  SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r_name, n_name
+), per_region AS (
+  SELECT r_name, CAST(sum(n_cust) AS BIGINT) AS total
+  FROM per_nation GROUP BY r_name
+)
+SELECT p.r_name, p.n_name,
+       round(100.0 * p.n_cust / t.total, 2) AS pct
+FROM per_nation p JOIN per_region t USING (r_name)
+""",
+)
+def q47_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface beyond P6's literal lookup: build a real
+    map per region (map_from_entries over collected nation counts),
+    rewrite values with the map HOF transform_values (count -> percent of
+    the region total, computed from aggregate() over map_values), then
+    explode back to rows. The map never leaves the executor -- one shuffle
+    to group, everything else is per-row expression work -- and the oracle
+    states the same result relationally, pinning that the map round-trip
+    loses nothing."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    as_map = per_nation.groupBy("r_name").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("n_name", "n_cust")))
+        ).alias("m")
+    )
+    total = F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    pcts = as_map.select(
+        "r_name",
+        F.transform_values(
+            "m", lambda k, v: F.round(100.0 * v / total, 2)
+        ).alias("m"),
+    )
+    return pcts.select("r_name", F.explode("m").alias("n_name", "pct"))
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,
