@@ -109,14 +109,18 @@ def q33_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx, sy = x.sum(), y.sum()
         sxx, sxy = (x * x).sum(), (x * y).sum()
         denom = n * sxx - sx * sx
-        slope = (n * sxy - sx * sy) / denom
-        intercept = (sy - slope * sx) / n
+        if denom == 0.0:  # single row / constant x: regr_slope is NULL
+            slope, intercept = None, None
+        else:
+            slope = (n * sxy - sx * sy) / denom
+            intercept = round((sy - slope * sx) / n, 4)
+            slope = round(slope, 4)
         return pd.DataFrame(
             {
                 "p_brand": [key[0]],
                 "n": [n],
-                "slope": [round(slope, 4)],
-                "intercept": [round(intercept, 4)],
+                "slope": [slope],
+                "intercept": [intercept],
             }
         )
 
