@@ -230,6 +230,38 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# s11: stream-STATIC join -- the stateless enrichment join (dimension side
+# is a batch table, broadcast per micro-batch; no state store, no
+# watermark needed). The canonical "enrich events with dimensions at
+# ingest" shape; the static side is re-resolved every trigger, so slowly-
+# changing dims pick up updates between batches.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s11_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+)
+def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_table
+
+    stream = _replayed(spark, sf_dir).select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
+    return out
+
+
+# --------------------------------------------------------------------------
 # s08: dropDuplicatesWithinWatermark -- bounded-state dedup over a replay
 # planted with 2x copies; surviving rows must equal single-copy counts.
 # --------------------------------------------------------------------------
