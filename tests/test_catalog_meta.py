@@ -1,0 +1,65 @@
+"""Catalog meta-contracts: fast checks (no Spark) that keep the driver
+gate healthy -- every oracle must at least compile in DuckDB against the
+real views, names must be unique and conventional, and each query should
+explain itself."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_views():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    return con
+
+
+def test_every_oracle_compiles_in_duckdb(duck_views):
+    """A syntax or binding error in oracle SQL would surface as an 'err'
+    in the driver's CORRECTNESS file; catch it here in milliseconds."""
+    bad = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        try:
+            duck_views.execute(f"EXPLAIN {q.oracle}")
+        except Exception as ex:  # pragma: no cover - diagnostic
+            bad.append((name, str(ex)[:120]))
+    assert not bad, bad
+
+
+def test_names_unique_and_conventional():
+    names = list(REGISTRY)
+    assert len(names) == len(set(names))
+    for n in names:
+        prefix = n.split("_")[0]
+        assert prefix[0] in "qdegmst" or prefix.startswith("mm"), n
+        assert n == n.lower(), n
+
+
+def test_rows_only_set_is_intentional():
+    """Oracle-less queries must stay the known engine-specific set -- a
+    new query accidentally registered without an oracle fails here
+    instead of silently weakening the gate."""
+    rows_only = {n for n, q in REGISTRY.items() if q.oracle is None}
+    assert rows_only == {
+        "q17_sample_stats",
+        "e02_knn_lsh",
+        "g03_component_histogram",
+        "m01_als_top5_recs",
+        "m02_cold_start_fold_in",
+        "mm02_image_features",
+        "q44_hll_sketch_distinct",
+    }, rows_only

@@ -200,3 +200,59 @@ def test_rolling_hash_matches_reference_impl(spark):
 
     assert got == {i: py_roll(t) for i, t in enumerate(texts)}
     assert got[0] == got[1] and got[0] != got[2]
+
+
+def test_ppjoin_matches_bruteforce_on_random_corpora(spark):
+    """EXACTNESS of the PPJoin prefix/length/positional pruning: on random
+    small corpora, ngram_jaccard_join must return EXACTLY the pairs a
+    brute-force O(n^2) Jaccard over the same shingle sets returns -- any
+    over-aggressive pruning predicate loses pairs, any under-pruning is
+    caught by the jaccard filter. Seeded RNG: deterministic but varied
+    (short docs, near-dups, disjoint docs, repeated tokens)."""
+    import itertools
+    import random
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        ngram_jaccard_join,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        n = rng.randint(3, 14)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # plant a near-dup with a small edit
+            mutated = list(words)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mutated)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for threshold in (0.5, 0.8):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_join(df, "doc_id", "text", threshold=threshold).collect()
+        }
+
+        # brute force over the same normalized 3-gram shingle sets
+        def shingle_set(text: str) -> frozenset:
+            toks = text.lower().split()
+            return frozenset(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+
+        sets_ = {i: shingle_set(t) for i, t in docs}
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets_), 2):
+            sa, sb = sets_[a], sets_[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 4) >= threshold:
+                expect[(a, b)] = round(j, 4)
+        assert got == expect, (
+            f"t={threshold}: missing={set(expect) - set(got)} "
+            f"extra={set(got) - set(expect)}"
+        )
