@@ -17,6 +17,7 @@ from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_
 from ..streaming.stateful import longest_run_per_user
 from ..streaming.pipelines import (
     demo_latest_topk,
+    dynamic_sessionized_counts,
     sessionized_counts,
     sliding_counts,
     stream_dedup_counts,
@@ -227,6 +228,47 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_click_purchase_join(clicks, purchases, within="30 minutes")
     _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
     return out
+
+
+# --------------------------------------------------------------------------
+# s12: DYNAMIC-gap session windows -- the gap is an expression over the
+# event (click 5m, others 15m). Oracle: gaps-and-islands generalized to a
+# running max of per-event reach (ts + its own gap); a session breaks
+# when an event starts at or beyond everything reachable so far (the
+# window end is exclusive, same convention s03 pinned for fixed gaps).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s12_stream_dynamic_session",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'click' THEN ts + INTERVAL 5 MINUTE
+              ELSE ts + INTERVAL 15 MINUTE END AS reach
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+         max(reach) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_reach
+  FROM e
+), m AS (
+  SELECT user_id,
+         CASE WHEN prev_reach IS NULL OR ts >= prev_reach THEN 1 ELSE 0 END AS new_s
+  FROM y
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM m GROUP BY user_id
+""",
+)
+def s12_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    sessions = dynamic_sessionized_counts(stream)
+    _, out = run_to_memory_sink(sessions, "complete", shuffle_partitions=8)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
 
 
 # --------------------------------------------------------------------------

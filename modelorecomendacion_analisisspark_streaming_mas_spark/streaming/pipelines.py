@@ -122,6 +122,29 @@ def sessionized_counts(
     )
 
 
+def dynamic_sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    click_gap: str = "5 minutes",
+    default_gap: str = "15 minutes",
+) -> DataFrame:
+    """Session windows with a DYNAMIC gap: the gap duration is an
+    expression over the event (clicks close fast, everything else lingers)
+    -- Spark merges overlapping [ts, ts+gap) intervals into one session.
+    The fixed-gap form (sessionized_counts) can't express per-event
+    engagement semantics; state behavior is identical (one open-session
+    row per key, watermark-evicted)."""
+    gap = F.when(F.col("event_type") == "click", F.lit(click_gap)).otherwise(
+        F.lit(default_gap)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def stream_stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -156,6 +156,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     ).count()
 
 
+def test_parquet_aggregate_pushdown_metadata_only(spark):
+    """COUNT/MIN/MAX with no filter can be answered from parquet footer
+    statistics alone (PushedAggregation) -- at 100 TB that's a metadata
+    scan instead of a data scan. Requires the DSv2 parquet reader; both
+    confs restored afterwards."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{SF}/lineitem.parquet")
+        agg = df.selectExpr(
+            "count(*) AS n", "min(l_quantity) AS mn", "max(l_quantity) AS mx"
+        )
+        p = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in p
+        row = agg.first()
+        assert row["n"] == df.count() and row["mn"] == 1.0 and row["mx"] == 50.0
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
 def test_q30_grouping_sets_single_expand(spark):
     """GROUPING SETS must lower to ONE Expand + hash aggregate over a single
     scan -- not one scan per grouping set."""
