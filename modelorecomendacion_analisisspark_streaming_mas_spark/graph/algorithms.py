@@ -48,7 +48,9 @@ def bipartite_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return vertices, edges
 
 
-def bipartite_graph_encoded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def bipartite_graph_encoded(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Same graph, vertex ids packed into LONGS: customer c -> 2c,
     part p -> 2p+1 (disjoint by parity, the prefixed-string scheme's
     integer twin). Iterative algorithms shuffle the id columns every
@@ -58,7 +60,14 @@ def bipartite_graph_encoded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
     expression -- no join). The orders side of the build join is
     explicitly broadcast: (o_orderkey, o_custkey) is ~16 bytes/row,
     far under any sensible threshold, and it saves shuffling the
-    fact-table side."""
+    fact-table side.
+
+    ``materialize=False`` skips the eager localCheckpoints: correct for
+    SINGLE-PASS consumers (a degree count reads edges once and never
+    touches vertices -- checkpoint materialization would be pure
+    overhead); iterative algorithms must keep the default so every
+    round reuses the materialized frames instead of re-running the
+    fact join."""
     from ..sources.readers import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -70,15 +79,18 @@ def bipartite_graph_encoded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
             (F.col("l_partkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+    )
+    if materialize:
         # materialize once: vertices derive from edges twice, and every
         # algorithm iteration would otherwise re-run the fact join+distinct
         # (eager localCheckpoint beat .cache() ~3x here -- cache's
         # re-optimization of the cached plan per derivation is not free)
-        .localCheckpoint(eager=True)
-    )
+        edges = edges.localCheckpoint(eager=True)
     customers = edges.select(F.col("src").alias("id")).distinct().withColumn("tipo", F.lit("customer"))
     parts = edges.select(F.col("dst").alias("id")).distinct().withColumn("tipo", F.lit("part"))
-    vertices = customers.unionByName(parts).localCheckpoint(eager=True)  # O8
+    vertices = customers.unionByName(parts)  # O8
+    if materialize:
+        vertices = vertices.localCheckpoint(eager=True)
     return vertices, edges
 
 

@@ -43,8 +43,10 @@ LIMIT 100
 )
 def g01_part_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrees aggregate on packed-long ids (cheap shuffle), decode to the
-    # reference's prefixed strings only for ordering + presentation
-    _, edges = bipartite_graph_encoded(spark, sf_dir)
+    # reference's prefixed strings only for ordering + presentation;
+    # single-pass consumer -> no checkpoint materialization (one straight
+    # pipeline scan -> broadcast join -> distinct -> agg -> topk)
+    _, edges = bipartite_graph_encoded(spark, sf_dir, materialize=False)
     return (
         in_degrees(edges)
         .select(decode_vertex_id(F.col("id")).alias("id"), "inDegree")
