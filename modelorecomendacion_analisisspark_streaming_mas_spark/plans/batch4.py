@@ -615,6 +615,72 @@ def q47_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_training_data_pipeline",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, lang, source, text,
+         ('0x'||substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),1,15))::UBIGINT::BIGINT AS f
+  FROM documents
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+), kept AS (
+  SELECT fp.* FROM fp JOIN keep USING (doc_id)
+), q AS (
+  SELECT lang, source, doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS dr
+  FROM kept
+), filt AS (
+  SELECT * FROM q WHERE n_tokens >= 20 AND dr >= 0.5
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) FILTER (
+         WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT)::BIGINT % 10 = 0
+       ) AS BIGINT) AS n_sampled
+FROM filt GROUP BY lang, source
+""",
+)
+def q48_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators COMPOSED as one end-to-end training-data pipeline:
+    exact dedup (min doc_id per normalized fingerprint, aggregate-then-
+    semi-join so the payload never shuffles twice) -> quality gate
+    (token count + distinct-token ratio) -> deterministic 10% md5-hash
+    sample count, rolled up per (lang, source) -- corpus curation as a
+    single declarative plan, every stage oracle-verified through the
+    same portable md5 hashing the standalone d01/t01/q28 queries pin."""
+    from ..functions.text import (
+        distinct_token_count,
+        doc_fingerprint,
+        md5_hash32,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", "source", "text", doc_fingerprint(F.col("text")).alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(keep.select("doc_id"), "doc_id")
+    q = kept.select(
+        "lang",
+        "source",
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        (distinct_token_count("text") / token_count("text")).alias("dr"),
+    )
+    filt = q.filter((F.col("n_tokens") >= 20) & (F.col("dr") >= 0.5))
+    sampled = (md5_hash32(F.col("doc_id").cast("string")) % 10 == 0).cast("int")
+    return filt.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(sampled).cast("long").alias("n_sampled"),
+    )
+
+
+@register(
     "q39_udtf_doc_chunks",
     oracle="""
 SELECT doc_id,
