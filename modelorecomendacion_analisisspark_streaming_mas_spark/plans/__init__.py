@@ -10,5 +10,134 @@ from . import mlq  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 from . import northstar2  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
+from . import stateful_probe  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Registration-order policy.
+#
+# The driver's CORRECTNESS sweep samples at most ~50 queries per round *in
+# registration order*, so the order of this dict decides which queries get a
+# hard driver-side oracle run. Policy (documented so it survives refactors):
+#
+#   1. VERIFY_FIRST: queries that have never had a driver-side oracle run
+#      (or whose oracle changed this round), plus any newly added query --
+#      anything NOT in DRIVER_PROVEN lands ahead of the proven set
+#      automatically.
+#   2. Queries last driver-checked in round 1 only (streaming + northstar
+#      set) -- re-confirmed before the round-2-proven batch queries.
+#   3. DRIVER_PROVEN: hash-exact in CORRECTNESS_r02 -- re-checked last,
+#      in their original order.
+#   4. Inherently rows-only samples (q17 random sample, q44 HLL +/-bound)
+#      go at the very end: a window slot spent on them can never upgrade
+#      to a hash match.
+# ---------------------------------------------------------------------------
+
+# Never driver-checked through r02 (VERDICT r2), then rows-only entries whose
+# oracles/semantics changed this round, then the round-1-only set.
+_VERIFY_FIRST = [
+    # -- never inside a driver window (r01 or r02) --
+    "d01_exact_dedup_docs",
+    "d02_minhash_near_dups",
+    "d03_simhash_docs",
+    "t01_text_quality",
+    "t02_lang_id_confusion",
+    "t03_token_stats",
+    "t04_tfidf_top_terms",
+    "e01_knn_bruteforce",
+    "e02_knn_lsh",
+    "mm02_image_features",
+    "s11_stream_static_join",
+    "s12_stream_dynamic_session",
+    # -- rows-only entries being upgraded / re-confirmed this round --
+    "g03_component_histogram",
+    "m01_als_top5_recs",
+    "m02_cold_start_fold_in",
+    # -- driver-checked in round 1 only: re-confirm --
+    "s01_stream_tumbling_counts",
+    "s02_stream_sliding_counts",
+    "s03_stream_session_counts",
+    "s04_stream_dedup_counts",
+    "s05_stream_latest_topk",
+    "s06_stream_group_counts",
+    "s07_stream_stream_join",
+    "s08_stream_dedup_watermark",
+    "s09_stream_longest_run",
+    "d04_ngram_jaccard_dedup",
+    "d05_embedding_near_dups",
+    "e03_knn_ivf",
+    "t05_doc_fingerprints",
+    "mm01_resize_plan",
+]
+
+# Hash-exact in the driver's round-2 CORRECTNESS window (q17/q44 were in the
+# window but are inherently rows-only -- kept at the absolute end).
+_DRIVER_PROVEN = [
+    "q01_pricing_summary",
+    "q02_flagship_top_tokens",
+    "q03_global_rank_customers",
+    "q04_star_join_revenue",
+    "q05_balance_buckets",
+    "q06_map_lookup_regions",
+    "q07_regex_brand_etl",
+    "q08_daily_events",
+    "q09_quantiles",
+    "q10_dedup_pairs_histogram",
+    "q11_set_ops_nationkeys",
+    "q12_null_fill_activity",
+    "q13_top_orders",
+    "q14_running_spend",
+    "q15_json_props",
+    "q16_segment_top_customers",
+    "q18_range_lookup_tiers",
+    "q19_rollup_orders",
+    "q20_cube_lineitem",
+    "q21_asof_click_attribution",
+    "q22_salted_group_count",
+    "q23_salted_join_revenue",
+    "q24_distinct_counts",
+    "q25_pivot_status",
+    "q26_rank_family",
+    "q27_lag_lead_orders",
+    "q28_hash_sample_stats",
+    "q29_semi_anti_customers",
+    "q30_grouping_sets",
+    "q31_small_qty_revenue",
+    "q32_full_outer_nation_coverage",
+    "q33_group_regression",
+    "q34_lateral_top_customers",
+    "q35_unpivot_segment_metrics",
+    "q36_listagg_region_nations",
+    "q37_variant_event_props",
+    "q38_robust_stats",
+    "q40_gap_fill_daily",
+    "q41_range_frame_trailing_spend",
+    "q42_try_arithmetic",
+    "q43_bitmap_distinct",
+    "q45_recursive_month_spine",
+    "q46_array_hof_top3",
+    "q47_map_type_roundtrip",
+    "q48_training_data_pipeline",
+    "q39_udtf_doc_chunks",
+    "g01_part_in_degrees",
+    "g02_pagerank_top100",
+]
+
+_ROWS_ONLY_TAIL = ["q17_sample_stats", "q44_hll_sketch_distinct"]
+
+
+def _apply_order() -> None:
+    order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    placed = set(order) | set(_DRIVER_PROVEN) | set(_ROWS_ONLY_TAIL)
+    # New / unlisted queries: never driver-checked, so verify early.
+    order += [n for n in REGISTRY if n not in placed]
+    order += [n for n in _DRIVER_PROVEN if n in REGISTRY]
+    order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
+    reordered = {n: REGISTRY[n] for n in order}
+    assert len(reordered) == len(REGISTRY), "reorder dropped queries"
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_apply_order()
 
 __all__ = ["REGISTRY", "Query", "register", "query_map", "oracle_map"]

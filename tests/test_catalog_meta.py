@@ -49,6 +49,27 @@ def test_names_unique_and_conventional():
         assert n == n.lower(), n
 
 
+def test_driver_window_covers_unverified_queries():
+    """The driver's correctness sweep samples ~50 queries in registration
+    order; plans/__init__._apply_order must keep every query that has
+    never had (or is due for) a driver-side oracle run inside that window.
+    A refactor that silently restores module-import order fails here."""
+    window = list(REGISTRY)[:50]
+    never_checked = {
+        "d01_exact_dedup_docs", "d02_minhash_near_dups", "d03_simhash_docs",
+        "t01_text_quality", "t02_lang_id_confusion", "t03_token_stats",
+        "t04_tfidf_top_terms", "e01_knn_bruteforce", "e02_knn_lsh",
+        "mm02_image_features", "s11_stream_static_join",
+        "s12_stream_dynamic_session",
+    }
+    missing = never_checked - set(window)
+    assert not missing, f"unverified queries outside driver window: {missing}"
+    # Inherently rows-only samples can never upgrade to hash matches --
+    # they must not consume early window slots.
+    tail = list(REGISTRY)[-2:]
+    assert set(tail) == {"q17_sample_stats", "q44_hll_sketch_distinct"}
+
+
 def test_rows_only_set_is_intentional():
     """Oracle-less queries must stay the known engine-specific set -- a
     new query accidentally registered without an oracle fails here
