@@ -58,9 +58,11 @@ def bipartite_graph_encoded(
     than strings, so graph queries iterate on the encoded graph and
     decode only at the presentation edge (``decode_vertex_id``, a pure
     expression -- no join). The orders side of the build join is
-    explicitly broadcast: (o_orderkey, o_custkey) is ~16 bytes/row,
-    far under any sensible threshold, and it saves shuffling the
-    fact-table side.
+    broadcast only below a counted row limit: (o_orderkey, o_custkey)
+    is ~16 bytes/row, but orders is itself a fact table (~1.5B rows at
+    sf1000), so the hint is gated the same way BROADCAST_VERTEX_LIMIT
+    gates the iterative loops -- above the limit the hint is dropped
+    and AQE picks the join strategy.
 
     ``materialize=False`` skips the eager localCheckpoints: correct for
     SINGLE-PASS consumers (a degree count reads edges once and never
@@ -72,8 +74,11 @@ def bipartite_graph_encoded(
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # bounded limit+1 probe, not a full count: decides the broadcast the
+    # counted way instead of force-broadcasting a fact table
+    orders_small = orders.limit(BROADCAST_VERTEX_LIMIT + 1).count() <= BROADCAST_VERTEX_LIMIT
     edges = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(_maybe_broadcast(orders, orders_small), li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_partkey") * 2 + 1).alias("dst"),
@@ -96,10 +101,16 @@ def bipartite_graph_encoded(
 
 def decode_vertex_id(nid) -> F.Column:
     """Packed long vertex id -> the reference-parity prefixed string
-    ('c<custkey>' / 'p<partkey>') as a pure expression (no lookup join)."""
-    return F.when(
-        nid % 2 == 0, F.concat(F.lit("c"), (nid / 2).cast("long"))
-    ).otherwise(F.concat(F.lit("p"), ((nid - 1) / 2).cast("long")))
+    ('c<custkey>' / 'p<partkey>') as a pure expression (no lookup join).
+
+    floor(nid/2) via arithmetic shift, never float division: ids above
+    2^53 would lose precision in a double and decode to the wrong key.
+    For even ids (customers) nid>>1 == nid/2; for odd ids (parts)
+    nid>>1 == (nid-1)/2 -- one exact expression covers both branches."""
+    half = F.shiftright(nid, 1)
+    return F.when(nid % 2 == 0, F.concat(F.lit("c"), half)).otherwise(
+        F.concat(F.lit("p"), half)
+    )
 
 
 def in_degrees(edges: DataFrame) -> DataFrame:

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from ..sources.readers import spread
 
 
+# Hard ceiling on the collected-and-broadcast query side of the matmul
+# near-dup scan: 100k rows x 64 doubles ~ 50 MB broadcast, comfortably
+# inside executor/driver budgets; anything bigger belongs in the LSH path.
+MATMUL_QUERY_ROW_LIMIT = 100_000
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -100,6 +106,19 @@ def cosine_near_dup_matmul(
     """
     import pandas as pd
 
+    # "Required small" is ENFORCED, not advisory (same counted-decision
+    # pattern as graph.algorithms.BROADCAST_VERTEX_LIMIT): a bounded
+    # limit+1 probe -- never a full count of an unbounded frame -- decides
+    # whether the collect is safe. Oversized query sides must go through
+    # lsh_cosine_topk instead of OOMing the driver.
+    probe = queries.select(id_col).limit(MATMUL_QUERY_ROW_LIMIT + 1).count()
+    if probe > MATMUL_QUERY_ROW_LIMIT:
+        raise ValueError(
+            f"cosine_near_dup_matmul query side exceeds "
+            f"{MATMUL_QUERY_ROW_LIMIT} rows; it is collected+broadcast and "
+            f"must stay small. Use lsh_cosine_topk for corpus-scale query "
+            f"sides."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -218,7 +237,10 @@ def _all_signatures_udf(tables: list[list[list[float]]]):
 
     @pandas_udf("array<long>")
     def sigs(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        # explicit (batch, dim) shape: an empty Arrow batch otherwise
+        # yields shape (0,) and the matmul raises instead of returning
+        # zero rows
+        V = np.asarray(vecs.tolist(), dtype=np.float64).reshape(len(vecs), dim)
         bits = (V @ flat.T >= 0).reshape(len(V), n_tables, n_planes)
         buckets = (bits * weights).sum(axis=2)  # (batch, n_tables)
         return pd.Series(list(buckets))

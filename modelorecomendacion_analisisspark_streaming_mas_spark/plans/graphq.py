@@ -112,12 +112,62 @@ def g02_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # g03: connected components (G4) -- component-size histogram (the
-# reference's cells 16-17 shape). Iterative fixpoint -> rows-only check;
-# semantics are pinned by tests/test_graph.py's planted-component cases.
+# reference's cells 16-17 shape). The histogram is invariant to label
+# choice, so the oracle does not need Spark's packed-long labels: it
+# unrolls min-label propagation WITH pointer jumping (label <- label of
+# label) into SQL CTEs, the same O(log diameter) recurrence the DataFrame
+# loop runs (graph/algorithms.py connected_components). `rounds` is a
+# hard upper bound on the rounds either engine needs at any test SF;
+# tests/test_graph.py pins oracle==Spark equality and the Spark side
+# raises on non-convergence, so a diameter blow-up cannot silently
+# diverge the two.
 # --------------------------------------------------------------------------
 
 
-@register("g03_component_histogram", oracle=None)
+def _cc_oracle(rounds: int = 12) -> str:
+    # Every CTE below is referenced more than once per round; DuckDB
+    # inlines plain CTEs, which would re-execute each level's predecessor
+    # twice -- exponential in `rounds`. MATERIALIZED pins one execution
+    # per level (the oracle is then linear in rounds, like the engine).
+    ctes = [
+        _EDGES_SQL.strip(),
+        """sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+)""",
+        """verts AS (
+  SELECT DISTINCT src AS id FROM sym
+)""",
+        "l0 AS MATERIALIZED (\n  SELECT id, id AS lab FROM verts\n)",
+    ]
+    for n in range(1, rounds + 1):
+        ctes.append(
+            f"""p{n} AS MATERIALIZED (
+  SELECT v.id, least(v.lab, COALESCE(m.mn, v.lab)) AS lab
+  FROM l{n - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(r.lab) AS mn
+    FROM sym s JOIN l{n - 1} r ON s.src = r.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+        )
+        # Pointer jump: labels are vertex ids, so re-resolve through the
+        # freshly propagated table (path halving).
+        ctes.append(
+            f"""l{n} AS MATERIALIZED (
+  SELECT a.id, b.lab FROM p{n} a JOIN p{n} b ON a.lab = b.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT size, count(*) AS n_components FROM (
+  SELECT lab, count(*) AS size FROM l{rounds} GROUP BY lab
+) GROUP BY size ORDER BY size
+"""
+    )
+
+
+@register("g03_component_histogram", oracle=_cc_oracle(12))
 def g03_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component labels never leave the query (histogram of sizes), so the
     # packed-long graph needs no decode at all

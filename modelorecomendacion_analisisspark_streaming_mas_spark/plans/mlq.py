@@ -35,7 +35,14 @@ def _fitted(spark: SparkSession, sf_dir: str):
 @register("m01_als_top5_recs", oracle=None)
 def m01_als_top5_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M4: train on the derived ratings, top-5 recommendations for the
-    20 most active users (modest rank/iters to keep the bench honest)."""
+    20 most active users.
+
+    DELIBERATE DIVERGENCE from the reference's model params: the catalog
+    entry trains at rank=8/maxIter=8 (a BENCH shape -- the per-round
+    bench would otherwise spend most of its budget inside one als.fit),
+    while ``build_als`` defaults pin the reference's rank=20/maxIter=15/
+    regParam=0.1 and tests/test_recommend.py trains at those exact
+    params. COVERAGE.md M1 row states the same."""
     model, ratings, _ids, _Y = _fitted(spark, sf_dir)
     active = ratings.groupBy("userId").count().orderBy(F.desc("count"), "userId").limit(20)
     recs = model.recommendForUserSubset(active.select("userId"), 5)

@@ -63,6 +63,27 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+# The Kafka source's fixed wire schema (what .load() returns with the
+# connector jar present). Pinned here so broker-free environments can
+# still contract-test everything downstream of the connector.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_options(brokers: str, topic: str, starting_offsets: str = "latest") -> dict[str, str]:
+    """The exact reader options kafka_stream sets -- a pure function so the
+    option contract (S6/S7) is testable without a broker or connector jar
+    (tests/test_streaming.py asserts it; a typo here can no longer hide
+    behind the connector skip)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -74,13 +95,10 @@ def kafka_stream(
     Mirrors app/spark_stream.py:20-24 + the earliest-offsets variant at
     apps_mediciones/live_counts_update_earliest.py:45-51.
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(brokers, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 ROCKSDB_PROVIDER = (

@@ -128,19 +128,24 @@ def dynamic_sessionized_counts(
     watermark: str = "2 hours",
     click_gap: str = "5 minutes",
     default_gap: str = "15 minutes",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    fast_type: str = "click",
 ) -> DataFrame:
     """Session windows with a DYNAMIC gap: the gap duration is an
-    expression over the event (clicks close fast, everything else lingers)
-    -- Spark merges overlapping [ts, ts+gap) intervals into one session.
-    The fixed-gap form (sessionized_counts) can't express per-event
-    engagement semantics; state behavior is identical (one open-session
-    row per key, watermark-evicted)."""
-    gap = F.when(F.col("event_type") == "click", F.lit(click_gap)).otherwise(
+    expression over the event (``fast_type`` rows close fast, everything
+    else lingers) -- Spark merges overlapping [ts, ts+gap) intervals into
+    one session. The fixed-gap form (sessionized_counts) can't express
+    per-event engagement semantics; state behavior is identical (one open-
+    session row per key, watermark-evicted). Every referenced column is a
+    parameter, so any keyed/typed stream fits -- not just the events
+    schema."""
+    gap = F.when(F.col(type_col) == fast_type, F.lit(click_gap)).otherwise(
         F.lit(default_gap)
     )
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), "user_id")
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
 

@@ -45,9 +45,15 @@ STATE_SCHEMA = (
 
 
 def _ts_micros(ts: pd.Series) -> pd.Series:
-    """Event time as int64 epoch-micros regardless of arrow/pandas dtype."""
+    """Event time as int64 epoch-micros regardless of arrow/pandas dtype.
+
+    Normalizes through datetime64[us] explicitly: under pandas 2.x /
+    Arrow the series can arrive as ns, us, or ms resolution, and a blind
+    ``// 1000`` would be wrong for everything but ns (and the
+    cross-batch ooo comparison only works if every batch lands on the
+    same unit)."""
     if pd.api.types.is_datetime64_any_dtype(ts):
-        return ts.astype("int64") // 1000  # ns -> us
+        return ts.astype("datetime64[us]").astype("int64")
     return ts.astype("int64")
 
 

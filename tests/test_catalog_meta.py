@@ -78,7 +78,6 @@ def test_rows_only_set_is_intentional():
     assert rows_only == {
         "q17_sample_stats",
         "e02_knn_lsh",
-        "g03_component_histogram",
         "m01_als_top5_recs",
         "m02_cold_start_fold_in",
         "mm02_image_features",

@@ -256,3 +256,33 @@ def test_ppjoin_matches_bruteforce_on_random_corpora(spark):
             f"t={threshold}: missing={set(expect) - set(got)} "
             f"extra={set(got) - set(expect)}"
         )
+
+
+def test_cosine_matmul_rejects_oversized_query_side(spark, sf_dir, monkeypatch):
+    """The collected-and-broadcast query side has a hard counted limit; an
+    oversized frame must raise (pointing at the LSH path) instead of
+    collecting toward a driver OOM."""
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators import similarity
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.similarity import (
+        cosine_near_dup_matmul,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(similarity, "MATMUL_QUERY_ROW_LIMIT", 3)
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        cosine_near_dup_matmul(emb, emb.limit(10))
+
+
+def test_lsh_signatures_survive_empty_partitions(spark, sf_dir):
+    """Sign-LSH signature matmul on a frame with empty partitions: the
+    Arrow UDF must emit zero rows for an empty batch, not crash on a
+    (0,)-shaped matmul."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(8).repartition(32)
+    out = lsh_cosine_topk(emb, emb.limit(2), k=2)
+    assert out.count() >= 0

@@ -132,3 +132,28 @@ def test_in_degrees(spark):
     pairs = [("a", "c"), ("b", "c"), ("a", "d")]
     got = {r["id"]: r["inDegree"] for r in in_degrees(_edges(spark, pairs)).collect()}
     assert got == {"c": 2, "d": 1}
+
+
+def test_g03_cc_oracle_on_planted_multicomponent_graph():
+    """The g03 DuckDB oracle (unrolled min-label + pointer jump) must get
+    planted multi-component structure right -- the real tables collapse to
+    one giant component, which would hide a propagation bug."""
+    import duckdb
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.graphq import _cc_oracle
+
+    con = duckdb.connect()
+    # orders: orderkey -> custkey; lineitem: orderkey -> partkey.
+    # Components: {c1,p1,p2,c2} (size 4), {c3,p3} (size 2), {c4,p4} (size 2).
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES"
+        " (10, 1), (11, 2), (12, 3), (13, 4)"
+        ") t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES"
+        " (10, 101), (10, 102), (11, 102), (12, 103), (13, 104)"
+        ") t(l_orderkey, l_partkey)"
+    )
+    got = {r[0]: r[1] for r in con.execute(_cc_oracle(12)).fetchall()}
+    assert got == {2: 2, 4: 1}

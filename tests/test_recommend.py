@@ -148,3 +148,20 @@ def test_tune_als_grid(ratings):
     assert all(m > 0 for _, m in results)
     best_rank = min(results, key=lambda r: r[1])[0]["rank"]
     assert best.rank == best_rank
+
+
+def test_reference_params_train_eval(ratings):
+    """M1 at the reference's EXACT model params (rank=20, maxIter=15,
+    regParam=0.1 -- build_als defaults): trains, converges, and scores a
+    sane RMSE on the held-out split. The catalog's m01 entry deliberately
+    uses a smaller bench shape (see plans/mlq.py); this test is the row
+    that pins true reference-param parity."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.ml.recommend import (
+        build_als,
+        train_eval,
+    )
+
+    als = build_als()
+    assert (als.getRank(), als.getMaxIter(), als.getRegParam()) == (20, 15, 0.1)
+    _model, rmse = train_eval(ratings)
+    assert 0.0 < rmse < 2.0, rmse

@@ -124,6 +124,47 @@ def test_kafka_source_builder_gated(spark):
         pytest.skip("kafka connector not available (expected in container)")
 
 
+def test_kafka_option_and_parse_contract_broker_free(spark):
+    """S6/S7 contract WITHOUT a broker: (1) the exact reader options the
+    Kafka source gets are pinned as data (a typo in subscribe/
+    startingOffsets can't hide behind the connector skip); (2) the
+    post-connector parse stage (feedback_age_bins) runs against a frame
+    with the Kafka wire schema -- binary value and all -- and produces the
+    same schema it does on the file-replay twin, so everything downstream
+    of the jar is proven here."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.streams import (
+        KAFKA_WIRE_SCHEMA,
+        kafka_options,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.pipelines import (
+        feedback_age_bins,
+    )
+
+    assert kafka_options("broker1:9092,broker2:9092", "feedback", "earliest") == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "feedback",
+        "startingOffsets": "earliest",
+    }
+    # default offsets mirror app/spark_stream.py (latest)
+    assert kafka_options("b:9092", "t")["startingOffsets"] == "latest"
+
+    import json
+
+    payload = json.dumps(
+        {"gender": "F", "occupation": "writer", "age": 34, "ratings": []}
+    ).encode()
+    wire = spark.createDataFrame(
+        [(None, payload, "feedback", 0, 0, None, 0)], KAFKA_WIRE_SCHEMA
+    )
+    parsed = feedback_age_bins(wire)
+    rows = parsed.collect()
+    assert [f.name for f in parsed.schema.fields] == [
+        "gender", "occupation", "age", "ratings", "age_bin",
+    ]
+    assert rows[0]["gender"] == "F" and rows[0]["age"] == 34
+    assert rows[0]["age_bin"] == "25-34"
+
+
 def test_watermark_late_data_contract_append_mode(spark):
     """The late-data contract (SURVEY 2.9's biggest reference gap), pinned
     empirically because it is SUBTLER than 'late rows are dropped':
