@@ -109,3 +109,94 @@ def write_feedback_jsonl(dir_path: str, n: int, files: int = 1, seed: int = 42) 
             for e in chunk:
                 f.write(json.dumps(e) + "\n")
     return events
+
+
+# --------------------------------------------------------------------------
+# Bot profiles: the reference runs five demographic Kafka bots
+# (bots/bot_random.py, bot_random50.py, bot_revista.py, bot_inserso.py,
+# bot_masculino.py -- each fixes a gender/occupation/age slice and a send
+# rate). Same slices here, emitting to the JSONL spool the file-stream
+# source replays (the broker-free transport used across this repo).
+# --------------------------------------------------------------------------
+
+BOT_PROFILES: dict[str, dict] = {
+    # name: demographics + default msgs/sec (reference defaults)
+    "random": {"genders": GENDERS, "occupations": OCCUPATIONS, "age_range": (18, 70), "rate": 100.0},
+    "random50": {"genders": GENDERS, "occupations": OCCUPATIONS, "age_range": (18, 70), "rate": 50.0},
+    "revista": {"genders": ["Mujer"], "occupations": ["estudiante"], "age_range": (10, 16), "rate": 250.0},
+    "inserso": {"genders": GENDERS, "occupations": ["jubilado"], "age_range": (66, 90), "rate": 500.0},
+    "masculino": {"genders": ["Hombre"], "occupations": OCCUPATIONS, "age_range": (25, 40), "rate": 200.0},
+}
+
+
+def generate_profile_events(bot: str, n: int, seed: int = 42) -> list[dict]:
+    """n payloads drawn from a named bot profile's demographic slice."""
+    prof = BOT_PROFILES[bot]
+    rng = random.Random(seed)
+    lo, hi = prof["age_range"]
+    return [
+        {
+            "gender": rng.choice(prof["genders"]),
+            "occupation": rng.choice(prof["occupations"]),
+            "age": rng.randint(lo, hi),
+            "ratings": [
+                {"filmId": rng.randint(1, 5), "rating": rng.randint(1, 5)}
+                for _ in range(5)
+            ],
+        }
+        for _ in range(n)
+    ]
+
+
+def run_bot(
+    bot: str,
+    out_dir: str,
+    rate: float | None = None,
+    count: int = 0,
+    seed: int = 42,
+    tick_s: float = 1.0,
+) -> int:
+    """Emit profile payloads into the spool at ~``rate`` msg/s, one JSONL
+    file per tick (== one micro-batch under maxFilesPerTrigger=1).
+    ``count=0`` runs until killed (the panel's stop sends SIGTERM);
+    returns total events written."""
+    import time
+
+    prof = BOT_PROFILES[bot]
+    rate = prof["rate"] if rate is None else rate
+    os.makedirs(out_dir, exist_ok=True)
+    per_tick = max(1, int(rate * tick_s))
+    written = 0
+    tick = 0
+    while count <= 0 or written < count:
+        n = per_tick if count <= 0 else min(per_tick, count - written)
+        events = generate_profile_events(bot, n, seed=seed + tick)
+        path = os.path.join(out_dir, f"{bot}_{os.getpid()}_{tick:06d}.jsonl")
+        tmp = path + ".tmp"  # atomic rename: the file stream never sees partials
+        with open(tmp, "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, path)
+        written += n
+        tick += 1
+        if count > 0 and written >= count:
+            break
+        time.sleep(tick_s)
+    return written
+
+
+def _main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="feedback bot: emit profile payloads to a JSONL spool")
+    p.add_argument("--bot", required=True, choices=sorted(BOT_PROFILES))
+    p.add_argument("--out", required=True, help="spool directory")
+    p.add_argument("--rate", type=float, default=None, help="msgs/sec (default: profile rate)")
+    p.add_argument("--count", type=int, default=0, help="total messages (0 = run until killed)")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    return 0 if run_bot(args.bot, args.out, args.rate, args.count, args.seed) >= 0 else 1
+
+
+if __name__ == "__main__":  # pragma: no cover - subprocess entry
+    raise SystemExit(_main())

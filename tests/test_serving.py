@@ -136,3 +136,55 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(srv, "/nope")
     assert e.value.code == 404
+
+
+def test_live_counts_poller_over_http(server):
+    """app/plot_live.py analog: poll /counts on an interval, render each
+    snapshot (ASCII fallback -- same callback shape as a matplotlib
+    consumer)."""
+    import time
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.serving.live_plot import (
+        LiveCountsPoller,
+        ascii_bar_render,
+        http_counts_fetch,
+    )
+
+    srv, _spool = server
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    lines: list[str] = []
+    with LiveCountsPoller(
+        http_counts_fetch(base),
+        render=lambda rows: ascii_bar_render(rows, "gender", "n", out=lines.append),
+        interval_s=0.05,
+    ) as poller:
+        t0 = time.time()
+        while not poller.snapshots and time.time() - t0 < 10:
+            time.sleep(0.05)
+    assert poller.snapshots, "poller never captured a snapshot"
+    assert poller.latest == poller.snapshots[-1]
+    assert lines and any("#" in ln for ln in lines)
+
+
+def test_live_counts_poller_survives_fetch_errors():
+    import time
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.serving.live_plot import (
+        LiveCountsPoller,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("sink not up yet")
+        return [{"k": "a", "n": calls["n"]}]
+
+    with LiveCountsPoller(flaky, interval_s=0.02, history=5) as poller:
+        t0 = time.time()
+        while len(poller.snapshots) < 8 and time.time() - t0 < 10:
+            time.sleep(0.02)
+    assert poller.errors >= 2  # early failures counted, loop kept going
+    assert len(poller.snapshots) <= 5  # history bound enforced
+    assert poller.latest[0]["n"] == max(s[0]["n"] for s in poller.snapshots)
