@@ -1,0 +1,206 @@
+"""Training-data curation ops, round 3 additions: benchmark
+decontamination, repetition metrics, stratified mixing. Extends the
+north-star pillar (dedup/similarity/text) with the remaining steps a
+100 TB pre-training pipeline runs between dedup and sampling.
+
+Scale shapes (all JVM-expression only -- no Python in any hot path):
+
+* d06: the benchmark side reduces to DISTINCT shingle hashes (tiny) and
+  is broadcast; the corpus streams through one scan, one hash-join, and
+  shuffles only per-doc hit counts -- never text.
+* t06: two per-doc aggregates (one explode for token counts; n-gram
+  ratios are pure array expressions per row), joined on doc_id.
+* q49: a pure projection+filter (the md5 bucket pushes to the scan) and
+  one per-source aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_hash32, shingles, token_count, tokenize
+from ..sources.readers import load_table
+from .catalog import register
+
+# portable 32-bit md5 hash in DuckDB SQL (same as textops)
+_DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
+
+# DuckDB word-5-gram shingle list over a token list `t` (the d02 3-gram
+# convention generalized: 1-based inclusive slices).
+_DUCK_SH5 = (
+    "CASE WHEN len(t) >= 5 "
+    "THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)] "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+
+# --------------------------------------------------------------------------
+# d06: benchmark decontamination. The deterministic "benchmark" slice
+# (doc_id % 97 == 0 -- an eval set by construction) contributes its
+# distinct word-5-gram hashes; every other document is scored by how many
+# of its distinct 5-grams appear in that set. The standard pre-training
+# hygiene step: training text overlapping an eval benchmark inflates
+# scores, so contaminated docs are flagged (and dropped by a downstream
+# filter on n_contaminated > 0).
+# --------------------------------------------------------------------------
+
+_D06_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS s FROM tok
+), hashed AS (
+  SELECT doc_id, source, {_DUCK_H32.format(expr='s')} AS h FROM sh
+), bench AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT c.doc_id, c.source, count(DISTINCT c.h) AS n_hits
+  FROM hashed c JOIN bench b USING (h)
+  WHERE c.doc_id % 97 <> 0
+  GROUP BY c.doc_id, c.source
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+"""
+
+
+@register("d06_contamination_check", oracle=_D06_ORACLE)
+def d06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles(tokenize(F.col("text")), 5))).alias("s"),
+    ).select("doc_id", "source", md5_hash32(F.col("s")).alias("h"))
+    bench = hashed.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    corpus = hashed.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "source")
+        .agg(F.countDistinct("h").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source")
+        .join(hits.select("doc_id", "n_hits"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# t06: repetition metrics (the Gopher/RefinedWeb quality signals):
+# top-token dominance and duplicated-3-gram mass per document. Documents
+# ranked most-repetitive first; the downstream filter drops the tail.
+# --------------------------------------------------------------------------
+
+_T06_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), flat AS (
+  SELECT doc_id, unnest(t) AS w FROM tok
+), cnt AS (
+  SELECT doc_id, w, count(*) AS c FROM flat GROUP BY doc_id, w
+), dom AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_ratio
+  FROM cnt GROUP BY doc_id
+), rep AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(sh3)) / CAST(len(sh3) AS DOUBLE), 4)
+           AS dup_3gram_ratio
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+                ELSE [array_to_string(t, ' ')] END AS sh3
+    FROM tok
+  )
+)
+SELECT d.doc_id, r.dup_3gram_ratio, d.top_token_ratio
+FROM dom d JOIN rep r USING (doc_id)
+ORDER BY r.dup_3gram_ratio DESC, d.doc_id
+LIMIT 100
+"""
+
+
+@register("t06_repetition_metrics", oracle=_T06_ORACLE)
+def t06_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    # duplicated-3-gram mass: pure array expressions, no explode
+    sh3 = shingles(F.col("t"), 3)
+    rep = tok.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3).cast("double"), 4
+        ).alias("dup_3gram_ratio"),
+    )
+    # top-token dominance: one explode + two-level aggregate
+    dom = (
+        tok.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_token_ratio"))
+    )
+    return (
+        rep.join(dom, "doc_id")
+        .orderBy(F.desc("dup_3gram_ratio"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "dup_3gram_ratio", "top_token_ratio")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49: stratified source mixing -- deterministic per-stratum hash
+# sampling toward a target mix (here: source-id mod 3 buckets at
+# 50/25/10 percent). The reproducible "data mixing" step: rates are a
+# pure expression, the bucket filter is content-hashed (stable across
+# runs/engines/partitionings, same contract as q28) and pushes into the
+# scan.
+# --------------------------------------------------------------------------
+
+_Q49_ORACLE = f"""
+WITH rated AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         CASE (substr(source, 4)::INT % 3)
+           WHEN 0 THEN 50 WHEN 1 THEN 25 ELSE 10 END AS rate,
+         {_DUCK_H32.format(expr="'mix|' || doc_id::VARCHAR")} % 100 AS bucket
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled, CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
+FROM rated WHERE bucket < rate
+GROUP BY source
+"""
+
+
+@register("q49_stratified_source_sample", oracle=_Q49_ORACLE)
+def q49_stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 50)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 25)
+        .otherwise(10)
+    )
+    bucket = md5_hash32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(token_count(F.col("text"))).alias("sampled_tokens"),
+        )
+    )
