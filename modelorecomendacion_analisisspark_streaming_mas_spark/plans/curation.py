@@ -20,8 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_hash32, shingles, token_count, tokenize
+from ..graph.algorithms import connected_components
+from ..operators.dedup import minhash_near_duplicates
 from ..sources.readers import load_table
 from .catalog import register
+from .textops import _D02_PAIR_CTES
 
 # portable 32-bit md5 hash in DuckDB SQL (same as textops)
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
@@ -203,4 +206,189 @@ def q49_stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             F.sum(token_count(F.col("text"))).alias("sampled_tokens"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# d07: near-dup CLUSTERING -- the step real pipelines run after pair
+# finding. Pairwise near-dup relations are not transitive, so "drop the
+# later doc of each pair" over-deletes (a-b and b-c would drop both b and
+# c even when a-c are unrelated); the standard fix is connected components
+# over the pair graph, keeping exactly one canonical doc (min doc_id) per
+# cluster. Composes d02's verified LSH pairs with the G4 component engine
+# (graph/algorithms.py connected_components: min-label propagation +
+# pointer jumping, O(log diameter) rounds).
+#
+# Scale shape: the pair graph is VASTLY smaller than the corpus (only
+# docs with a >=0.8-Jaccard partner appear), so the CC loop iterates on a
+# frame of near-dup docs only -- the corpus-sized stages are exactly
+# d02's (one shuffle each), and the loop input fits the counted broadcast
+# path of connected_components at any realistic dup rate.
+#
+# Oracle: d02's pair-lattice CTEs verbatim (textops._D02_PAIR_CTES) +
+# the g03-style unrolled min-label+pointer-jump recurrence. 8 rounds of
+# path-halving cover components of diameter 2^8; tests plant a chain and
+# pin Spark==oracle equality.
+# --------------------------------------------------------------------------
+
+
+def _d07_oracle(rounds: int = 8) -> str:
+    ctes = [
+        _D02_PAIR_CTES.strip(),
+        """pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8
+)""",
+        """sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+)""",
+        "verts AS (\n  SELECT DISTINCT src AS id FROM sym\n)",
+        "l0 AS MATERIALIZED (\n  SELECT id, id AS lab FROM verts\n)",
+    ]
+    for n in range(1, rounds + 1):
+        ctes.append(
+            f"""p{n} AS MATERIALIZED (
+  SELECT v.id, least(v.lab, COALESCE(m.mn, v.lab)) AS lab
+  FROM l{n - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(r.lab) AS mn
+    FROM sym s JOIN l{n - 1} r ON s.src = r.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+        )
+        ctes.append(
+            f"""l{n} AS MATERIALIZED (
+  SELECT a.id, b.lab FROM p{n} a JOIN p{n} b ON a.lab = b.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lab AS keep_id,
+       count(*) AS n_docs,
+       count(*) - 1 AS n_removed
+FROM l{rounds} GROUP BY lab ORDER BY keep_id
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# t07: PII redaction. The synthetic corpus carries no PII, so the entry
+# PLANTS it deterministically (every 7th doc gets an email + phone + URL
+# derived from doc_id -- both engines build the identical dirty text) and
+# then scrubs with the standard regex battery. Verified not just by
+# counts: a checksum over the scrubbed text proves the replacement output
+# is byte-identical between engines.
+#
+# Scale shape: pure per-row JVM regex projection (no Python, no shuffle
+# before the final per-source aggregate). Patterns are RE2-compatible so
+# the same strings drive Java regex (Spark) and RE2 (DuckDB).
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_URL_RE = r"https?://[^ ]+"
+
+# deterministic dirty-text construction, mirrored 1:1 in the oracle
+_INJ_A = " contact user"
+_INJ_B = "@example.com or call 555-0176 or visit https://ex"
+_INJ_C = ".example.org today"
+
+_T07_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || '{_INJ_A}' || doc_id::VARCHAR || '{_INJ_B}'
+                   || (doc_id % 50)::VARCHAR || '{_INJ_C}'
+              ELSE text END AS t
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(t, '{_URL_RE}'))   AS n_urls,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_URL_RE}', '<URL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM dirty
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_emails + n_phones + n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pii_docs,
+       CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(sum(n_urls) AS BIGINT)   AS urls_redacted,
+       CAST(sum({_DUCK_H32.format(expr='clean')}) AS BIGINT) AS scrub_checksum
+FROM scrubbed GROUP BY source
+"""
+
+
+@register("t07_pii_redaction", oracle=_T07_ORACLE)
+def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(_INJ_A),
+            F.col("doc_id").cast("string"),
+            F.lit(_INJ_B),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(_INJ_C),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = docs.select(
+        "source",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(dirty, F.lit(_URL_RE)).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") + F.col("n_urls") > 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pii_docs"),
+        F.sum("n_emails").cast("long").alias("emails_redacted"),
+        F.sum("n_phones").cast("long").alias("phones_redacted"),
+        F.sum("n_urls").cast("long").alias("urls_redacted"),
+        F.sum(md5_hash32(F.col("clean"))).cast("long").alias("scrub_checksum"),
+    )
+
+
+@register("d07_near_dup_clusters", oracle=_d07_oracle(8))
+def d07_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4, shingle_n=3
+    )
+    # Materialize the (tiny) pair graph once: connected_components derives
+    # its label frame from `verts`, and without the checkpoint every CC
+    # round would otherwise re-run the whole MinHash pipeline.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges)
+    return (
+        cc.groupBy(F.col("component").alias("keep_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+        )
+        .orderBy("keep_id")
     )

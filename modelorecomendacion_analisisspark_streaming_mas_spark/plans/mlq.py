@@ -52,6 +52,133 @@ def m01_als_top5_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("userId", F.col("rec.itemId").alias("itemId"), F.round("rec.rating", 3).alias("score"))
 
 
+# --------------------------------------------------------------------------
+# m03: item-item neighborhood CF -- the classic memory-based recommender
+# the reference's ALS replaced, kept here as the SQL-expressible twin
+# (exact oracle, unlike matrix factorization). cosine(i,j) over the
+# user-rating vectors of co-rated pairs; top-3 neighbors per item.
+#
+# Ratings are derived DETERMINISTICALLY (per-(user,item) MIN aggregate --
+# ratings_from_testdata's dropDuplicates keeps an arbitrary row, fine for
+# ALS but not for a hash-exact oracle).
+#
+# Scale shape: the co-pair build self-joins ratings on userId, so cost is
+# sum over users of (items/user)^2 -- the standard neighborhood-CF
+# blow-up. Two bounds keep it sane: the heavy-user cap (HAVING <=
+# _M03_USER_CAP items) bounds the per-user quadratic term exactly like
+# production CF preprocessing (sampling heavy users), and the output item
+# slice (item_id < _M03_ITEM_SLICE) is pushed INTO the self-join
+# condition (a.i < slice OR b.i < slice), so pairs between two
+# out-of-slice items -- the overwhelming majority -- are never
+# aggregated (measured 11.9s -> ~2s at sf0.1). Both are mirrored in the
+# oracle. Per-item norms come from one per-item aggregate broadcast-
+# joined back; the final top-3 is a bounded window per item.
+# --------------------------------------------------------------------------
+
+_M03_USER_CAP = 1000
+_M03_ITEM_SLICE = 100
+
+_M03_ORACLE = f"""
+WITH r0 AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         CAST(1 + ((o.o_custkey % 7) * (l.l_partkey % 5)) % 4
+              + min(CAST(l.l_quantity AS INT)) % 2 AS DOUBLE) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+), capped AS (
+  SELECT u FROM r0 GROUP BY u HAVING count(*) <= {_M03_USER_CAP}
+), r AS (
+  SELECT r0.* FROM r0 JOIN capped USING (u)
+), norms AS (
+  SELECT i, sqrt(sum(r * r)) AS nrm FROM r GROUP BY i
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b,
+         sum(a.r * b.r) AS dot, count(*) AS n_users
+  FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+  WHERE a.i < {_M03_ITEM_SLICE} OR b.i < {_M03_ITEM_SLICE}
+  GROUP BY a.i, b.i
+), scored AS (
+  SELECT item_a, item_b, dot / (na.nrm * nb.nrm) AS cos_raw, n_users
+  FROM pairs JOIN norms na ON pairs.item_a = na.i
+             JOIN norms nb ON pairs.item_b = nb.i
+  WHERE n_users >= 2
+), sym AS (
+  SELECT item_a AS item_id, item_b AS neighbor_id, cos_raw FROM scored
+  UNION ALL
+  SELECT item_b, item_a, cos_raw FROM scored
+)
+SELECT item_id, neighbor_id, round(cos_raw, 6) AS cosine,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT item_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY item_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM sym
+) WHERE rn <= 3 AND item_id < {_M03_ITEM_SLICE}
+"""
+
+
+@register("m03_item_item_cosine", oracle=_M03_ORACLE)
+def m03_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    signal = 1 + ((F.col("u") % 7) * (F.col("i") % 5)) % 4
+    r0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"), "l_quantity")
+        .groupBy("u", "i")
+        .agg(F.min(F.col("l_quantity").cast("int")).alias("minq"))
+        .select("u", "i", (signal + F.col("minq") % 2).cast("double").alias("r"))
+    )
+    capped = r0.groupBy("u").count().filter(F.col("count") <= _M03_USER_CAP).select("u")
+    r = r0.join(capped, "u").persist()
+    norms = r.groupBy("i").agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+    a, b = r.alias("a"), r.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.i") < F.col("b.i"))
+            & ((F.col("a.i") < _M03_ITEM_SLICE) | (F.col("b.i") < _M03_ITEM_SLICE)),
+        )
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(
+            F.sum(F.col("a.r") * F.col("b.r")).alias("dot"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .filter(F.col("n_users") >= 2)
+    )
+    na = norms.select(F.col("i").alias("item_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("i").alias("item_b"), F.col("nrm").alias("nb"))
+    scored = (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select("item_a", "item_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_raw"))
+    )
+    sym = scored.select(
+        F.col("item_a").alias("item_id"), F.col("item_b").alias("neighbor_id"), "cos_raw"
+    ).unionByName(
+        scored.select(
+            F.col("item_b").alias("item_id"), F.col("item_a").alias("neighbor_id"), "cos_raw"
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("item_id") < _M03_ITEM_SLICE))
+        .select(
+            "item_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 @register("m02_cold_start_fold_in", oracle=None)
 def m02_cold_start_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: cold-start fold-in (app4/recommender.py:39-53) for a synthetic

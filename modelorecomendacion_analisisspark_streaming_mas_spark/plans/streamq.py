@@ -9,6 +9,7 @@ correctness checks at all, SURVEY section 5).
 from __future__ import annotations
 
 import atexit
+import datetime
 import shutil
 import tempfile
 
@@ -390,3 +391,80 @@ def s09_stream_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fail at start. The probe registers s10 automatically wherever the dep
 # resolves; s09 (applyInPandasWithState) is the always-on custom-state
 # surface.
+
+
+# --------------------------------------------------------------------------
+# s13: transactional parquet FILE sink (the missing sink family: s01-s12
+# end in memory/foreachBatch; production streams land on object storage).
+# Append-mode watermarked tumbling counts write exactly-once via the file
+# sink's _spark_metadata commit log, and the read-back goes THROUGH that
+# log (spark.read on a streaming-sink dir lists committed files only, so
+# a torn batch can never be read). Append mode only emits windows the
+# watermark has passed, and availableNow's final no-data micro-batch
+# flushes state -- but the LAST real windows would stay open forever, so
+# the replay plants one far-future sentinel event that pushes the
+# watermark past every real window (excluded from the sink output by
+# event_type filter; its own window is the only one never emitted).
+# Oracle: the full batch hourly rollup == every real window, proving both
+# the append-mode emission contract and the sink's atomicity.
+# --------------------------------------------------------------------------
+
+_SENTINEL_TS = datetime.datetime(2025, 1, 1)  # > max events ts + watermark at every SF
+
+
+def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, -1)  # distinct staging variant: 1 copy + sentinel row
+    if key not in _STAGED:
+        d = tempfile.mkdtemp(prefix="mras_stream_")
+        schema = stage_events_for_replay(spark, sf_dir, d, copies=1)
+        sentinel = spark.createDataFrame(
+            [(-1, _SENTINEL_TS, -1, "__sentinel__", 0.0, "{}")], schema
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+        _STAGED[key] = (d, schema)
+    d, schema = _STAGED[key]
+    return file_stream(spark, d, schema)
+
+
+@register(
+    "s13_stream_file_sink",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY win_start, event_type
+""",
+)
+def s13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed_with_sentinel(spark, sf_dir)
+    agg = tumbling_counts(stream)
+    out_dir = tempfile.mkdtemp(prefix="mras_sink_")
+    _SINK_DIRS.append(out_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("win_start", "event_type", "n", "sum_value")
+    )
+
+
+_SINK_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_sinks() -> None:
+    for d in _SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SINK_DIRS.clear()

@@ -71,8 +71,10 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
     for i in range(16)
 ) + "]"
 
-_D02_ORACLE = f"""
-WITH tok AS (
+# CTE block shared with d07's clustering oracle (curation.py): everything up
+# to the exact-verified pair set. Kept separate from the final SELECT so both
+# oracles run the IDENTICAL hash lattice.
+_D02_PAIR_CTES = f"""tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -101,7 +103,10 @@ WITH tok AS (
   FROM cands c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+_D02_ORACLE = f"""
+WITH {_D02_PAIR_CTES}
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
 """
 

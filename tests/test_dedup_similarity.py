@@ -286,3 +286,30 @@ def test_lsh_signatures_survive_empty_partitions(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(8).repartition(32)
     out = lsh_cosine_topk(emb, emb.limit(2), k=2)
     assert out.count() >= 0
+
+
+def test_near_dup_cluster_transitive_chain(spark):
+    """d07 semantics: a-b and b-c near-dup pairs must collapse into ONE
+    cluster keeping only min(doc_id), even when a-c alone would not pass
+    the threshold (pairwise deletion would over-delete here)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges)
+    clusters = {
+        r["keep_id"]: r["n_docs"]
+        for r in cc.groupBy(F.col("component").alias("keep_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    assert clusters == {1: 3, 7: 2}
