@@ -12,6 +12,7 @@ from . import northstar2  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import stateful_probe  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import layout  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration-order policy.

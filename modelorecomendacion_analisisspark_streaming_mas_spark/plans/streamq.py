@@ -26,6 +26,7 @@ from ..streaming.pipelines import (
     stream_dedup_counts,
     stream_dedup_within_watermark,
     stream_stream_click_purchase_join,
+    stream_stream_left_outer_join,
     streaming_group_counts,
     tumbling_counts,
 )
@@ -458,6 +459,38 @@ def s13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") != "__sentinel__")
         .select("win_start", "event_type", "n", "sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# s14: stream-stream LEFT OUTER interval join. The outer side exercises a
+# different state machine than s07's inner join: a click with no purchase
+# in its 30-minute window emits (click_id, NULL) only when the watermark
+# proves no purchase can still arrive. The replay sentinel must flow into
+# BOTH withWatermark nodes (the global watermark is the min across them),
+# so each side's filter admits the sentinel type; its own join output
+# (sentinel x sentinel, user -1) is dropped at the end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s14_stream_left_outer_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+""",
+)
+def s14_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed_with_sentinel(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type").isin("click", "__sentinel__"))
+    purchases = stream.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+    joined = stream_stream_left_outer_join(clicks, purchases, within="30 minutes")
+    _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
+    return out.filter(F.col("user_id") >= 0)
 
 
 _SINK_DIRS: list[str] = []

@@ -186,6 +186,52 @@ def stream_stream_click_purchase_join(
     )
 
 
+def stream_stream_left_outer_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits exactly
+    once -- joined to each same-user purchase within ``within``, or with
+    null purchase columns if none arrives. Distinct state machine from the
+    inner join (stream_stream_click_purchase_join): matches stream out
+    eagerly, but an UNMATCHED click can only be declared unmatched once
+    the global watermark passes ``c_ts + within`` (no later purchase can
+    ever join it), at which point the null-extended row emits and the
+    click's state row is evicted. Bounded state either way.
+
+    Callers replaying a FINITE stream must append a sentinel event past
+    ``max(ts) + watermark + within`` so the final watermark closes every
+    real click's interval -- otherwise trailing unmatched clicks stay in
+    state forever (on an unbounded production stream the next real event
+    plays that role)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+    )
+
+
 def stream_dedup_within_watermark(
     stream: DataFrame, id_col: str = "event_id", watermark: str = "4 hours"
 ) -> DataFrame:
