@@ -30,7 +30,8 @@ IMAGE_SCHEMA = (
     "id long, content binary, meta struct<width: int, height: int, format: string>"
 )
 AUDIO_SCHEMA = (
-    "id long, content binary, meta struct<sample_rate: int, channels: int, format: string>"
+    "id long, content binary, "
+    "meta struct<sample_rate: int, n_samples: int, channels: int, format: string>"
 )
 VIDEO_SCHEMA = (
     "id long, content binary, meta struct<fps: double, duration_s: double, format: string>"
@@ -178,6 +179,78 @@ def frame_sample_plan(df: DataFrame, every_s: float) -> DataFrame:
             F.sequence(F.lit(0), n),
             lambda i: (i * F.lit(every_s) * F.col("meta.fps")).cast("long"),
         ).alias("frame_indices"),
+    )
+
+
+def fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic stand-in PCM decode (the audio twin of
+    fake_decode_image): md5-seeded noise, amplitude-modulated by the
+    payload's mean byte value. Stable across runs/engines."""
+    h = hashlib.md5(content).digest()
+    rng = np.random.default_rng(int.from_bytes(h[8:16], "big"))
+    amp = (np.frombuffer(content, dtype=np.uint8).mean() / 255.0) if content else 0.5
+    return amp * rng.uniform(-1.0, 1.0, size=n_samples)
+
+
+def extract_audio_features(df: DataFrame, decode=fake_decode_audio) -> DataFrame:
+    """binary content -> per-clip acoustic features (RMS energy, zero-
+    crossing rate, duration) via mapInPandas. Same bounded-memory Arrow
+    contract as extract_image_features: one batch in, one out, pure
+    per-row -> Spark pipelines it inside the scan stage, no shuffle. The
+    clip length comes from metadata so the decode step can size its
+    buffer without sniffing the payload."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                sr = int(meta["sample_rate"])
+                n = int(meta["n_samples"])
+                pcm = decode(row["content"], n)
+                zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                out_rows.append(
+                    {
+                        "id": row["id"],
+                        "duration_s": round(n / sr, 6),
+                        "rms": round(float(np.sqrt(np.mean(pcm**2))), 6),
+                        "zcr": round(zc / max(n - 1, 1), 6),
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=["id", "duration_s", "rms", "zcr"])
+
+    return df.mapInPandas(
+        feats, schema="id long, duration_s double, rms double, zcr double"
+    )
+
+
+def synth_audio_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic synthetic audio table: utf-8 payloads as PCM blobs +
+    metadata (sample rate, clip length) derived from the text column."""
+    sr = (F.length(text_col) % 3 * 4000 + 8000).cast("int")
+    return source_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.struct(
+            sr.alias("sample_rate"),
+            (sr * (F.length(text_col) % 5 + 1)).cast("int").alias("n_samples"),
+            (F.col(id_col) % 2 + 1).cast("int").alias("channels"),
+            F.lit("fake/pcm").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def synth_video_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic synthetic video table: payload + (fps, duration)
+    metadata -- enough for metadata-only frame planning."""
+    return source_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.struct(
+            (F.length(text_col) % 2 * 6 + 24).cast("double").alias("fps"),
+            (F.length(text_col) % 20 + 1).cast("double").alias("duration_s"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
     )
 
 

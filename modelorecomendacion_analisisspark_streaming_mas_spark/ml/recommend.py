@@ -194,3 +194,51 @@ def fold_in_batch(
     return joined.groupBy("userId").applyInPandas(
         solve, schema="userId int, features array<double>"
     )
+
+
+def implicit_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback matrix from the star schema: interaction strength
+    = how many lineitems a customer has for a part (purchase frequency as
+    confidence, the Hu-Koren-Volinsky formulation ALS's implicitPrefs
+    implements). No explicit rating column exists in this regime -- the
+    model learns preference from observed strength."""
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("userId"),
+            F.col("l_partkey").cast("int").alias("itemId"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+
+
+def build_implicit_als(
+    rank: int = 8,
+    max_iter: int = 8,
+    reg_param: float = 0.1,
+    alpha: float = 10.0,
+    seed: int = 42,
+    num_blocks: int = 8,
+) -> ALS:
+    """Implicit-preference ALS: confidence c_ui = 1 + alpha * strength,
+    preference p_ui = 1 if observed. Same blocking rationale as
+    build_als; alpha=10 is a conventional starting point for
+    count-valued strengths."""
+    return ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        implicitPrefs=True,
+        alpha=alpha,
+        userCol="userId",
+        itemCol="itemId",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=seed,
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
+    )

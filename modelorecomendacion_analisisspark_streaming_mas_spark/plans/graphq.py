@@ -175,3 +175,55 @@ def g03_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(vertices, edges)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components")).orderBy("size")
+
+
+# --------------------------------------------------------------------------
+# g04: per-nation triangle counts over the nation-trade graph (nations
+# linked when a customer of one buys from a supplier of the other).
+# Exercises triangle_count's degree-ordered wedge enumeration (see
+# graph/algorithms.py for the scale rationale); the oracle enumerates
+# canonical x<y<z triangles directly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "g04_trade_triangles",
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT v, count(*) AS n_triangles FROM (
+  SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY v
+""",
+)
+def g04_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import triangle_count
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
+        )
+    )
+    return triangle_count(edges)

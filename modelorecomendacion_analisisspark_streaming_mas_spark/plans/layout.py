@@ -5,14 +5,21 @@ At 100 TB the write layout IS the read optimizer: a table range-
 partitioned and sorted on its hot predicate column gives every file (and
 every row group inside it) a narrow min/max envelope, so a selective
 scan prunes most of the data from the parquet FOOTERS alone -- before a
-single data page is read. This is the poor-man's z-order: one
-clustering dimension, zero extra dependencies, pure Spark.
+single data page is read. Two layouts, zero extra dependencies, pure
+Spark:
 
-q50 proves the round-trip is lossless (layout must never change query
-results); tests/test_layout.py proves the skipping itself by reading the
-row-group statistics of the files q50 wrote and counting how few
-envelopes overlap the filter window (vs ~all of them for the unsorted
-original layout).
+- single-dimension clustering (``write_clustered``): repartitionByRange
+  + sortWithinPartitions on the one hot column (q50);
+- Morton/Z-order clustering (``write_zordered``): bit-interleave two
+  bucketized dimensions so a selective filter on EITHER column skips
+  most row groups (q51) -- what a single sort column can never give the
+  second dimension.
+
+q50/q51 prove the round-trips are lossless (layout must never change
+query results); tests/test_layout.py proves the skipping itself by
+reading the row-group statistics of the written files and counting how
+few envelopes overlap the filter window (vs ~all of them for the
+unsorted original layout).
 """
 
 from __future__ import annotations
@@ -61,6 +68,82 @@ def clustered_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
     return _CLUSTERED[sf_dir]
 
 
+def zorder_key(col_a: F.Column, col_b: F.Column, bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of two bucketized columns into a
+    Morton (Z-order) key. Pure bitwise Column expressions -- the whole
+    key stays inside whole-stage codegen, no UDF. Inputs must already be
+    longs in [0, 2^bits)."""
+    parts = []
+    for i in range(bits):
+        parts.append(
+            F.shiftleft(F.shiftright(col_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        parts.append(F.shiftleft(F.shiftright(col_b, i).bitwiseAND(F.lit(1)), 2 * i))
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
+def _scaled_bucket(col: F.Column, lo: float, hi: float, bits: int) -> F.Column:
+    """Linear map of a numeric column onto [0, 2^bits) as a long."""
+    span = max(hi - lo, 1e-9)
+    return F.least(
+        F.lit((1 << bits) - 1),
+        ((col.cast("double") - F.lit(float(lo))) * F.lit(((1 << bits) - 1) / span))
+        .cast("long"),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_partitions: int = 16,
+    bits: int = 16,
+    drop_after: tuple[str, ...] = (),
+) -> None:
+    """Z-order clustering on TWO dimensions: bucketize each column onto a
+    2^bits grid (driver collects just the two min/max pairs -- scalars),
+    interleave into a Morton key, range-partition + sort on the key, drop
+    it, write. Each output file then covers a compact rectangle-ish
+    region of (col_a, col_b) space, so a selective filter on EITHER
+    dimension skips most row-group envelopes -- the property a single
+    sort column cannot give the second dimension. This is the layout
+    trade 100 TB tables make for multi-predicate scan workloads."""
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    lo_a, hi_a, lo_b, hi_b = df.select(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    key = zorder_key(
+        _scaled_bucket(F.col(col_a).cast("double"), lo_a, hi_a, bits),
+        _scaled_bucket(F.col(col_b).cast("double"), lo_b, hi_b, bits),
+        bits,
+    )
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_partitions, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *drop_after)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zordered_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = f"z::{sf_dir}"
+    if key not in _CLUSTERED:
+        d = tempfile.mkdtemp(prefix="mras_zorder_")
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "__ship_epoch", F.col("l_shipdate").cast("timestamp").cast("long")
+        )
+        write_zordered(li, d, "__ship_epoch", "l_partkey", drop_after=("__ship_epoch",))
+        _CLUSTERED[key] = d
+    return _CLUSTERED[key]
+
+
 # --------------------------------------------------------------------------
 # q50: clustered-layout round trip. Write lineitem clustered on
 # l_shipdate, read it back through the narrow 1996Q1 window (the filter
@@ -96,5 +179,111 @@ def q50_clustered_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q51: z-ordered layout round trip. The filter is on l_partkey -- the
+# SECOND clustering dimension, the one q50's single-column sort can do
+# nothing for -- and still skips most row groups (tests/test_layout.py
+# measures the envelope overlap on both dimensions). Oracle on the
+# original table: layout invisible to results.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q51_zorder_scan_pruning",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_partkey >= 100 AND l_partkey < 350
+GROUP BY l_returnflag
+""",
+)
+def q51_zorder_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = zordered_lineitem_dir(spark, sf_dir)
+    li = spark.read.parquet(d)
+    return (
+        li.filter((F.col("l_partkey") >= 100) & (F.col("l_partkey") < 350))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, in_dir: str, out_dir: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction: merge a fragmented parquet directory into
+    ceil(total_bytes / target) files via coalesce -- NO shuffle, each
+    output task just reads a run of input files and streams them out.
+    Returns the output file count.
+
+    At 100 TB, small files are a scan killer (driver listing time, one
+    task per tiny split, footer-open overhead); streaming sinks and
+    over-parallel writers produce them constantly. The compaction unit is
+    a partition DIRECTORY, not the table: run this per hot partition so
+    the job stays embarrassingly parallel across partitions. Sizing from
+    the file listing (driver-side metadata, not data) keeps output files
+    near the target regardless of input fragmentation."""
+    import glob
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(in_dir, "*.parquet"))
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_dir).coalesce(n).write.mode("overwrite").parquet(out_dir)
+    return n
+
+
+def _fragmented_then_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Stage q52's fixture: lineitem shattered into 64 shards, then
+    compacted back down by byte-size target."""
+    key = f"c::{sf_dir}"
+    if key not in _CLUSTERED:
+        frag = tempfile.mkdtemp(prefix="mras_frag_")
+        comp = tempfile.mkdtemp(prefix="mras_compact_")
+        _CLUSTERED[f"cf::{sf_dir}"] = frag
+        _CLUSTERED[key] = comp
+        load_table(spark, sf_dir, "lineitem").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_parquet(spark, frag, comp, target_file_bytes=8 << 20)
+    return _CLUSTERED[key]
+
+
+# --------------------------------------------------------------------------
+# q52: compaction round trip. 64-way fragmented lineitem -> size-targeted
+# compaction -> query the compacted copy with the oracle on the ORIGINAL
+# table: compaction must be invisible to results. tests/test_layout.py
+# asserts the file-count collapse itself.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q52_compaction_roundtrip",
+    oracle="""
+SELECT l_linestatus,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q52_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fragmented_then_compacted(spark, sf_dir)
+    return (
+        spark.read.parquet(d)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )

@@ -189,3 +189,26 @@ def m02_cold_start_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(i), round(s, 3)) for i, s in recs], "itemId long, score double"
     )
+
+
+# --------------------------------------------------------------------------
+# m05: implicit-feedback ALS -- the regime real interaction logs are in
+# (no ratings, only purchase counts). Factorization output is engine-
+# specific -> rows-only, like m01; preference-recovery quality is pinned
+# by tests/test_recommend.py::test_implicit_als_prefers_interacted_items.
+# --------------------------------------------------------------------------
+
+
+@register("m05_implicit_als_recs", oracle=None)
+def m05_implicit_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.recommend import build_implicit_als, implicit_interactions
+
+    inter = implicit_interactions(spark, sf_dir).cache()
+    model = build_implicit_als().fit(inter)
+    active = inter.groupBy("userId").count().orderBy(F.desc("count"), "userId").limit(20)
+    recs = model.recommendForUserSubset(active.select("userId"), 5)
+    return recs.select("userId", F.explode("recommendations").alias("rec")).select(
+        "userId",
+        F.col("rec.itemId").alias("itemId"),
+        F.round("rec.rating", 3).alias("score"),
+    )

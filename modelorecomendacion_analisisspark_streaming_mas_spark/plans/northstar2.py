@@ -227,3 +227,54 @@ def mm02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "width",
     )
+
+
+# --------------------------------------------------------------------------
+# mm03: video frame-sampling PLAN -- which frame indices to decode, computed
+# purely from (fps, duration) metadata. The scan never reads the binary
+# column (parquet column pruning), which is the whole point at 100 TB:
+# planning a decode pass over a petabyte of video touches kilobytes of
+# footer metadata. Fully SQL-expressible -> exact oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm03_video_frame_plan",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id AS id,
+         (length(text) % 2 * 6 + 24)::DOUBLE AS fps,
+         (length(text) % 20 + 1)::DOUBLE AS duration_s
+  FROM documents
+)
+SELECT id, fps,
+       CAST(floor(i * 2.0 * fps) AS BIGINT) AS frame_idx
+FROM meta, unnest(generate_series(0, CAST(floor(duration_s / 2.0) AS INT))) AS t(i)
+""",
+)
+def mm03_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import frame_sample_plan, synth_video_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = frame_sample_plan(synth_video_table(spark, docs, "doc_id", "text"), every_s=2.0)
+    return plan.select(
+        "id", "fps", F.explode("frame_indices").alias("frame_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# mm04: audio decode + acoustic features through the same Arrow-batched
+# mapInPandas contract as mm02 (md5-seeded deterministic fake PCM; the
+# real codec is the documented stub). duration_s comes from metadata
+# arithmetic so it doubles as a partial cross-check of the decode
+# plumbing; rms/zcr are pinned numerically by tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+
+
+@register("mm04_audio_features")
+def mm04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import extract_audio_features, synth_audio_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_audio_table(spark, docs, "doc_id", "text")
+    return extract_audio_features(media)

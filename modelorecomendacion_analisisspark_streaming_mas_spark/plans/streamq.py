@@ -47,14 +47,20 @@ def _cleanup_staged() -> None:
     _STAGED.clear()
 
 
-def _replayed(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
-    key = (sf_dir, copies)
+def _replayed(
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 1,
+    max_files_per_trigger: int | None = None,
+    n_files: int | None = None,
+) -> DataFrame:
+    key = (sf_dir, copies, n_files)
     if key not in _STAGED:
         d = tempfile.mkdtemp(prefix="mras_stream_")
-        schema = stage_events_for_replay(spark, sf_dir, d, copies=copies)
+        schema = stage_events_for_replay(spark, sf_dir, d, copies=copies, n_files=n_files)
         _STAGED[key] = (d, schema)
     d, schema = _STAGED[key]
-    return file_stream(spark, d, schema)
+    return file_stream(spark, d, schema, max_files_per_trigger=max_files_per_trigger)
 
 
 # --------------------------------------------------------------------------
@@ -491,6 +497,62 @@ def s14_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_left_outer_join(clicks, purchases, within="30 minutes")
     _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
     return out.filter(F.col("user_id") >= 0)
+
+
+# --------------------------------------------------------------------------
+# s15: incremental materialized-view maintenance. UPDATE-mode daily
+# rollup -> foreachBatch merge into a day-partitioned parquet table with
+# dynamic partition overwrite (only touched days rewritten).
+# maxFilesPerTrigger=2 forces MULTIPLE micro-batches over the replay, so
+# the merge path (not just the first-batch fast path) is what the oracle
+# certifies: after the last trigger the table must equal the batch
+# rollup exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s15_incremental_rollup",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY day, event_type
+""",
+)
+def s15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import foreach_batch_incremental_rollup
+
+    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=8)
+    agg = (
+        stream.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    table_dir = tempfile.mkdtemp(prefix="mras_mv_")
+    ckpt = tempfile.mkdtemp(prefix="mras_mv_ckpt_")
+    _SINK_DIRS.extend([table_dir, ckpt])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(
+                foreach_batch_incremental_rollup(table_dir, "day", ["day", "event_type"])
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # partition-column type inference turns day back into a DATE; the
+    # rollup's contract (and the oracle) is the string key it grouped by
+    return spark.read.parquet(table_dir).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
 
 
 _SINK_DIRS: list[str] = []

@@ -28,12 +28,16 @@ def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
 
 
 def stage_events_for_replay(
-    spark: SparkSession, sf_dir: str, out_dir: str, copies: int = 1
+    spark: SparkSession, sf_dir: str, out_dir: str, copies: int = 1, n_files: int | None = None
 ) -> StructType:
     """Materialize the (timestamp-normalized) events table into a replay
     directory; ``copies`` > 1 plants exact duplicates to exercise streaming
-    dedup. Returns the schema for the file-stream reader."""
+    dedup, ``n_files`` splits the replay into that many files (so
+    maxFilesPerTrigger can force genuinely incremental multi-batch runs).
+    Returns the schema for the file-stream reader."""
     ev = load_events(spark, sf_dir)
+    if n_files:
+        ev = ev.repartition(n_files)
     ev.write.mode("overwrite").parquet(out_dir)
     for i in range(1, copies):
         ev.write.mode("append").parquet(out_dir)

@@ -47,3 +47,46 @@ def foreach_batch_json_snapshot(
         os.replace(tmp, path)
 
     return write_batch
+
+
+def foreach_batch_incremental_rollup(
+    table_dir: str, partition_col: str, key_cols: list[str]
+):
+    """Incremental materialized-view maintenance: each micro-batch of an
+    UPDATE-mode streaming aggregation carries the CURRENT totals for the
+    keys that changed; this sink merges them into a partitioned parquet
+    table, rewriting only the partitions those keys live in (dynamic
+    partition overwrite -- untouched partitions are never rewritten, the
+    property that makes the pattern viable on a 100 TB rollup: a trigger
+    that updates one hour touches one partition, not the table).
+
+    Merge is latest-wins per key: surviving rows of touched partitions
+    are the batch rows plus existing rows whose key is absent from the
+    batch (left_anti). localCheckpoint breaks lineage before the write
+    so Spark permits overwriting the path the merge just read."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        rows_new = df.localCheckpoint(eager=True)
+        if rows_new.isEmpty():
+            return
+        spark = df.sparkSession
+        parts = [r[0] for r in rows_new.select(partition_col).distinct().collect()]
+        try:
+            existing = spark.read.parquet(table_dir).filter(
+                F.col(partition_col).isin(parts)
+            )
+            keep = existing.join(
+                rows_new.select(*key_cols), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(rows_new).localCheckpoint(eager=True)
+        except Exception:  # first batch: table does not exist yet
+            merged = rows_new
+        (
+            merged.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(table_dir)
+        )
+
+    return write_batch

@@ -80,6 +80,8 @@ def test_rows_only_set_is_intentional():
         "e02_knn_lsh",
         "m01_als_top5_recs",
         "m02_cold_start_fold_in",
+        "m05_implicit_als_recs",
         "mm02_image_features",
+        "mm04_audio_features",
         "q44_hll_sketch_distinct",
     }, rows_only

@@ -157,3 +157,18 @@ def test_g03_cc_oracle_on_planted_multicomponent_graph():
     )
     got = {r[0]: r[1] for r in con.execute(_cc_oracle(12)).fetchall()}
     assert got == {2: 2, 4: 1}
+
+
+def test_triangle_count_planted(spark):
+    """Two triangles sharing edge (2,3); duplicate and reversed edges must
+    not change counts."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (2, 1), (1, 2), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r["v"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}

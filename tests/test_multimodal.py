@@ -91,3 +91,41 @@ def test_frame_sample_plan(spark):
     )
     out = frame_sample_plan(vids, every_s=2.0).collect()[0]
     assert out["frame_indices"] == [0, 60, 120, 180, 240, 300]
+
+
+def test_audio_features_match_numpy_reference(spark, sf_dir):
+    """The distributed audio path must equal a driver-side numpy
+    recomputation exactly (same fake decode, same rounding)."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        extract_audio_features,
+        fake_decode_audio,
+        synth_audio_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = synth_audio_table(spark, docs, "doc_id", "text")
+    got = {r["id"]: r for r in extract_audio_features(media).collect()}
+    assert len(got) == 20
+
+    for row in media.collect():
+        sr, n = row["meta"]["sample_rate"], row["meta"]["n_samples"]
+        pcm = fake_decode_audio(bytes(row["content"]), n)
+        zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        r = got[row["id"]]
+        assert r["duration_s"] == round(n / sr, 6)
+        assert r["rms"] == round(float(np.sqrt(np.mean(pcm**2))), 6)
+        assert r["zcr"] == round(zc / (n - 1), 6)
+
+
+def test_video_frame_plan_prunes_binary(spark, sf_dir):
+    """mm03's whole premise: the frame plan must never read the blobs."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        synth_video_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(31)
+    plan = frame_sample_plan(synth_video_table(spark, docs, "doc_id", "text"), every_s=2.0)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in explained

@@ -165,3 +165,34 @@ def test_reference_params_train_eval(ratings):
     assert (als.getRank(), als.getMaxIter(), als.getRegParam()) == (20, 15, 0.1)
     _model, rmse = train_eval(ratings)
     assert 0.0 < rmse < 2.0, rmse
+
+
+def test_implicit_als_prefers_interacted_items(spark, sf_dir):
+    """Implicit-feedback acceptance: predicted preference for observed
+    (user, item) pairs must exceed preference for never-interacted pairs
+    on average -- the property the confidence weighting exists to
+    deliver."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.ml.recommend import (
+        build_implicit_als,
+        implicit_interactions,
+    )
+
+    inter = implicit_interactions(spark, sf_dir).cache()
+    model = build_implicit_als().fit(inter)
+
+    pos = model.transform(inter)
+    # Non-interacted pairs: shift each user's items by a large offset mod
+    # the item universe -- deterministic, overwhelmingly unobserved.
+    items = [r[0] for r in inter.select("itemId").distinct().collect()]
+    span = max(items) + 1
+    neg = (
+        inter.select("userId", ((F.col("itemId") + span // 2) % span).alias("itemId"))
+        .join(inter, ["userId", "itemId"], "left_anti")
+    )
+    neg_scored = model.transform(neg.withColumn("rating", F.lit(0.0)))
+    mean_pos = pos.agg(F.avg("prediction")).first()[0]
+    mean_neg = neg_scored.agg(F.avg("prediction")).first()[0]
+    assert mean_pos is not None and mean_neg is not None
+    assert mean_pos > mean_neg + 0.05, (mean_pos, mean_neg)

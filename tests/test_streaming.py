@@ -337,3 +337,39 @@ def test_longest_run_detects_out_of_order_across_batches(spark):
     # violation possible) or two batches (one violation). Under
     # max_files_per_trigger=1 it must be two batches => exactly 1.
     assert by_user[1] == 1, by_user
+
+
+def test_incremental_rollup_merge_semantics(spark, tmp_path):
+    """The foreachBatch merge must be latest-wins per key AND must leave
+    keys/partitions untouched by a batch intact -- the two properties
+    dynamic partition overwrite alone does not give."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.sinks import (
+        foreach_batch_incremental_rollup,
+    )
+
+    table = str(tmp_path / "mv")
+    cb = foreach_batch_incremental_rollup(table, "day", ["day", "event_type"])
+    b0 = spark.createDataFrame(
+        [("2024-01-01", "click", 5), ("2024-01-01", "view", 2), ("2024-01-02", "click", 1)],
+        "day string, event_type string, n long",
+    )
+    cb(b0, 0)
+    # batch 1 updates day-1 click (new total 9), day-3 appears; day-1 view
+    # and day-2 get no rows this batch and must survive.
+    b1 = spark.createDataFrame(
+        [("2024-01-01", "click", 9), ("2024-01-03", "error", 4)],
+        "day string, event_type string, n long",
+    )
+    cb(b1, 1)
+    got = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {
+        ("2024-01-01", "click"): 9,
+        ("2024-01-01", "view"): 2,
+        ("2024-01-02", "click"): 1,
+        ("2024-01-03", "error"): 4,
+    }
