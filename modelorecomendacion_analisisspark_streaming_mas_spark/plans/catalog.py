@@ -17,6 +17,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..shipping import ensure_package_shipped
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -35,7 +37,19 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+
+        def shipped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Workers must be able to import this package to deserialize
+            # any Pandas-UDF stage (see shipping.py); no-op after the
+            # first call per SparkContext, and harmless for pure-JVM plans.
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        shipped_fn.__name__ = fn.__name__
+        shipped_fn.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(
+            name=name, fn=shipped_fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return deco

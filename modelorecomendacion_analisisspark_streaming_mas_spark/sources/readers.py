@@ -80,17 +80,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL). Read nanos as long via
-    the legacy conf, then rebuild a microsecond timestamp (integer DIV so no
-    double-precision loss on ~1.7e18 nanosecond epochs)."""
+    """Normalize the events table's ``ts`` to session-tz TIMESTAMP whatever
+    the generator wrote: TIMESTAMP(NANOS) (Spark 4 refuses outright,
+    PARQUET_TYPE_ILLEGAL -- read nanos as long via the legacy conf, rebuild
+    with integer DIV so no double-precision loss on ~1.7e18 ns epochs) or
+    plain timestamp[us] with isAdjustedToUTC=false (arrives as
+    TIMESTAMP_NTZ, which watermarks reject -- cast; session tz is pinned to
+    UTC so the wall-clock mapping is exact and matches DuckDB's naive read)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
