@@ -183,12 +183,34 @@ def emit(payload: dict) -> None:
     print(line)
 
 
+def calibrate(spark) -> dict:
+    """Fixed-size host-speed probes, independent of the catalog. The bench
+    host differs round to round (shared VMs; observed 2-3x swings in JVM
+    throughput at identical repo+data), so absolute per-query seconds are
+    only comparable across rounds after dividing by a common yardstick.
+    Both probes are deterministic and data-free: a JVM whole-stage-codegen
+    aggregate over spark.range, and a single-core Python arithmetic loop."""
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 3 + 1) AS s"
+    ).collect()
+    jvm = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    py = round(time.perf_counter() - t0, 3)
+    return {"jvm_range_agg_sec": jvm, "py_loop_sec": py}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="mras-bench")
 
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    calibration = calibrate(spark)
+    print(f"  calibration: {calibration}", file=sys.stderr)
 
     # Streaming first: trigger latency is the noise-sensitive measurement,
     # so it runs on a quiet JVM (before ALS/graph churn raises GC pressure).
@@ -204,9 +226,21 @@ def main() -> None:
     for warm_q in ("q02_flagship_top_tokens", "e01_knn_bruteforce"):
         REGISTRY[warm_q].fn(spark, sf_dir).count()
 
+    def drain_async(timeout: float = 60.0) -> None:
+        """Wait (outside any timed window) for async job tails. MLlib's
+        recommendForUserSubset returns from count() while broadcast-
+        exchange jobs (32-task withThreadLocalCaptured stages) are still
+        running; without a barrier those burn CPU inside the NEXT query's
+        timing (observed: m02, a driver-side fold-in, reading 10s)."""
+        tracker = spark.sparkContext.statusTracker()
+        t0 = time.perf_counter()
+        while tracker.getActiveJobsIds() and time.perf_counter() - t0 < timeout:
+            time.sleep(0.05)
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
+        drain_async()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = df.count()
@@ -223,6 +257,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming_trigger_ms": streaming,
         "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+        "calibration": calibration,
     }
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -243,6 +278,7 @@ def main() -> None:
                 for k, v in streaming.items()
             },
             "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+            "calibration": calibration,
         }
     )
 

@@ -36,6 +36,7 @@ def _payload(timings: dict[str, float]) -> dict:
             for k in ("append", "update", "stateful_update")
         },
         "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+        "calibration": {"jvm_range_agg_sec": 1.234, "py_loop_sec": 0.567},
     }
 
 
