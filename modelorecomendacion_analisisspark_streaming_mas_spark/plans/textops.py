@@ -352,3 +352,78 @@ def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t08: bigram-LM cross-entropy scoring -- the perplexity-filter shape
+# pretraining pipelines use for quality gating (score each doc under a
+# corpus-trained n-gram model; outliers are boilerplate/garbled text).
+# Model and scoring in one pass over the bigram relation: MLE
+# P(w2|w1) = c(w1,w2) / c(w1·), both counts from the SAME corpus, so the
+# whole computation is a deterministic function of the input and the
+# DuckDB oracle matches exactly (ln of exact integer ratios).
+#
+# Scale shape: bigram extraction is arrays_zip over adjacent slices (no
+# positional self-join); the count tables join back on (w1, w2) / (w1) --
+# auto-broadcast at test scale, shuffle joins at corpus scale where the
+# stopword-headed skew calls for the salted-join pattern (operators/
+# skew.py). Per-doc then per-source averaging keeps the output dim-sized.
+# --------------------------------------------------------------------------
+
+_T08_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, source, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+  FROM tok
+), big AS (
+  SELECT a.doc_id, a.source, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.w <> '' AND b.w <> ''
+), c12 AS (
+  SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS n1 FROM big GROUP BY w1
+), doc_x AS (
+  SELECT big.doc_id, big.source,
+         avg(-ln(CAST(n12 AS DOUBLE) / n1)) AS doc_xent
+  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY big.doc_id, big.source
+)
+SELECT source, round(avg(doc_xent), 6) AS avg_xent,
+       count(*) AS n_docs
+FROM doc_x GROUP BY source
+"""
+
+
+@register(
+    "t08_bigram_cross_entropy",
+    oracle=_T08_ORACLE,
+    doc="Per-source mean bigram cross-entropy under the corpus-trained "
+    "MLE bigram model (perplexity-filter building block).",
+)
+def t08_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    bigrams = F.arrays_zip(
+        F.slice("ws", 1, n - 1).alias("w1"), F.slice(F.col("ws"), 2, n - 1).alias("w2")
+    )
+    big = (
+        docs.select("doc_id", "source", F.explode(bigrams).alias("b"))
+        .select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    doc_x = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("n12").cast("double") / F.col("n1"))).alias("doc_xent"))
+    )
+    return doc_x.groupBy("source").agg(
+        F.round(F.avg("doc_xent"), 6).alias("avg_xent"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
