@@ -19,6 +19,7 @@ idempotent while running, stop terminates then kills after a 5s grace.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import threading
@@ -26,6 +27,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from ..sources.generators import BOT_PROFILES
+
+# Parent dir of the package: prepended to the child's PYTHONPATH so the
+# `-m ...generators` bot subprocess imports regardless of the supervisor's
+# cwd (same failure mode shipping.py fixes for Spark workers).
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 class BotSupervisor:
@@ -51,8 +59,10 @@ class BotSupervisor:
             ]
             if self._rate is not None:
                 argv += ["--rate", str(self._rate)]
+            env = dict(os.environ)
+            env["PYTHONPATH"] = _PKG_PARENT + os.pathsep + env.get("PYTHONPATH", "")
             self._procs[name] = subprocess.Popen(
-                argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+                argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env
             )
             return "ok"
 
