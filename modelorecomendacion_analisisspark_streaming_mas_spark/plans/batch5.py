@@ -218,3 +218,73 @@ def q55_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(F.explode(checks).alias("c"))
         .select("c.check_name", "c.metric", "c.passed")
     )
+
+
+# --------------------------------------------------------------------------
+# q56: batch sessionization (gaps-and-islands). The batch twin of the
+# streaming session windows (s03/s12): a session breaks when a user is
+# idle > 30 minutes; output is per-event_type session statistics. The
+# canonical two-window shape -- lag to mark breaks, running sum to number
+# sessions -- with ONE shuffle on user_id reused by both windows and the
+# per-session aggregate (all three are partitioned by the same key
+# prefix, so Catalyst plans a single Exchange).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q56_batch_sessionization",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= 1800 THEN 0 ELSE 1 END AS brk
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), sess AS (
+  SELECT user_id, sess_id,
+         count(*) AS n_events,
+         CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_s
+  FROM numbered GROUP BY user_id, sess_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(avg(n_events), 4) AS avg_events_per_session,
+       round(avg(span_s), 4) AS avg_span_s,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM sess
+""",
+    doc="Gaps-and-islands sessionization (30-min idle gap) over events; "
+    "global session statistics.",
+)
+def q56_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.readers import load_events
+
+    # (user_id, ts) is unique in events at every SF, so ordering by ts
+    # alone is deterministic on both engines.
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    brk = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord) <= 1800,
+        0,
+    ).otherwise(1)
+    numbered = ev.withColumn("brk", brk).withColumn(
+        "sess_id",
+        F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("span_s"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.round(F.avg("span_s"), 4).alias("avg_span_s"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
