@@ -71,7 +71,18 @@ def foreach_batch_incremental_rollup(
             return
         spark = df.sparkSession
         parts = [r[0] for r in rows_new.select(partition_col).distinct().collect()]
-        try:
+        # Existence check, NOT try/except around the read: a read failure
+        # on an existing table (corrupt file, transient FS error) must
+        # propagate and fail the batch -- swallowing it would silently
+        # overwrite the touched partitions with batch-only rows. Local-FS
+        # check; on a real cluster resolve through the Hadoop FileSystem.
+        first_batch = not any(
+            name.endswith(".parquet") or name.startswith(f"{partition_col}=")
+            for name in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
+        )
+        if first_batch:
+            merged = rows_new
+        else:
             existing = spark.read.parquet(table_dir).filter(
                 F.col(partition_col).isin(parts)
             )
@@ -79,8 +90,6 @@ def foreach_batch_incremental_rollup(
                 rows_new.select(*key_cols), key_cols, "left_anti"
             )
             merged = keep.unionByName(rows_new).localCheckpoint(eager=True)
-        except Exception:  # first batch: table does not exist yet
-            merged = rows_new
         (
             merged.repartition(F.col(partition_col))
             .write.mode("overwrite")
