@@ -15,6 +15,7 @@ local[32] carries to 1000 executors unchanged.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import zipfile
@@ -28,6 +29,17 @@ _PKG_NAME = os.path.basename(_PKG_DIR)
 # id, so a new session after stop() re-ships).
 _SHIPPED: set[str] = set()
 _ZIP_PATH: str | None = None
+
+
+@atexit.register
+def _cleanup_zip() -> None:
+    global _ZIP_PATH
+    if _ZIP_PATH is not None:
+        try:
+            os.unlink(_ZIP_PATH)
+        except OSError:
+            pass
+        _ZIP_PATH = None
 
 
 def _build_zip() -> str:
