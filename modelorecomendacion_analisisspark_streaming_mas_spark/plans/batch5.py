@@ -223,11 +223,12 @@ def q55_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q56: batch sessionization (gaps-and-islands). The batch twin of the
 # streaming session windows (s03/s12): a session breaks when a user is
-# idle > 30 minutes; output is per-event_type session statistics. The
-# canonical two-window shape -- lag to mark breaks, running sum to number
-# sessions -- with ONE shuffle on user_id reused by both windows and the
-# per-session aggregate (all three are partitioned by the same key
-# prefix, so Catalyst plans a single Exchange).
+# idle > 30 minutes. The canonical two-window shape -- lag to mark
+# breaks, running sum to number sessions -- with ONE data-sized shuffle:
+# both windows and the per-session aggregate partition on the same
+# user_id prefix, so Catalyst plans a single hashpartitioning Exchange;
+# the only other Exchange is the final global summary, which moves one
+# partial-aggregate row per partition (test_plan_quality pins both).
 # --------------------------------------------------------------------------
 
 

@@ -205,3 +205,13 @@ def test_q29_semi_anti_carry_no_payload(spark):
     for m in re.finditer(r"ReadSchema: ([^\n]*)", p):
         if "o_custkey" in m.group(1):
             assert "o_totalprice" not in m.group(1) and "o_orderdate" not in m.group(1)
+
+
+def test_q56_sessionization_single_data_shuffle(spark):
+    """Both windows and the session aggregate share the user_id
+    partitioning: exactly ONE hashpartitioning Exchange; the only other
+    Exchange is the SinglePartition one feeding the global summary,
+    which moves partial-aggregate rows, not data."""
+    p = _plan(spark, "q56_batch_sessionization")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange") <= 2, p
