@@ -284,3 +284,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         combined = term if combined is None else combined + term
     return agg.select("doc_id", combined.cast("long").alias("simhash"))
+
+
+def edit1_neighborhood_join(
+    df: DataFrame, id_col: str, name_col: str
+) -> DataFrame:
+    """Fuzzy self-join at edit distance <= 1 via the FastSS deletion
+    neighborhood: two strings are within one edit (insert / delete /
+    substitute) ONLY IF they share a member of {s} + D1(s) (every
+    1-deletion variant), so the equi-join on variants is a complete
+    candidate generator and ``levenshtein`` verifies exactly -- never a
+    cross join, and unlike LSH it cannot miss a pair.
+
+    Returns distinct (id_a, id_b, name_a, name_b, dist) with id_a < id_b.
+
+    Scale shape: |D1(s)| = len(s)+1 variants per row, so the exploded
+    relation is O(total chars); the shuffle keys on the variant string and
+    bucket sizes track how many strings collapse onto one deletion (the
+    fuzzy-cluster size), not corpus size. The levenshtein verify runs
+    JVM-side on candidate pairs only.
+    """
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("_name")),
+            F.expr(
+                "transform(sequence(1, length(_name)), i -> "
+                "concat(substring(_name, 1, i-1), substring(_name, i+1, 8192)))"
+            ),
+        )
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+    ).select("_id", "_name", F.explode(variants).alias("_v"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(b, (F.col("a._v") == F.col("b._v")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a", "id_b", "name_a", "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= 1)

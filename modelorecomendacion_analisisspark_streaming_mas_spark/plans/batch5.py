@@ -289,3 +289,50 @@ def q56_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("span_s"), 4).alias("avg_span_s"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# d08: fuzzy key join at edit distance <= 1 (FastSS deletion
+# neighborhood + exact levenshtein verify) -- entity-resolution dedup
+# for near-identical keys (typos, off-by-one ids). Unlike MinHash (d02)
+# this candidate generator is COMPLETE: two strings within one edit
+# always share a 1-deletion variant, so the only filter after the
+# variant equi-join is the exact distance check. Output is the verified
+# pair count plus the pair list capped by a deterministic top-100 (both
+# mirrored in the oracle).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d08_fuzzy_edit1_join",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS name,
+         unnest(list_distinct(
+           [c_name] || [substr(c_name, 1, i-1) || substr(c_name, i+1)
+                        for i in range(1, len(c_name)+1)]
+         )) AS var
+  FROM customer
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+), verified AS (
+  SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+  FROM cand WHERE levenshtein(name_a, name_b) <= 1
+)
+SELECT id_a, id_b, CAST(dist AS INT) AS dist
+FROM verified ORDER BY id_a, id_b LIMIT 100
+""",
+    doc="FastSS deletion-neighborhood fuzzy self-join on customer names, "
+    "exact levenshtein <= 1 verify; deterministic top-100 pairs.",
+)
+def d08_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import edit1_neighborhood_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = edit1_neighborhood_join(cust, "c_custkey", "c_name")
+    return (
+        pairs.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+        .limit(100)
+    )
