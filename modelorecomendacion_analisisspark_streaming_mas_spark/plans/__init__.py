@@ -36,7 +36,10 @@ from . import batch5  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Never driver-checked through r02 (VERDICT r2), then rows-only entries whose
-# oracles/semantics changed this round, then the round-1-only set.
+# oracles/semantics changed this round. Entries not in ANY list (new this
+# round) are slotted immediately after this block -- BEFORE the
+# re-confirmations -- so a brand-new query always lands inside the driver's
+# ~50-query window even as the catalog grows.
 _VERIFY_FIRST = [
     # -- never inside a driver window (r01 or r02) --
     "d01_exact_dedup_docs",
@@ -55,7 +58,11 @@ _VERIFY_FIRST = [
     "g03_component_histogram",
     "m01_als_top5_recs",
     "m02_cold_start_fold_in",
-    # -- driver-checked in round 1 only: re-confirm --
+]
+
+# Driver-checked in round 1 only: re-confirm, but AFTER anything that has
+# never had a driver run at all.
+_RECONFIRM_R1 = [
     "s01_stream_tumbling_counts",
     "s02_stream_sliding_counts",
     "s03_stream_session_counts",
@@ -130,9 +137,12 @@ _ROWS_ONLY_TAIL = ["q17_sample_stats", "q44_hll_sketch_distinct"]
 
 def _apply_order() -> None:
     order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
-    placed = set(order) | set(_DRIVER_PROVEN) | set(_ROWS_ONLY_TAIL)
+    placed = (
+        set(order) | set(_RECONFIRM_R1) | set(_DRIVER_PROVEN) | set(_ROWS_ONLY_TAIL)
+    )
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]
+    order += [n for n in _RECONFIRM_R1 if n in REGISTRY]
     order += [n for n in _DRIVER_PROVEN if n in REGISTRY]
     order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
     reordered = {n: REGISTRY[n] for n in order}
