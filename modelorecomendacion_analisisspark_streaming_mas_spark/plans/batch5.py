@@ -336,3 +336,49 @@ def d08_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q57: deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES keys:
+# k = -ln(u)/w, take the k smallest). The training-data mixing primitive
+# "sample documents proportional to quality weight" -- made reproducible
+# by drawing u from a content hash instead of an RNG (same contract as
+# q28/q49), which is also what makes an exact cross-engine oracle
+# possible at all. One projection + one TakeOrdered: no shuffle of the
+# corpus, the top-k heap runs per partition.
+# --------------------------------------------------------------------------
+
+_Q57_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         ((('0x'||substr(md5('wsamp|' || doc_id::VARCHAR),1,8))::UBIGINT)::BIGINT + 1)
+           / 4294967297.0 AS u,
+         1.0 + (n_chars % 100) / 100.0 AS w
+  FROM documents
+)
+SELECT doc_id, source, round(-ln(u) / w, 8) AS k
+FROM h ORDER BY -ln(u) / w, doc_id LIMIT 200
+"""
+
+
+@register(
+    "q57_weighted_sample",
+    oracle=_Q57_ORACLE,
+    doc="Efraimidis-Spirakis weighted sample (k = -ln(u)/w, smallest "
+    "200), u content-hashed for reproducibility; exact oracle.",
+)
+def q57_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_hash32(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(4294967297.0)
+    w = 1.0 + (F.col("n_chars") % 100) / 100.0
+    k = -F.log(u) / w
+    return (
+        docs.select("doc_id", "source", k.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(200)
+        .select("doc_id", "source", F.round("_k", 8).alias("k"))
+    )
