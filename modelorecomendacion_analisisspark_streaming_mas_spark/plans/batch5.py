@@ -382,3 +382,65 @@ def q57_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "source", F.round("_k", 8).alias("k"))
     )
+
+
+# --------------------------------------------------------------------------
+# mm05: shard-manifest packing -- the WebDataset/tar-shard step of a
+# multimodal training pipeline: pack items into ~TARGET-byte shards,
+# preserving a deterministic order, and emit the manifest (shard ->
+# item count, byte total) that the downstream loader consumes. Pure
+# window arithmetic: running byte offset per source (window partitioned
+# by source -- parallel across sources, never a global sort), shard id =
+# floor(start_offset / target). Planning touches metadata columns only;
+# blobs are never read (the mm01/mm03 discipline).
+# --------------------------------------------------------------------------
+
+_MM05_TARGET = 4096
+
+_MM05_ORACLE = f"""
+WITH ordered AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+  FROM documents
+)
+SELECT source,
+       CAST(floor(start_off / {_MM05_TARGET}.0) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM ordered
+GROUP BY source, floor(start_off / {_MM05_TARGET}.0)
+"""
+
+
+@register(
+    "mm05_shard_manifest",
+    oracle=_MM05_ORACLE,
+    doc="WebDataset-style shard packing manifest: per-source running byte "
+    "offsets -> ~4KB shards; metadata-only, exact oracle.",
+)
+def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start_off = F.sum("n_chars").over(w) - F.col("n_chars")
+    return (
+        docs.withColumn(
+            "shard_id",
+            F.floor(start_off / float(_MM05_TARGET)).cast("long"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
