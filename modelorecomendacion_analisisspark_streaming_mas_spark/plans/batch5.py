@@ -444,3 +444,51 @@ def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q58: equi-depth histogram over l_extendedprice -- the column-statistics
+# primitive (ANALYZE TABLE ... FOR COLUMNS builds exactly this shape to
+# feed the cost-based optimizer; at 100 TB histogram quality decides join
+# orders). ntile assigns equal-population buckets; per-bucket (lo, hi,
+# count) is the histogram. ntile needs a total order -- at true scale the
+# same statistic comes from approx_percentile boundaries; this entry
+# keeps the exact shape so the oracle is exact, and documents the
+# approximate twin (q09 exercises percentile_approx).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q58_equidepth_histogram",
+    oracle="""
+WITH t AS (
+  SELECT l_extendedprice AS v,
+         ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       round(min(v), 2) AS lo,
+       round(max(v), 2) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY bucket
+""",
+    doc="Equi-depth 16-bucket histogram of l_extendedprice (optimizer-"
+    "statistics shape); deterministic ntile tie-break; exact oracle.",
+)
+def q58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    w = Window.orderBy("v", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bucket", F.ntile(16).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
