@@ -492,3 +492,75 @@ def q58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q59: snapshot diff / reconciliation -- the CDC-and-validation primitive
+# (compare yesterday's table version to today's: what was added, removed,
+# changed?). Version 2 is DERIVED deterministically from part (drop
+# key%97==0, reprice key%10==0, add synthetic keys), so both engines
+# diff the identical pair. Shape: one full-outer join on the key with
+# null-flag classification -- ONE shuffle, payload compared via a
+# column-pruned projection, the way a 100 TB reconciliation has to run
+# (never two anti-joins + an inner join = three shuffles).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q59_snapshot_diff",
+    oracle="""
+WITH v2 AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 10 = 0 THEN round(p_retailprice + 1.0, 2)
+              ELSE p_retailprice END AS p_retailprice
+  FROM part WHERE p_partkey % 97 <> 0
+  UNION ALL
+  SELECT p_partkey + 1000000, 9.99 FROM part WHERE p_partkey % 251 = 0
+), d AS (
+  SELECT CASE
+           WHEN a.p_partkey IS NULL THEN 'added'
+           WHEN b.p_partkey IS NULL THEN 'removed'
+           WHEN a.p_retailprice <> b.p_retailprice THEN 'changed'
+           ELSE 'unchanged'
+         END AS change
+  FROM part a FULL OUTER JOIN v2 b USING (p_partkey)
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY change
+""",
+    doc="CDC-style snapshot reconciliation: full-outer join on the key, "
+    "added/removed/changed/unchanged classification in one shuffle.",
+)
+def q59_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    v2 = (
+        part.filter(F.col("p_partkey") % 97 != 0)
+        .select(
+            "p_partkey",
+            F.when(
+                F.col("p_partkey") % 10 == 0, F.round(F.col("p_retailprice") + 1.0, 2)
+            )
+            .otherwise(F.col("p_retailprice"))
+            .alias("p_retailprice"),
+        )
+        .unionByName(
+            part.filter(F.col("p_partkey") % 251 == 0).select(
+                (F.col("p_partkey") + 1000000).alias("p_partkey"),
+                F.lit(9.99).alias("p_retailprice"),
+            )
+        )
+    )
+    a = part.alias("a")
+    b = v2.alias("b")
+    joined = a.join(b, "p_partkey", "full_outer")
+    change = (
+        F.when(F.col("a.p_retailprice").isNull(), "added")
+        .when(F.col("b.p_retailprice").isNull(), "removed")
+        .when(F.col("a.p_retailprice") != F.col("b.p_retailprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
