@@ -563,3 +563,95 @@ def _cleanup_sinks() -> None:
     for d in _SINK_DIRS:
         shutil.rmtree(d, ignore_errors=True)
     _SINK_DIRS.clear()
+
+
+# --------------------------------------------------------------------------
+# s16: streaming quality-gate ROUTER -- the ingest-curation shape: one
+# stream fans out to accept/reject parquet sinks inside a single
+# foreachBatch (one pass over each micro-batch, both routes written
+# atomically per epoch from the SAME batch DataFrame -- localCheckpoint
+# so the two writes don't recompute the source). Downstream returns the
+# per-route per-type counts, which must equal the batch CASE
+# classification: routing must lose nothing and duplicate nothing.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s16_stream_quality_router",
+    oracle="""
+SELECT CASE WHEN event_type <> 'error' AND value >= 0.5
+            THEN 'accept' ELSE 'reject' END AS route,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY route, event_type
+""",
+)
+def s16_stream_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed(spark, sf_dir)
+    accept_dir = tempfile.mkdtemp(prefix="mras_route_a_")
+    reject_dir = tempfile.mkdtemp(prefix="mras_route_r_")
+    _SINK_DIRS.extend([accept_dir, reject_dir])
+    ok = (F.col("event_type") != "error") & (F.col("value") >= 0.5)
+
+    def route(df, epoch_id):
+        batch = df.localCheckpoint(eager=True)
+        batch.filter(ok).write.mode("append").parquet(accept_dir)
+        batch.filter(~ok).write.mode("append").parquet(reject_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", f"{accept_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    routed = (
+        spark.read.parquet(accept_dir).withColumn("route", F.lit("accept"))
+    ).unionByName(
+        spark.read.parquet(reject_dir).withColumn("route", F.lit("reject"))
+    )
+    return routed.groupBy("route", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# s17: streaming DECONTAMINATION -- drop events of blocklisted users as
+# they arrive: stream LEFT ANTI join against a static (broadcast)
+# blocklist. Stateless per Spark's stream-static join rules (the static
+# side is bounded, no watermark needed), so it composes in front of any
+# downstream stateful op. The blocklist derives deterministically
+# (user_id % 97 == 0) so the batch anti-join oracle is exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s17_stream_static_anti_join",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE user_id % 97 <> 0
+GROUP BY event_type
+""",
+)
+def s17_stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_events
+
+    stream = _replayed(spark, sf_dir)
+    blocklist = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .filter(F.col("user_id") % 97 == 0)
+        .distinct()
+    )
+    clean = stream.join(F.broadcast(blocklist), "user_id", "left_anti")
+    agg = clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
+    return out.select("event_type", F.col("n").cast("long").alias("n"), "sum_value")
