@@ -16,60 +16,36 @@ from . import layout  # noqa: E402,F401
 from . import batch5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy.
+# Registration-order policy (round 4 rotation).
 #
 # The driver's CORRECTNESS sweep samples at most ~50 queries per round *in
 # registration order*, so the order of this dict decides which queries get a
 # hard driver-side oracle run. Policy (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST: queries that have never had a driver-side oracle run
-#      (or whose oracle changed this round), plus any newly added query --
-#      anything NOT in DRIVER_PROVEN lands ahead of the proven set
-#      automatically.
-#   2. Queries last driver-checked in round 1 only (streaming + northstar
-#      set) -- re-confirmed before the round-2-proven batch queries.
-#   3. DRIVER_PROVEN: hash-exact in CORRECTNESS_r02 -- re-checked last,
-#      in their original order.
+#   1. VERIFY_FIRST: queries that have never had a driver-side oracle run,
+#      plus any newly added query -- anything NOT in a staleness list below
+#      lands ahead of the re-confirmations automatically.
+#   2. STALE_R1 / STALE_R2: oldest-verified first. After r03 every query has
+#      had at least one driver run (VERDICT r3); freshness now rotates so no
+#      entry silently drifts -- queries whose LAST driver check was round 1,
+#      then round 2 (the big q01-q48 batch tail), fill the rest of the
+#      window (VERDICT r3 "Next round" item 4).
+#   3. FRESH_R3: hash-exact in CORRECTNESS_r03 -- re-checked last.
 #   4. Inherently rows-only samples (q17 random sample, q44 HLL +/-bound)
 #      go at the very end: a window slot spent on them can never upgrade
 #      to a hash match.
 # ---------------------------------------------------------------------------
 
-# Never driver-checked through r02 (VERDICT r2), then rows-only entries whose
-# oracles/semantics changed this round. Entries not in ANY list (new this
-# round) are slotted immediately after this block -- BEFORE the
-# re-confirmations -- so a brand-new query always lands inside the driver's
-# ~50-query window even as the catalog grows.
+# Never driver-checked (new this round). Entries not in ANY list are slotted
+# immediately after this block -- BEFORE the re-confirmations -- so a
+# brand-new query always lands inside the driver's ~50-query window even as
+# the catalog grows.
 _VERIFY_FIRST = [
-    # -- never inside a driver window (r01 or r02) --
-    "d01_exact_dedup_docs",
-    "d02_minhash_near_dups",
-    "d03_simhash_docs",
-    "t01_text_quality",
-    "t02_lang_id_confusion",
-    "t03_token_stats",
-    "t04_tfidf_top_terms",
-    "e01_knn_bruteforce",
-    "e02_knn_lsh",
-    "mm02_image_features",
-    "s11_stream_static_join",
-    "s12_stream_dynamic_session",
-    # -- rows-only entries being upgraded / re-confirmed this round --
-    "g03_component_histogram",
-    "m01_als_top5_recs",
-    "m02_cold_start_fold_in",
+    "s10_stream_tws_counts",  # unlocked r4 via compat/protobuf_shim.py
 ]
 
-# Driver-checked in round 1 only: re-confirm, but AFTER anything that has
-# never had a driver run at all.
-_RECONFIRM_R1 = [
-    "s01_stream_tumbling_counts",
-    "s02_stream_sliding_counts",
-    "s03_stream_session_counts",
-    "s04_stream_dedup_counts",
-    "s05_stream_latest_topk",
-    "s06_stream_group_counts",
-    "s07_stream_stream_join",
+# Last driver-checked in round 1 (missed both the r02 and r03 windows).
+_STALE_R1 = [
     "s08_stream_dedup_watermark",
     "s09_stream_longest_run",
     "d04_ngram_jaccard_dedup",
@@ -79,9 +55,9 @@ _RECONFIRM_R1 = [
     "mm01_resize_plan",
 ]
 
-# Hash-exact in the driver's round-2 CORRECTNESS window (q17/q44 were in the
-# window but are inherently rows-only -- kept at the absolute end).
-_DRIVER_PROVEN = [
+# Last driver-checked in round 2 (q17/q44 were in that window but are
+# inherently rows-only -- kept at the absolute end).
+_STALE_R2 = [
     "q01_pricing_summary",
     "q02_flagship_top_tokens",
     "q03_global_rank_customers",
@@ -132,18 +108,78 @@ _DRIVER_PROVEN = [
     "g02_pagerank_top100",
 ]
 
+# Hash-exact (or rows-only-by-construction) in CORRECTNESS_r03: freshest,
+# re-checked last. Original registration order within the group.
+_FRESH_R3 = [
+    "d01_exact_dedup_docs",
+    "d02_minhash_near_dups",
+    "d03_simhash_docs",
+    "t01_text_quality",
+    "t02_lang_id_confusion",
+    "t03_token_stats",
+    "t04_tfidf_top_terms",
+    "e01_knn_bruteforce",
+    "e02_knn_lsh",
+    "mm02_image_features",
+    "s11_stream_static_join",
+    "s12_stream_dynamic_session",
+    "g03_component_histogram",
+    "m01_als_top5_recs",
+    "m02_cold_start_fold_in",
+    "g04_trade_triangles",
+    "m03_item_item_cosine",
+    "m05_implicit_als_recs",
+    "s13_stream_file_sink",
+    "s14_stream_left_outer_join",
+    "s15_incremental_rollup",
+    "s16_stream_quality_router",
+    "s17_stream_static_anti_join",
+    "mm03_video_frame_plan",
+    "mm04_audio_features",
+    "t08_bigram_cross_entropy",
+    "d06_contamination_check",
+    "t06_repetition_metrics",
+    "q49_stratified_source_sample",
+    "t07_pii_redaction",
+    "d07_near_dup_clusters",
+    "q50_clustered_scan_pruning",
+    "q51_zorder_scan_pruning",
+    "q52_compaction_roundtrip",
+    "q53_sql_engine_parity",
+    "q54_schema_evolution_read",
+    "q55_dq_expectations",
+    "q56_batch_sessionization",
+    "d08_fuzzy_edit1_join",
+    "q57_weighted_sample",
+    "mm05_shard_manifest",
+    "q58_equidepth_histogram",
+    "q59_snapshot_diff",
+    "s01_stream_tumbling_counts",
+    "s02_stream_sliding_counts",
+    "s03_stream_session_counts",
+    "s04_stream_dedup_counts",
+    "s05_stream_latest_topk",
+    "s06_stream_group_counts",
+    "s07_stream_stream_join",
+]
+
 _ROWS_ONLY_TAIL = ["q17_sample_stats", "q44_hll_sketch_distinct"]
 
 
 def _apply_order() -> None:
     order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
     placed = (
-        set(order) | set(_RECONFIRM_R1) | set(_DRIVER_PROVEN) | set(_ROWS_ONLY_TAIL)
+        set(order)
+        | set(_STALE_R1)
+        | set(_STALE_R2)
+        | set(_FRESH_R3)
+        | set(_ROWS_ONLY_TAIL)
     )
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]
-    order += [n for n in _RECONFIRM_R1 if n in REGISTRY]
-    order += [n for n in _DRIVER_PROVEN if n in REGISTRY]
+    order += [n for n in _STALE_R1 if n in REGISTRY]
+    order += [n for n in _STALE_R2 if n in REGISTRY]
+    order += [n for n in _FRESH_R3 if n in REGISTRY]
     order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
     reordered = {n: REGISTRY[n] for n in order}
     assert len(reordered) == len(REGISTRY), "reorder dropped queries"

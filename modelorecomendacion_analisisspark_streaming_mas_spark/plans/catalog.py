@@ -17,6 +17,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..compat.protobuf_shim import ensure_worker_shim
 from ..shipping import ensure_package_shipped
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -43,6 +44,10 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
             # any Pandas-UDF stage (see shipping.py); no-op after the
             # first call per SparkContext, and harmless for pure-JVM plans.
             ensure_package_shipped(spark)
+            # No-op unless the driver resolved protobuf via the vendored
+            # runtime (compat/protobuf_shim.py) -- then workers need the
+            # google/__init__.py alias zip too (stateful-v2 state client).
+            ensure_worker_shim(spark)
             return fn(spark, sf_dir)
 
         shipped_fn.__name__ = fn.__name__

@@ -4,13 +4,14 @@
 instead of a single opaque state tuple.
 
 RUNTIME GATE: transformWithStateInPandas drives its state server over
-protobuf; environments without ``google.protobuf`` (this container) raise
-ImportError inside the Python worker at query start. The operator is
-therefore NOT registered in the query catalog -- the s09
-applyInPandasWithState surface covers custom state there -- and its test
-(tests/test_streaming.py) skips when protobuf is unavailable. On a real
-cluster (protobuf ships with standard Spark distros' Python env) this
-module works as-is.
+protobuf in BOTH the driver and the Python workers. Environments without
+a protobuf wheel resolve it through compat/protobuf_shim.py (driver-side
+redirect finder + addPyFile'd worker alias zip over the host's vendored
+pure-python runtime); plans/stateful_probe.py registers the s10 catalog
+entry iff some runtime (native or vendored) resolves, and
+tests/test_streaming.py asserts the probe matches reality in both
+directions. On a real cluster (protobuf ships with standard Spark
+distros' Python env) this module works as-is with mode 'native'.
 
 The exemplar mirrors s06's streaming group counts through the NEW API so
 both stateful surfaces are exercised against the same oracle shape: per

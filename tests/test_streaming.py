@@ -271,9 +271,15 @@ def test_longest_run_custom_state(spark):
 def test_transform_with_state_running_counts(spark):
     """Spark 4 transformWithStateInPandas (stateful_v2): running per-type
     (count, sum) must equal the batch groupBy over the replayed events.
-    Skips where google.protobuf is absent (the API's state-server protocol
-    needs it; see stateful_v2 module docstring)."""
-    pytest.importorskip("google.protobuf.descriptor")
+    Skips only where NO protobuf runtime resolves (native or the vendored
+    shim -- compat/protobuf_shim.py); requires the RocksDB state store
+    because transformWithState keeps each state variable in its own column
+    family."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.compat import protobuf_shim
+
+    if protobuf_shim.install() is None:
+        pytest.skip("no protobuf runtime (native or vendored) on this host")
+    protobuf_shim.ensure_worker_shim(spark)
 
     from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
         running_count_sum_per_type,
@@ -284,9 +290,21 @@ def test_transform_with_state_running_counts(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     df.coalesce(1).write.mode("overwrite").parquet(d)
     stream = file_stream(spark, d, df.schema)
-    _, out = run_to_memory_sink(
-        running_count_sum_per_type(stream.select("event_type", "value")), "update"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        _, out = run_to_memory_sink(
+            running_count_sum_per_type(stream.select("event_type", "value")), "update"
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     final = {
         r["event_type"]: (r["n_events"], r["sum_value"])
         for r in out.groupBy("event_type")
