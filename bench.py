@@ -87,7 +87,11 @@ def bench_streaming(spark, seconds: float = 20.0) -> dict:
         # land inside a 20s window or they don't), so the min of two run
         # means is the better estimate of the unperturbed steady state the
         # reference's single long quiet run measured. stateful_update has
-        # no baseline to compare against -- one pass.
+        # no baseline to compare against -- one pass. EVERY pass mean is
+        # emitted alongside the min (pass_batch_means_ms) and the
+        # measurement-window asymmetries vs the baseline are spelled out in
+        # the payload's method field, so the comparison is auditable
+        # (ADVICE r3).
         configs = [
             ("append", "append", False),
             ("update", "update", False),
@@ -145,11 +149,21 @@ def bench_streaming(spark, seconds: float = 20.0) -> dict:
                 "triggers": s["triggers"],
             }
             prev = out.get(label)
-            if prev is None or (
+            passes = (prev["pass_batch_means_ms"] if prev else []) + [
                 result["batch_mean_ms"]
-                and result["batch_mean_ms"] < prev["batch_mean_ms"]
+            ]
+            # A 0.0 mean is a failed pass (no batches landed), never a
+            # winner: replace it with any real result (ADVICE r3).
+            if (
+                prev is None
+                or not prev["batch_mean_ms"]
+                or (
+                    result["batch_mean_ms"]
+                    and result["batch_mean_ms"] < prev["batch_mean_ms"]
+                )
             ):
                 out[label] = result
+            out[label]["pass_batch_means_ms"] = passes
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -271,6 +285,25 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming_trigger_ms": streaming,
         "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+        # How our number differs from how the baseline's was taken -- read
+        # BOTH before quoting a ratio (ADVICE r3):
+        #   * baseline = ONE long run (620-639 triggers) of the reference's
+        #     in-callback stopwatch; ours = min of TWO 20s passes (all pass
+        #     means in pass_batch_means_ms), first 3 triggers dropped as
+        #     startup transients the long run amortizes.
+        #   * source parallelism pinned to 1 rate partition to mirror the
+        #     baseline's single-partition Kafka topic.
+        #   * batch_mean_ms times the same quantity as the baseline (the
+        #     foreachBatch callback body); trigger_mean_ms adds Spark 4
+        #     micro-batch planning/WAL/commit overhead the baseline's
+        #     stopwatch never counted.
+        "baseline_method": {
+            "ours": "min of 2x20s passes, first 3 triggers dropped, "
+            "1 rate partition; all pass means in pass_batch_means_ms",
+            "baseline": "single 620-639-trigger run, in-callback "
+            "perf_counter around df work (no planning/commit time)",
+            "comparable_metric": "batch_mean_ms",
+        },
         "calibration": calibration,
     }
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
@@ -288,10 +321,17 @@ def main() -> None:
             "detail": "BENCH_DETAIL.json",
             "sf": detail["sf"],
             "streaming_trigger_ms": {
-                k: {"batch_mean_ms": v["batch_mean_ms"], "trigger_mean_ms": v["trigger_mean_ms"]}
+                k: {
+                    "batch_mean_ms": v["batch_mean_ms"],
+                    "trigger_mean_ms": v["trigger_mean_ms"],
+                    "pass_batch_means_ms": v["pass_batch_means_ms"],
+                }
                 for k, v in streaming.items()
             },
             "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+            # Compact disclosure; full text in BENCH_DETAIL.json
+            # baseline_method. min-of-2 vs the baseline's single long run.
+            "method": "min2x20s,skip3,1part vs 1x639trig in-callback",
             "calibration": calibration,
         }
     )

@@ -552,10 +552,17 @@ def q59_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = part.alias("a")
     b = v2.alias("b")
-    joined = a.join(b, "p_partkey", "full_outer")
+    # Explicit join condition (not USING) so BOTH side's key columns
+    # survive: classification must test join-key presence, exactly as the
+    # oracle's `a.p_partkey IS NULL` does. Testing payload nullness was a
+    # proxy that misreads a genuinely-NULL p_retailprice as a missing row
+    # (ADVICE r3) -- safe on TPC-H data, wrong in general.
+    joined = a.join(
+        b, F.col("a.p_partkey") == F.col("b.p_partkey"), "full_outer"
+    )
     change = (
-        F.when(F.col("a.p_retailprice").isNull(), "added")
-        .when(F.col("b.p_retailprice").isNull(), "removed")
+        F.when(F.col("a.p_partkey").isNull(), "added")
+        .when(F.col("b.p_partkey").isNull(), "removed")
         .when(F.col("a.p_retailprice") != F.col("b.p_retailprice"), "changed")
         .otherwise("unchanged")
     )

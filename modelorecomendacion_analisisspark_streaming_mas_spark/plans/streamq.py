@@ -594,11 +594,18 @@ def s16_stream_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject_dir = tempfile.mkdtemp(prefix="mras_route_r_")
     _SINK_DIRS.extend([accept_dir, reject_dir])
     ok = (F.col("event_type") != "error") & (F.col("value") >= 0.5)
+    # Route rejects with the explicit complement, NULL-safe: a row with
+    # NULL value/event_type makes `ok` NULL, and filter(ok)/filter(~ok)
+    # would BOTH drop it -- vanishing from every sink and breaking the
+    # "routing loses nothing" invariant. coalesce(ok, false) routes
+    # NULL-condition rows to 'reject' exactly like the oracle's
+    # CASE ... ELSE branch (ADVICE r3).
+    accept = F.coalesce(ok, F.lit(False))
 
     def route(df, epoch_id):
         batch = df.localCheckpoint(eager=True)
-        batch.filter(ok).write.mode("append").parquet(accept_dir)
-        batch.filter(~ok).write.mode("append").parquet(reject_dir)
+        batch.filter(accept).write.mode("append").parquet(accept_dir)
+        batch.filter(~accept).write.mode("append").parquet(reject_dir)
 
     q = (
         stream.writeStream.foreachBatch(route)
