@@ -207,19 +207,26 @@ def mm01_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # mm02: Arrow-batched feature extraction over the binary column via
-# mapInPandas (the stubbed-codec decode path). Deterministic (md5-seeded
-# fake decode) but not SQL-expressible -> rows-only driver check; the
-# numeric fidelity is pinned by tests/test_multimodal.py.
+# mapInPandas -- now the REAL codec path (r4): every content blob is a
+# valid PNG built by the stdlib encoder, decoded back by decode_image
+# (PIL if present, else the stdlib inflate+unfilter decoder), so the
+# features depend on genuine pixel data. Deterministic but not
+# SQL-expressible -> rows-only driver check; numeric fidelity pinned by
+# tests/test_multimodal.py (numpy round-trip parity).
 # --------------------------------------------------------------------------
 
 
 @register("mm02_image_features")
 def mm02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.multimodal import extract_image_features, synth_image_table
+    from ..functions.multimodal import (
+        decode_image,
+        extract_image_features,
+        synth_png_table,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synth_image_table(spark, docs, "doc_id", "text")
-    feats = extract_image_features(media)
+    media = synth_png_table(spark, docs, "doc_id", "text")
+    feats = extract_image_features(media, decode=decode_image)
     return feats.select(
         "id",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
@@ -264,17 +271,22 @@ def mm03_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # mm04: audio decode + acoustic features through the same Arrow-batched
-# mapInPandas contract as mm02 (md5-seeded deterministic fake PCM; the
-# real codec is the documented stub). duration_s comes from metadata
-# arithmetic so it doubles as a partial cross-check of the decode
-# plumbing; rms/zcr are pinned numerically by tests/test_multimodal.py.
+# mapInPandas contract as mm02 -- now REAL WAV containers (r4): 16-bit
+# PCM tones encoded via stdlib wave, decoded back by decode_audio_wav,
+# which also cross-checks the metadata-declared clip length against the
+# container header. rms/zcr are pinned numerically by
+# tests/test_multimodal.py against a driver-side numpy round-trip.
 # --------------------------------------------------------------------------
 
 
 @register("mm04_audio_features")
 def mm04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.multimodal import extract_audio_features, synth_audio_table
+    from ..functions.multimodal import (
+        decode_audio_wav,
+        extract_audio_features,
+        synth_wav_table,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synth_audio_table(spark, docs, "doc_id", "text")
-    return extract_audio_features(media)
+    media = synth_wav_table(spark, docs, "doc_id", "text")
+    return extract_audio_features(media, decode=decode_audio_wav)

@@ -53,7 +53,9 @@ def test_arrow_twin_matches_pandas_path(images):
     assert arrow_out == pandas_out
 
 
-def test_decode_stub_raises_without_codec():
+def test_decode_non_png_raises_without_pil():
+    """The honest gate that remains after the stdlib-PNG upgrade: payloads
+    that are not PNG still need PIL."""
     try:
         import PIL  # noqa: F401
 
@@ -61,7 +63,20 @@ def test_decode_stub_raises_without_codec():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg payload")
+
+
+def test_decode_image_is_real_for_png():
+    """decode_image round-trips a genuine PNG on ANY host (PIL or the
+    stdlib decoder) -- the mm02 content path is no longer a stub."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        encode_png,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert (decode_image(encode_png(px)) == px).all()
 
 
 def test_fake_decode_is_pure():
@@ -117,6 +132,103 @@ def test_audio_features_match_numpy_reference(spark, sf_dir):
         assert r["duration_s"] == round(n / sr, 6)
         assert r["rms"] == round(float(np.sqrt(np.mean(pcm**2))), 6)
         assert r["zcr"] == round(zc / (n - 1), 6)
+
+
+def test_real_png_pipeline_matches_numpy_roundtrip(spark, sf_dir):
+    """mm02's real path: synth_png_table encodes genuine PNGs on workers,
+    extract_image_features decodes them back -- PNG is lossless, so the
+    distributed features must EXACTLY equal a driver-side numpy
+    recomputation from the source pixels (full content parity, not just
+    shape)."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        N_FEATURES,
+        _text_pixels,
+        decode_image,
+        extract_image_features,
+        synth_png_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    media = synth_png_table(spark, docs, "doc_id", "text")
+    got = {
+        r["id"]: (r["features"], r["width"])
+        for r in extract_image_features(media, decode=decode_image).collect()
+    }
+    assert len(got) == 25
+
+    for row in docs.select("doc_id", "text").collect():
+        px = _text_pixels(row["text"]).astype(np.float64)
+        v = np.concatenate(
+            [
+                [px.mean(), px.std(), px.min(), px.max()],
+                np.histogram(px, bins=N_FEATURES - 4, range=(0, 512))[0].astype(
+                    np.float64
+                ),
+            ]
+        )
+        expect = [round(float(x), 6) for x in v]
+        feats, width = got[row["doc_id"]]
+        assert feats == expect
+        assert width == px.shape[1]
+
+
+def test_real_wav_pipeline_matches_numpy_roundtrip(spark, sf_dir):
+    """mm04's real path: 16-bit WAV encode on workers, stdlib decode back.
+    Driver-side recomputation goes through the SAME encode->decode pair,
+    so quantization cancels and the parity is exact."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        decode_wav,
+        encode_wav,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        decode_audio_wav,
+        extract_audio_features,
+        synth_wav_table,
+    )
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = synth_wav_table(spark, docs, "doc_id", "text")
+    got = {
+        r["id"]: r
+        for r in extract_audio_features(media, decode=decode_audio_wav).collect()
+    }
+    assert len(got) == 20
+
+    for row in docs.select("doc_id", "text").collect():
+        data = row["text"].encode("utf-8")
+        h = hashlib.md5(data).digest()
+        sr, n = 8000, len(data) % 1600 + 400
+        freq = int.from_bytes(h[:2], "big") % 1800 + 200
+        amp = (h[2] / 255.0) * 0.8 + 0.1
+        t = np.arange(n, dtype=np.float64) / sr
+        pcm, _ = decode_wav(encode_wav(amp * np.sin(2 * np.pi * freq * t), sr))
+        zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        r = got[row["doc_id"]]
+        assert r["duration_s"] == round(n / sr, 6)
+        assert r["rms"] == round(float(np.sqrt(np.mean(pcm**2))), 6)
+        assert r["zcr"] == round(zc / (n - 1), 6)
+
+
+def test_wav_decode_rejects_metadata_mismatch():
+    """decode_audio_wav must fail loudly when metadata disagrees with the
+    container header instead of silently mis-sizing features."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        encode_wav,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        decode_audio_wav,
+    )
+
+    blob = encode_wav(np.zeros(100), 8000)
+    with pytest.raises(ValueError, match="n_samples"):
+        decode_audio_wav(blob, 101)
 
 
 def test_video_frame_plan_prunes_binary(spark, sf_dir):
