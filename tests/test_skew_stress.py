@@ -1,0 +1,141 @@
+"""Planted-skew stress tests for the bucketed self-joins (VERDICT r3
+"Next round" item 3).
+
+The one skew mode AQE cannot fix is a HOT BUCKET: n near-identical docs
+in one LSH band bucket (or n equal values on one deletion variant) emit
+n^2/2 candidate pairs from a single key -- task splitting parallelizes
+that output, it does not shrink it. These tests plant exactly that storm
+(thousands of identical rows) and pin the operator-level guard:
+``bucket_cap`` flips hot buckets to a star topology (every member pairs
+with the bucket representative), bounding candidates at O(cap * n) while
+preserving the property dedup actually consumes -- cluster connectivity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+    edit1_neighborhood_join,
+    minhash_near_duplicates,
+)
+
+HOT_TEXT = "the same viral boilerplate page copied verbatim across the whole crawl"
+
+
+def _corpus(spark, n_hot: int, n_bg: int):
+    rows = [(i, HOT_TEXT) for i in range(n_hot)]
+    rows += [
+        (n_hot + i, f"unique background document number {i} token{i} filler{i * 7}")
+        for i in range(n_bg)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_lsh_bucket_star_bounds_pair_volume(spark):
+    """3000 identical docs: uncapped LSH would emit ~4.5M pairs from one
+    bucket; with bucket_cap the output is exactly the 2999-star, every
+    pair anchored at the representative (min doc_id) and verified at
+    jaccard 1.0."""
+    docs = _corpus(spark, n_hot=3000, n_bg=100)
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, bucket_cap=64
+    ).collect()
+    assert len(pairs) == 2999
+    assert all(r["doc_a"] == 0 for r in pairs)
+    assert sorted(r["doc_b"] for r in pairs) == list(range(1, 3000))
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_bucket_cap_preserves_clusters_vs_exact(spark):
+    """Semantic guarantee of the cap: connected components of the pair
+    graph -- what near-dup clustering (d07) consumes -- are IDENTICAL
+    between exact all-pairs and capped star output; only the pair list
+    inside hot buckets shrinks."""
+    groups = {0: 50, 1000: 10, 2000: 5}  # start_id -> identical-copy count
+    rows = []
+    for start, n in groups.items():
+        rows += [
+            (start + i, f"group {start} shared text repeated for every member here")
+            for i in range(n)
+        ]
+    rows += [(9000 + i, f"lonely doc {i} nothing like the others w{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def components(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out: dict[int, set] = {}
+        for x in list(parent):
+            out.setdefault(find(x), set()).add(x)
+        return {frozenset(v) for v in out.values()}
+
+    exact = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8).collect()
+    capped = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, bucket_cap=16
+    ).collect()
+    # exact emits the full n^2/2 inside each group; capped stars ONLY the
+    # 50-group (above cap 16) and keeps the 10- and 5-groups all-pairs
+    assert len(exact) == 50 * 49 // 2 + 10 * 9 // 2 + 5 * 4 // 2
+    assert len(capped) == 49 + 10 * 9 // 2 + 5 * 4 // 2
+    assert components(exact) == components(capped)
+
+
+def test_small_buckets_unaffected_by_cap(spark):
+    """A cap larger than every bucket must be a no-op: byte-identical
+    pair set to the exact operator."""
+    docs = _corpus(spark, n_hot=12, n_bg=30)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", bucket_cap=1000
+        ).collect()
+    }
+    assert capped == exact == {(a, b) for a in range(12) for b in range(a + 1, 12)}
+
+
+def test_hot_deletion_variant_star_bounds_pair_volume(spark):
+    """d08's hot-bucket twin: 2000 rows of the same name share every
+    deletion variant; capped FastSS emits the 1999-star at dist 0 instead
+    of ~2M pairs, and unrelated names are untouched."""
+    rows = [(i, "acme corp") for i in range(2000)]
+    rows += [(5000, "acme corpx"), (5001, "zzz unrelated"), (5002, "qqq other")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = edit1_neighborhood_join(df, "id", "name", bucket_cap=32).collect()
+    star = [r for r in out if r["id_a"] == 0 and r["id_b"] < 2000]
+    assert len(star) == 1999
+    assert all(r["dist"] == 0 for r in star)
+    # 'acme corpx' (one insert away) shares the hot 'acme corp' variant
+    # bucket: the star keeps it attached to the cluster through the rep
+    assert any(r["id_b"] == 5000 and r["dist"] == 1 for r in out)
+    assert not any(r["id_a"] == 5001 or r["id_b"] == 5001 for r in out)
+
+
+def test_fastss_cap_noop_below_threshold(spark):
+    rows = [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "unrelated")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    exact = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_neighborhood_join(df, "id", "name").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_neighborhood_join(df, "id", "name", bucket_cap=100).collect()
+    }
+    assert capped == exact == {(1, 2, 1), (2, 3, 1)}
