@@ -87,6 +87,32 @@ def map_lookup(mapping: dict, key_col: Column | str) -> Column:
     return F.element_at(F.create_map(*pairs), F.col(key_col) if isinstance(key_col, str) else key_col)
 
 
+# A map LITERAL is baked into the plan and shipped inside every task
+# binary; past a few thousand entries a broadcast-hash join is strictly
+# better (one broadcast, hashed probe, no plan bloat).
+MAP_LITERAL_ROW_LIMIT = 10_000
+
+
+def collect_lookup_map(
+    df: DataFrame, key_col: str, value_col: str, max_rows: int = MAP_LITERAL_ROW_LIMIT
+) -> dict:
+    """Collect a dim table into a driver dict for ``map_lookup`` -- with the
+    collect ENFORCED small, not assumed small (the same bounded limit+1
+    probe as similarity.cosine_near_dup_matmul: never a full count of an
+    unbounded frame). A dim that outgrew map-literal territory fails
+    loudly toward the broadcast join instead of bloating every serialized
+    task (or OOMing the driver) at 100 TB.
+    """
+    probe = df.select(key_col).limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"collect_lookup_map: dim exceeds {max_rows} rows; a map "
+            f"literal ships with every task binary at that size. Use a "
+            f"broadcast join instead: df.join(F.broadcast(dim), key)."
+        )
+    return {r[0]: r[1] for r in df.select(key_col, value_col).collect()}
+
+
 def range_lookup_join(
     df: DataFrame,
     key_col: str,

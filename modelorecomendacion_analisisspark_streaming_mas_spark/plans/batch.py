@@ -17,7 +17,13 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.etl import map_lookup, range_lookup_join, ts_to_ddmmyyyy, when_chain
+from ..functions.etl import (
+    collect_lookup_map,
+    map_lookup,
+    range_lookup_join,
+    ts_to_ddmmyyyy,
+    when_chain,
+)
 from ..operators.topk import global_rank, grouped_top_k, top_k
 from ..sources.readers import load_table
 from .catalog import register
@@ -251,7 +257,12 @@ GROUP BY region_name
 def q06_map_lookup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    mapping = {int(r["r_regionkey"]): r["r_name"] for r in region.collect()}
+    # Guarded collect: fails loudly toward a broadcast join if the dim
+    # ever outgrows map-literal territory (functions/etl.py).
+    mapping = {
+        int(k): v
+        for k, v in collect_lookup_map(region, "r_regionkey", "r_name").items()
+    }
     return (
         nation.withColumn("region_name", map_lookup(mapping, "n_regionkey"))
         .groupBy("region_name")

@@ -140,3 +140,22 @@ def test_python_datasource_dat_crlf_and_malformed_numerics(spark, tmp_path):
     # row 1: clean parse, no trailing \r on score; row 2: 'oops' -> null;
     # row 3: short line -> missing trailing field null
     assert rows == [(1, "alpha", 10), (2, "beta", None), (3, "gamma", None)]
+
+
+def test_collect_lookup_map_guard(spark):
+    """collect_lookup_map: happy path returns the dict; a dim past the cap
+    fails loudly with the broadcast-join suggestion instead of baking an
+    unbounded map literal into every task (VERDICT r3 item 5)."""
+    import pytest
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.etl import (
+        collect_lookup_map,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"label{i}") for i in range(8)], "k int, v string"
+    )
+    assert collect_lookup_map(dim, "k", "v", max_rows=8) == {
+        i: f"label{i}" for i in range(8)
+    }
+    with pytest.raises(ValueError, match="broadcast join"):
+        collect_lookup_map(dim, "k", "v", max_rows=5)
