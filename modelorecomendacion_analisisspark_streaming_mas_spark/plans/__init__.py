@@ -42,6 +42,7 @@ from . import batch5  # noqa: E402,F401
 # the catalog grows.
 _VERIFY_FIRST = [
     "s10_stream_tws_counts",  # unlocked r4 via compat/protobuf_shim.py
+    "s18_stream_tws_latest",  # new r4: ListState latest-k, exact oracle
 ]
 
 # Last driver-checked in round 1 (missed both the r02 and r03 windows).

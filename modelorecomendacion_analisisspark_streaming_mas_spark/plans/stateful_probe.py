@@ -16,6 +16,8 @@ in both directions; tests/test_streaming.py runs the operator end-to-end.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,39 +49,90 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-type (count, sum) through transformWithStateInPandas;
-    final state per key equals the batch aggregate (same monotone-emission
-    reduction discipline as s09).
-
-    transformWithState keeps each named state variable in its own column
-    family, which the default HDFS-backed provider cannot host -- RocksDB
-    (bundled rocksdbjni jar) is the supported store and the one you'd run
-    at 100 TB anyway (incremental-changelog checkpointing, off-heap state).
-    Scoped to this query: the session conf flips only for the replay and is
-    restored after, so co-resident HDFS-backed stateful queries (s09) keep
-    their pinned checkpoints.
-    """
-    from ..sources.streams import run_to_memory_sink
-    from ..streaming.stateful_v2 import running_count_sum_per_type
-    from .streamq import _replayed
-
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """transformWithState keeps each named state variable in its own
+    column family, which the default HDFS-backed provider cannot host --
+    RocksDB (bundled rocksdbjni jar) is the supported store and the one
+    you'd run at 100 TB anyway (incremental-changelog checkpointing,
+    off-heap state). Scoped: the session conf flips only inside the
+    ``with`` and is restored after, so co-resident HDFS-backed stateful
+    queries (s09) keep their pinned checkpoints."""
     prior = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
     try:
-        stream = _replayed(spark, sf_dir)
-        out_stream = running_count_sum_per_type(stream)
-        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=8)
+        yield
     finally:
         if prior is None:
             spark.conf.unset(_PROVIDER_KEY)
         else:
             spark.conf.set(_PROVIDER_KEY, prior)
+
+
+def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type (count, sum) through transformWithStateInPandas
+    (ValueState); final state per key equals the batch aggregate (same
+    monotone-emission reduction discipline as s09)."""
+    from ..sources.streams import run_to_memory_sink
+    from ..streaming.stateful_v2 import running_count_sum_per_type
+    from .streamq import _replayed
+
+    with _rocksdb_state_store(spark):
+        stream = _replayed(spark, sf_dir)
+        out_stream = running_count_sum_per_type(stream)
+        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=8)
     return out.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
     )
 
 
+_S18_ORACLE = """
+SELECT event_type, slot, event_id, ts_str FROM (
+  SELECT event_type,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY ts DESC, event_id DESC
+         ) AS INT) AS slot,
+         event_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+  FROM events) t
+WHERE slot <= 3
+"""
+
+
+def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-3 events per type held in a ListState
+    (transformWithStateInPandas): the T3 latest-k shape pushed into the
+    state store instead of a foreachBatch compaction (s05). Final
+    emission per key (max monotone ``n_seen``) equals the batch
+    row_number top-3 -- hash-exact against the SQL oracle, which makes
+    this the stronger of the two stateful-v2 entries (s10's oracle is an
+    aggregate; this one pins ORDER inside state)."""
+    from pyspark.sql import Window
+
+    from ..sources.streams import run_to_memory_sink
+    from ..streaming.stateful_v2 import latest_k_per_type
+    from .streamq import _replayed
+
+    with _rocksdb_state_store(spark):
+        stream = _replayed(spark, sf_dir)
+        out_stream = latest_k_per_type(stream, k=3)
+        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=8)
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("_mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select(
+            "event_type",
+            "slot",
+            "event_id",
+            F.date_format(
+                F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("ts_str"),
+        )
+    )
+
+
 if stateful_v2_available():  # pragma: no cover - env-dependent branch
     register("s10_stream_tws_counts", oracle=_S10_ORACLE)(_s10_stream_tws_counts)
+    register("s18_stream_tws_latest", oracle=_S18_ORACLE)(_s18_stream_tws_latest)

@@ -47,6 +47,32 @@ def ascii_bar_render(
         out(f"{str(r[label_key]):>{pad}} | {'#' * n} {r[value_key]}")
 
 
+def matplotlib_bar_render(
+    label_key: str, value_key: str, title: str = "live counts"
+) -> Callable[[Sequence[dict]], None]:
+    """The reference's presentation surface (app/plot_live.py:15-26):
+    an interactive matplotlib figure redrawn per snapshot. Import-gated
+    the same way as every optional dep in this repo -- raises ImportError
+    where matplotlib is absent (this container), and the ASCII renderer
+    remains the built-in. Returned callback has the same shape as
+    ascii_bar_render, so swapping presentation is one argument."""
+    import matplotlib.pyplot as plt  # gated: not in this container
+
+    plt.ion()
+    fig, ax = plt.subplots()
+    fig.suptitle(title)
+
+    def render(rows: Sequence[dict]) -> None:
+        ax.clear()
+        labels = [str(r[label_key]) for r in rows]
+        values = [float(r[value_key]) for r in rows]
+        ax.bar(labels, values)
+        fig.canvas.draw_idle()
+        plt.pause(0.001)
+
+    return render
+
+
 class LiveCountsPoller:
     """Poll-and-render loop (plt.ion analog), background-threaded.
 

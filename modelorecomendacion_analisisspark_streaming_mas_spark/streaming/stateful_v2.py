@@ -75,3 +75,77 @@ def running_count_sum_per_type(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+LATEST_SCHEMA = (
+    "event_type string, slot int, event_id bigint, ts_us bigint, n_seen bigint"
+)
+
+
+class LatestKEvents(StatefulProcessor):
+    """Per-key latest-k snapshot held in a named ListState -- the second
+    typed state variable the successor API adds over the single opaque
+    tuple of applyInPandasWithState (s10 exercises ValueState; this is
+    ListState, with a ValueState emission counter alongside on the same
+    handle).
+
+    State is the k highest (ts_us, event_id) pairs seen so far --
+    O(k) per key regardless of stream length, the T3 latest-k shape
+    (reference app/spark_stream.py:31-36) pushed INTO the state store
+    instead of a foreachBatch compaction (s05). Emissions carry ``n_seen``
+    (monotone per key), so the final snapshot per key -- and therefore the
+    reduced query result -- is invariant to how the replay splits into
+    micro-batches.
+    """
+
+    def __init__(self, k: int = 3) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._latest = handle.getListState("latest", "ts_us bigint, event_id bigint")
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        cur = [(int(t), int(e)) for t, e in self._latest.get()]
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            cur.extend(
+                zip(pdf["ts_us"].astype("int64"), pdf["event_id"].astype("int64"))
+            )
+        cur.sort(reverse=True)  # (ts_us desc, event_id desc) -- unique ids
+        del cur[self._k :]
+        self._latest.put(cur)
+        self._seen.update((n,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(cur),
+                "slot": list(range(1, len(cur) + 1)),
+                "event_id": [e for _, e in cur],
+                "ts_us": [t for t, _ in cur],
+                "n_seen": [n] * len(cur),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def latest_k_per_type(stream: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming latest-k events per ``event_type`` through
+    transformWithStateInPandas (update mode). The rows emitted at each
+    key's final micro-batch (max ``n_seen``) equal the batch
+    row_number-over-(ts desc, event_id desc) top-k."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return src.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=LatestKEvents(k),
+        outputStructType=LATEST_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

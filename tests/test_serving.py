@@ -188,3 +188,23 @@ def test_live_counts_poller_survives_fetch_errors():
     assert poller.errors >= 2  # early failures counted, loop kept going
     assert len(poller.snapshots) <= 5  # history bound enforced
     assert poller.latest[0]["n"] == max(s[0]["n"] for s in poller.snapshots)
+
+
+def test_matplotlib_render_gated_like_every_optional_dep():
+    """matplotlib_bar_render: builds a live-redraw callback when
+    matplotlib is importable, raises ImportError where it is not (this
+    container) -- the ASCII renderer stays the built-in either way."""
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.serving.live_plot import (
+        matplotlib_bar_render,
+    )
+
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            matplotlib_bar_render("gender", "n")
+        return
+    render = matplotlib_bar_render("gender", "n")
+    render([{"gender": "Hombre", "n": 3}, {"gender": "Mujer", "n": 5}])

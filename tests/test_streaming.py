@@ -323,6 +323,66 @@ def test_transform_with_state_running_counts(spark):
     assert final == expect
 
 
+def test_transform_with_state_latest_k_liststate(spark):
+    """stateful_v2's SECOND typed-state surface: latest-k per key in a
+    ListState. Replay two files; the final emission per key must equal the
+    batch top-k by (ts desc, id desc), and state never exceeds k entries
+    (the emission rows themselves prove it -- slot <= k)."""
+    import datetime as dt
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.compat import protobuf_shim
+
+    if protobuf_shim.install() is None:
+        pytest.skip("no protobuf runtime (native or vendored) on this host")
+    protobuf_shim.ensure_worker_shim(spark)
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        latest_k_per_type,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cols = "event_id long, ts timestamp, event_type string"
+
+    def row(i, typ):
+        return (i, t0 + dt.timedelta(seconds=i), typ)
+
+    part1 = [row(1, "a"), row(2, "a"), row(3, "b"), row(4, "a")]
+    part2 = [row(5, "a"), row(6, "b"), row(7, "a")]
+    d = tempfile.mkdtemp(prefix="mras_tws_lk_")
+    df1 = spark.createDataFrame(part1, cols)
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _, out = run_to_memory_sink(latest_k_per_type(stream, k=2), "update")
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+    assert out.agg(F.max("slot")).first()[0] <= 2  # state bounded at k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    final = (
+        out.withColumn("mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("event_type", "slot", "event_id")
+        .collect()
+    )
+    got = {(r["event_type"], r["slot"]): r["event_id"] for r in final}
+    # a saw ids 1,2,4,5,7 -> latest two: 7, 5; b saw 3,6 -> latest two: 6, 3
+    assert got == {("a", 1): 7, ("a", 2): 5, ("b", 1): 6, ("b", 2): 3}
+
+
 def test_longest_run_detects_out_of_order_across_batches(spark):
     """When a later micro-batch delivers events BELOW a user's event-time
     high-water mark, run stitching is no longer trustworthy -- the operator
