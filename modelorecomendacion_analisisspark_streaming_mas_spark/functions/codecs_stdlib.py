@@ -141,11 +141,17 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG payload size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prior = _unfilter_scanline(int(rows[y, 0]), rows[y, 1:], prior, ch)
-        out[y] = prior
+    if not rows[:, 0].any():
+        # every scanline filter-0 (what encode_png and many fast encoders
+        # emit): unfiltering is the identity -- one vectorized copy instead
+        # of h python-level scanline passes.
+        out = rows[:, 1:].copy()
+    else:
+        out = np.empty((h, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            prior = _unfilter_scanline(int(rows[y, 0]), rows[y, 1:], prior, ch)
+            out[y] = prior
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 

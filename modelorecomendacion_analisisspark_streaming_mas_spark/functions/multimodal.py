@@ -103,8 +103,11 @@ def extract_image_features(df: DataFrame, decode=fake_decode_image) -> DataFrame
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                px = decode(row["content"])
+            # zip over columns, not iterrows: iterrows materializes a
+            # pandas Series per row (~10x the per-row overhead), which
+            # dominates when the decode itself is cheap.
+            for rid, content, meta in zip(pdf["id"], pdf["content"], pdf["meta"]):
+                px = decode(content)
                 v = np.concatenate(
                     [
                         [px.mean(), px.std(), px.min(), px.max()],
@@ -115,9 +118,9 @@ def extract_image_features(df: DataFrame, decode=fake_decode_image) -> DataFrame
                 )
                 out_rows.append(
                     {
-                        "id": row["id"],
+                        "id": rid,
                         "features": [round(float(x), 6) for x in v],
-                        "width": row["meta"]["width"] if row["meta"] is not None else None,
+                        "width": meta["width"] if meta is not None else None,
                     }
                 )
             yield pd.DataFrame(out_rows, columns=["id", "features", "width"])
@@ -219,15 +222,14 @@ def extract_audio_features(df: DataFrame, decode=fake_decode_audio) -> DataFrame
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for rid, content, meta in zip(pdf["id"], pdf["content"], pdf["meta"]):
                 sr = int(meta["sample_rate"])
                 n = int(meta["n_samples"])
-                pcm = decode(row["content"], n)
+                pcm = decode(content, n)
                 zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
                 out_rows.append(
                     {
-                        "id": row["id"],
+                        "id": rid,
                         "duration_s": round(n / sr, 6),
                         "rms": round(float(np.sqrt(np.mean(pcm**2))), 6),
                         "zcr": round(zc / max(n - 1, 1), 6),
@@ -312,11 +314,11 @@ def synth_png_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                px = _text_pixels(row["text"])
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                px = _text_pixels(text)
                 rows.append(
                     {
-                        "id": int(row["id"]),
+                        "id": int(rid),
                         "content": encode_png(px),
                         "meta": {
                             "width": int(px.shape[1]),
@@ -360,8 +362,8 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                data = str(row["text"]).encode("utf-8")
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                data = str(text).encode("utf-8")
                 h = hashlib.md5(data).digest()
                 sr = 8000
                 n = len(data) % 1600 + 400
@@ -371,7 +373,7 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 pcm = amp * np.sin(2 * np.pi * freq * t)
                 rows.append(
                     {
-                        "id": int(row["id"]),
+                        "id": int(rid),
                         "content": encode_wav(pcm, sr),
                         "meta": {
                             "sample_rate": sr,
