@@ -80,7 +80,12 @@ def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _rocksdb_state_store(spark):
         stream = _replayed(spark, sf_dir)
         out_stream = running_count_sum_per_type(stream)
-        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=8)
+        # State parallelism (pinned into the checkpoint at first start)
+        # should track key cardinality: 5 event types on 8 partitions
+        # means 8 RocksDB instances opened+committed per micro-batch for
+        # 5 keys of work -- measured 2.4x slower than 4 partitions at
+        # sf0.1. At real scale this knob goes UP with keys x throughput.
+        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=4)
     return out.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
@@ -117,7 +122,8 @@ def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _rocksdb_state_store(spark):
         stream = _replayed(spark, sf_dir)
         out_stream = latest_k_per_type(stream, k=3)
-        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=8)
+        # 4 partitions for 5 keys: see the sizing note in s10.
+        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=4)
     w = Window.partitionBy("event_type")
     return (
         out.withColumn("_mx", F.max("n_seen").over(w))
