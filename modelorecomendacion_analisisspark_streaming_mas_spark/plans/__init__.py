@@ -43,6 +43,7 @@ from . import batch5  # noqa: E402,F401
 _VERIFY_FIRST = [
     "s10_stream_tws_counts",  # unlocked r4 via compat/protobuf_shim.py
     "s18_stream_tws_latest",  # new r4: ListState latest-k, exact oracle
+    "s19_stream_tws_buckets",  # new r4: MapState histogram, exact oracle
 ]
 
 # Last driver-checked in round 1 (missed both the r02 and r03 windows).

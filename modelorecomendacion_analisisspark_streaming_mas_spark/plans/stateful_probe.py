@@ -139,6 +139,37 @@ def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S19_ORACLE = """
+SELECT event_type, CAST(user_id % 10 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bucket
+"""
+
+
+def _s19_stream_tws_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user-bucket histogram in a MapState -- the third typed
+    state variable (s10 ValueState, s18 ListState, s19 MapState). Final
+    emission per key equals the batch two-column groupBy count."""
+    from pyspark.sql import Window
+
+    from ..sources.streams import run_to_memory_sink
+    from ..streaming.stateful_v2 import bucket_counts_per_type
+    from .streamq import _replayed
+
+    with _rocksdb_state_store(spark):
+        stream = _replayed(spark, sf_dir)
+        out_stream = bucket_counts_per_type(stream, n_buckets=10)
+        # 4 partitions for 5 keys: see the sizing note in s10.
+        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=4)
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("_mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("event_type", "bucket", "n")
+    )
+
+
 if stateful_v2_available():  # pragma: no cover - env-dependent branch
     register("s10_stream_tws_counts", oracle=_S10_ORACLE)(_s10_stream_tws_counts)
     register("s18_stream_tws_latest", oracle=_S18_ORACLE)(_s18_stream_tws_latest)
+    register("s19_stream_tws_buckets", oracle=_S19_ORACLE)(_s19_stream_tws_buckets)

@@ -133,6 +133,69 @@ class LatestKEvents(StatefulProcessor):
         pass
 
 
+BUCKET_SCHEMA = "event_type string, bucket int, n bigint, n_seen bigint"
+
+
+class UserBucketCounts(StatefulProcessor):
+    """Per-key MapState exemplar completing the typed-state trio (s10
+    ValueState, s18 ListState): a map from user-id bucket -> running
+    count, updated point-wise with ``updateValue`` and re-emitted in full
+    each batch via ``iterator()``. The map shape is the 100 TB pattern
+    for per-entity sub-aggregates (per-type per-cohort counters) where a
+    ListState would have to be rewritten wholesale per batch and a
+    ValueState would need the whole map serialized as one blob --
+    MapState updates only the touched keys in the state store.
+    """
+
+    def __init__(self, n_buckets: int = 10) -> None:
+        self._n_buckets = n_buckets
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("bucket_counts", "bucket int", "n bigint")
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        local: dict[int, int] = {}
+        for pdf in rows:
+            n += len(pdf)
+            for b, c in (pdf["user_id"] % self._n_buckets).value_counts().items():
+                local[int(b)] = local.get(int(b), 0) + int(c)
+        for b, c in local.items():
+            prev = self._counts.getValue((b,)) if self._counts.containsKey((b,)) else None
+            self._counts.updateValue((b,), ((prev[0] if prev else 0) + c,))
+        self._seen.update((n,))
+        buckets = sorted((int(k_[0]), int(v[0])) for k_, v in self._counts.iterator())
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(buckets),
+                "bucket": [b for b, _ in buckets],
+                "n": [c for _, c in buckets],
+                "n_seen": [n] * len(buckets),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def bucket_counts_per_type(stream: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Streaming per-``event_type`` user-bucket histogram through
+    transformWithStateInPandas MapState (update mode). Final emission per
+    key (max monotone ``n_seen``) equals the batch
+    groupBy(event_type, user_id % n_buckets) count."""
+    return stream.select("event_type", "user_id").groupBy(
+        "event_type"
+    ).transformWithStateInPandas(
+        statefulProcessor=UserBucketCounts(n_buckets),
+        outputStructType=BUCKET_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def latest_k_per_type(stream: DataFrame, k: int = 3) -> DataFrame:
     """Streaming latest-k events per ``event_type`` through
     transformWithStateInPandas (update mode). The rows emitted at each

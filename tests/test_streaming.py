@@ -383,6 +383,59 @@ def test_transform_with_state_latest_k_liststate(spark):
     assert got == {("a", 1): 7, ("a", 2): 5, ("b", 1): 6, ("b", 2): 3}
 
 
+def test_transform_with_state_map_state_buckets(spark):
+    """stateful_v2's THIRD typed-state surface: MapState point-updates.
+    Across two micro-batches the per-(type, bucket) counts must equal the
+    batch groupBy, and buckets untouched by a batch must persist in the
+    map (the point of MapState over a wholesale-rewritten blob)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.compat import protobuf_shim
+
+    if protobuf_shim.install() is None:
+        pytest.skip("no protobuf runtime (native or vendored) on this host")
+    protobuf_shim.ensure_worker_shim(spark)
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        bucket_counts_per_type,
+    )
+
+    cols = "event_id long, event_type string, user_id long"
+    # batch 1 touches buckets {0,1}; batch 2 touches only bucket 2 --
+    # buckets 0/1 must survive in state and reappear in the emission
+    part1 = [(1, "a", 10), (2, "a", 10), (3, "a", 11), (4, "b", 20)]
+    part2 = [(5, "a", 12), (6, "b", 12)]
+    d = tempfile.mkdtemp(prefix="mras_tws_ms_")
+    df1 = spark.createDataFrame(part1, cols)
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _, out = run_to_memory_sink(bucket_counts_per_type(stream, n_buckets=10), "update")
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    final = (
+        out.withColumn("mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("event_type", "bucket", "n")
+        .collect()
+    )
+    got = {(r["event_type"], r["bucket"]): r["n"] for r in final}
+    assert got == {("a", 0): 2, ("a", 1): 1, ("a", 2): 1, ("b", 0): 1, ("b", 2): 1}
+
+
 def test_longest_run_detects_out_of_order_across_batches(spark):
     """When a later micro-batch delivers events BELOW a user's event-time
     high-water mark, run stitching is no longer trustworthy -- the operator
