@@ -571,3 +571,75 @@ def q59_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# q60: training SEQUENCE PACKING -- pack documents into fixed token-budget
+# training sequences (the step between curation and the trainer: docs are
+# concatenated up to ~context-length tokens per sample). The 100 TB shape
+# is TWO-LEVEL: a single global cumulative-sum ordering would serialize
+# the whole corpus through one window; instead docs hash into independent
+# buckets (deterministic md5 shard) and each bucket packs internally with
+# a partitioned window -- embarrassingly parallel, no global sort, and
+# the bucket count is the write-parallelism knob. Boundary rule is
+# cumulative-tokens-before-doc div budget (a doc straddling the boundary
+# joins the earlier sequence, so fill_ratio can exceed 1.0 by at most one
+# doc -- reported, not hidden). Fully SQL-expressible -> exact oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q60_sequence_packing",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, md5(text) AS ord,
+         CAST((('0x' || substr(md5(text), 1, 8))::UBIGINT)::BIGINT % 8 AS INT)
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT bucket, CAST(floor(cum_before / 512) AS INT) AS seq,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       round(sum(n_tokens) / 512.0, 4) AS fill_ratio
+FROM c GROUP BY bucket, seq
+""",
+    doc="Two-level fixed-token-budget sequence packing: md5-bucket shard, "
+    "per-bucket cumulative window, no global sort.",
+)
+def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_hash32
+
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("ord"),
+        (md5_hash32(F.col("text")) % 8).cast("int").alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("seq", F.floor(F.col("cum_before") / budget).cast("int"))
+        .groupBy("bucket", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.round(F.sum("n_tokens") / float(budget), 4).alias("fill_ratio"),
+        )
+    )
