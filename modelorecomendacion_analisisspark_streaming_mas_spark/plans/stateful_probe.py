@@ -16,8 +16,6 @@ in both directions; tests/test_streaming.py runs the operator end-to-end.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,49 +41,30 @@ FROM events GROUP BY event_type
 """
 
 
-_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-_ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
-
-
-@contextmanager
-def _rocksdb_state_store(spark: SparkSession):
-    """transformWithState keeps each named state variable in its own
-    column family, which the default HDFS-backed provider cannot host --
-    RocksDB (bundled rocksdbjni jar) is the supported store and the one
-    you'd run at 100 TB anyway (incremental-changelog checkpointing,
-    off-heap state). Scoped: the session conf flips only inside the
-    ``with`` and is restored after, so co-resident HDFS-backed stateful
-    queries (s09) keep their pinned checkpoints."""
-    prior = spark.conf.get(_PROVIDER_KEY, None)
-    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
-    try:
-        yield
-    finally:
-        if prior is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prior)
-
-
 def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-type (count, sum) through transformWithStateInPandas
     (ValueState); final state per key equals the batch aggregate (same
-    monotone-emission reduction discipline as s09)."""
+    monotone-emission reduction discipline as s09).
+
+    ``rocksdb_state=True`` because transformWithState keeps each named
+    state variable in its own column family, which the default
+    HDFS-backed provider cannot host -- and RocksDB is the store you'd
+    run at 100 TB anyway (incremental-changelog checkpointing, off-heap
+    state)."""
     from ..sources.streams import run_to_memory_sink
     from ..streaming.stateful_v2 import running_count_sum_per_type
     from .streamq import _replayed
 
-    with _rocksdb_state_store(spark):
-        stream = _replayed(spark, sf_dir)
-        out_stream = running_count_sum_per_type(stream)
-        # State parallelism (pinned into the checkpoint at first start)
-        # should track key cardinality: 5 event types on 8 partitions
-        # means 8 RocksDB instances opened+committed per micro-batch for
-        # 5 keys of work -- measured 2.4x slower than 4 partitions at
-        # sf0.1. At real scale this knob goes UP with keys x throughput.
-        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=4)
+    stream = _replayed(spark, sf_dir)
+    out_stream = running_count_sum_per_type(stream)
+    # State parallelism (pinned into the checkpoint at first start)
+    # should track key cardinality: 5 event types on 8 partitions
+    # means 8 RocksDB instances opened+committed per micro-batch for
+    # 5 keys of work -- measured 2.4x slower than 4 partitions at
+    # sf0.1. At real scale this knob goes UP with keys x throughput.
+    _, out = run_to_memory_sink(
+        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+    )
     return out.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
@@ -119,11 +98,12 @@ def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful_v2 import latest_k_per_type
     from .streamq import _replayed
 
-    with _rocksdb_state_store(spark):
-        stream = _replayed(spark, sf_dir)
-        out_stream = latest_k_per_type(stream, k=3)
-        # 4 partitions for 5 keys: see the sizing note in s10.
-        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=4)
+    stream = _replayed(spark, sf_dir)
+    out_stream = latest_k_per_type(stream, k=3)
+    # 4 partitions for 5 keys: see the sizing note in s10.
+    _, out = run_to_memory_sink(
+        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+    )
     w = Window.partitionBy("event_type")
     return (
         out.withColumn("_mx", F.max("n_seen").over(w))
@@ -156,11 +136,12 @@ def _s19_stream_tws_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful_v2 import bucket_counts_per_type
     from .streamq import _replayed
 
-    with _rocksdb_state_store(spark):
-        stream = _replayed(spark, sf_dir)
-        out_stream = bucket_counts_per_type(stream, n_buckets=10)
-        # 4 partitions for 5 keys: see the sizing note in s10.
-        _, out = run_to_memory_sink(out_stream, "update", shuffle_partitions=4)
+    stream = _replayed(spark, sf_dir)
+    out_stream = bucket_counts_per_type(stream, n_buckets=10)
+    # 4 partitions for 5 keys: see the sizing note in s10.
+    _, out = run_to_memory_sink(
+        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+    )
     w = Window.partitionBy("event_type")
     return (
         out.withColumn("_mx", F.max("n_seen").over(w))

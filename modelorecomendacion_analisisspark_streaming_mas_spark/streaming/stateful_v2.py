@@ -43,10 +43,21 @@ OUT_SCHEMA = "event_type string, n_events bigint, sum_value double"
 
 
 class RunningCountSum(StatefulProcessor):
-    """Per-key running count + sum held in a named ValueState."""
+    """Per-key running count + sum held in a named ValueState.
+
+    ``ttl_ms``: optional state time-to-live -- the knob that bounds state
+    at 100 TB key cardinality (an entry untouched for ttl_ms is expired
+    by the store and the key restarts from zero). None = retain forever,
+    which is what the s10 oracle needs.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._agg = handle.getValueState("agg", "n bigint, total double")
+        self._agg = handle.getValueState(
+            "agg", "n bigint, total double", ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues

@@ -290,21 +290,11 @@ def test_transform_with_state_running_counts(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     df.coalesce(1).write.mode("overwrite").parquet(d)
     stream = file_stream(spark, d, df.schema)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    _, out = run_to_memory_sink(
+        running_count_sum_per_type(stream.select("event_type", "value")),
+        "update",
+        rocksdb_state=True,
     )
-    try:
-        _, out = run_to_memory_sink(
-            running_count_sum_per_type(stream.select("event_type", "value")), "update"
-        )
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
     final = {
         r["event_type"]: (r["n_events"], r["sum_value"])
         for r in out.groupBy("event_type")
@@ -354,19 +344,9 @@ def test_transform_with_state_latest_k_liststate(spark):
     spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
 
     stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    _, out = run_to_memory_sink(
+        latest_k_per_type(stream, k=2), "update", rocksdb_state=True
     )
-    try:
-        _, out = run_to_memory_sink(latest_k_per_type(stream, k=2), "update")
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
 
     assert out.agg(F.max("slot")).first()[0] <= 2  # state bounded at k
     from pyspark.sql import Window
@@ -383,7 +363,87 @@ def test_transform_with_state_latest_k_liststate(spark):
     assert got == {("a", 1): 7, ("a", 2): 5, ("b", 1): 6, ("b", 2): 3}
 
 
-def test_transform_with_state_map_state_buckets(spark):
+def test_transform_with_state_ttl_expires_across_restart(spark):
+    """State TTL -- the knob that bounds stateful-v2 state at 100 TB key
+    cardinality. Two availableNow runs share one checkpoint (a real
+    restart, which also exercises state recovery): with a tiny TTL and a
+    wall-clock gap between runs, the key's count restarts from the second
+    batch alone; a no-TTL control over the same two batches accumulates."""
+    import time
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.compat import protobuf_shim
+
+    if protobuf_shim.install() is None:
+        pytest.skip("no protobuf runtime (native or vendored) on this host")
+    protobuf_shim.ensure_worker_shim(spark)
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        RunningCountSum,
+    )
+
+    cols = "event_type string, value double"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run_two_batches(ttl_ms):
+        src = tempfile.mkdtemp(prefix="mras_ttl_src_")
+        ckpt = tempfile.mkdtemp(prefix="mras_ttl_ckpt_")
+        df1 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], cols)
+        df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+        def one_run(expect_max):
+            # foreachBatch, not the memory sink: memory sinks reject
+            # checkpoint RECOVERY, and this test's whole point is resuming
+            # the same checkpoint. ProcessingTime time-mode queries keep
+            # ticking empty batches (the TTL clock), so drain by polling
+            # the accumulated output, then stop -- availableNow never
+            # self-terminates here.
+            acc = []
+            stream = file_stream(spark, src, df1.schema)
+            plan = stream.groupBy("event_type").transformWithStateInPandas(
+                statefulProcessor=RunningCountSum(ttl_ms=ttl_ms),
+                outputStructType="event_type string, n_events bigint, sum_value double",
+                outputMode="Update",
+                # TTL clocks require a time mode (state expiry is evaluated
+                # against it); "None" rejects ttlDurationMs at init.
+                timeMode="ProcessingTime",
+            )
+            q = (
+                plan.writeStream.foreachBatch(lambda df, eid: acc.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if max((r["n_events"] for r in acc), default=0) >= expect_max:
+                    break
+                time.sleep(0.3)
+            q.stop()
+            q.awaitTermination()
+            return max((r["n_events"] for r in acc), default=None)
+
+        assert one_run(expect_max=2) == 2
+        time.sleep(2.0)  # let the TTL clock pass between runs
+        spark.createDataFrame([("a", 10.0)], cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return one_run(expect_max=1)
+
+    try:
+        # ttl far below the gap: run-1 state expired -> count restarts at 1
+        assert run_two_batches(ttl_ms=500) == 1
+        # control (no ttl): state survives the restart -> accumulates to 3
+        assert run_two_batches(ttl_ms=None) == 3
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     """stateful_v2's THIRD typed-state surface: MapState point-updates.
     Across two micro-batches the per-(type, bucket) counts must equal the
     batch groupBy, and buckets untouched by a batch must persist in the
@@ -409,19 +469,9 @@ def test_transform_with_state_map_state_buckets(spark):
     spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
 
     stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    _, out = run_to_memory_sink(
+        bucket_counts_per_type(stream, n_buckets=10), "update", rocksdb_state=True
     )
-    try:
-        _, out = run_to_memory_sink(bucket_counts_per_type(stream, n_buckets=10), "update")
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
 
     from pyspark.sql import Window
 
