@@ -1,0 +1,503 @@
+"""Round-4 additions: web-curation and retrieval primitives over the
+``documents`` table.
+
+Four operators a 100 TB pretraining-data pipeline runs constantly, each
+expressed as a declarative DataFrame plan with an exact DuckDB oracle:
+
+  * q61 source-level quality gating (the C4/RefinedWeb "drop bad domains"
+    step: aggregate doc-level quality per source, gate sources, keep docs);
+  * q62 BM25 top-k retrieval (the decontamination / eval-search primitive;
+    inverted-index shape: only docs containing a query term are scored);
+  * q63 deterministic epoch shuffle + round-robin sharding (the "shuffle
+    the corpus identically on every rerun" step before sequence packing);
+  * q64 vocabulary coverage curve (tokenizer-planning: what fraction of
+    corpus tokens the top-k vocabulary entries cover).
+
+Capability parity: the reference's ETL notebooks stop at per-column
+cleaning (reference ``proyecto/limpieza*.ipynb``); these queries are the
+corpus-level analogues its pipeline would need at scale, built on the
+same tokenize/aggregate/window machinery as t01-t08.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# q61: source-level quality gate. Doc-level quality (distinct-token ratio)
+# -> per-source mean -> sources passing a threshold -> keep only their
+# docs. Scale shape: the per-source aggregate is |sources| rows (tiny),
+# broadcast back as a semi-join filter -- the corpus is scanned twice but
+# never shuffled on doc_id; both aggregations are partial-agg friendly.
+# The gate value is rounded on both sides before the >= comparison so a
+# float summation-order difference can never flip a source's verdict.
+# --------------------------------------------------------------------------
+
+_Q61_THRESHOLD = 0.50
+
+_Q61_ORACLE = f"""
+WITH doc_q AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS ratio
+  FROM documents
+), src AS (
+  SELECT source, round(avg(ratio), 6) AS src_avg_ratio
+  FROM doc_q GROUP BY source
+  HAVING round(avg(ratio), 6) >= {_Q61_THRESHOLD}
+)
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       any_value(s.src_avg_ratio) AS src_avg_ratio
+FROM doc_q d JOIN src s ON d.source = s.source
+GROUP BY d.source, d.lang
+"""
+
+
+@register(
+    "q61_source_quality_gate",
+    oracle=_Q61_ORACLE,
+    doc="Domain/source-level quality gating: per-source mean distinct-token "
+    "ratio, keep sources >= 0.50, report kept docs per (source, lang). "
+    "Broadcast gate, no corpus shuffle.",
+)
+def q61_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    doc_q = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ratio"),
+    )
+    src = (
+        doc_q.groupBy("source")
+        .agg(F.round(F.avg("ratio"), 6).alias("src_avg_ratio"))
+        .filter(F.col("src_avg_ratio") >= _Q61_THRESHOLD)
+    )
+    return (
+        doc_q.join(F.broadcast(src), "source")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.any_value("src_avg_ratio").alias("src_avg_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q62: BM25 top-k retrieval (Okapi, k1=1.2 b=0.75). The corpus-search
+# primitive behind eval-set decontamination and dataset search. Scale
+# shape: docs NOT containing any query term are dropped with a JVM-side
+# arrays_overlap filter BEFORE the explode (the inverted-index probe); df
+# and the per-doc term frequencies come from the surviving rows only; the
+# 3-row df table is broadcast; final top-k is a TakeOrdered, never a full
+# sort. Per-term contributions are rounded at 9dp before the per-doc sum
+# and the sum again at 6dp so partial-agg order cannot flip the hash.
+# --------------------------------------------------------------------------
+
+_Q62_TERMS = ("spark", "window", "sort")
+_Q62_K1 = 1.2
+_Q62_B = 0.75
+_Q62_TOPK = 50
+
+_Q62_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q62_TERMS)
+
+_Q62_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM base
+), tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+  FROM base WHERE list_has_any(ws, [{_Q62_TERMS_SQL}])
+), tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM tok WHERE term IN ({_Q62_TERMS_SQL})
+  GROUP BY doc_id, term, dl
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+           * (tf.tf * ({_Q62_K1} + 1.0))
+           / (tf.tf + {_Q62_K1} * (1.0 - {_Q62_B} + {_Q62_B} * tf.dl / stats.avgdl)),
+           9) AS c
+  FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats
+)
+SELECT doc_id, round(sum(c), 6) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id LIMIT {_Q62_TOPK}
+"""
+
+
+@register(
+    "q62_bm25_topk",
+    oracle=_Q62_ORACLE,
+    doc="Okapi BM25 top-50 for a fixed 3-term query; arrays_overlap "
+    "pre-filter before explode, broadcast df table, TakeOrdered top-k.",
+)
+def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize("text").alias("ws"))
+    n_docs, avgdl = base.agg(
+        F.count(F.lit(1)), F.avg(F.size("ws"))
+    ).first()
+
+    terms = F.array(*[F.lit(t) for t in _Q62_TERMS])
+    tok = (
+        base.filter(F.arrays_overlap("ws", terms))
+        .select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_Q62_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _Q62_K1 * (
+        1.0 - _Q62_B + _Q62_B * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        F.round(idf * (F.col("tf") * (_Q62_K1 + 1.0)) / denom, 9).alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("_s"))
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(_Q62_TOPK)
+        .select("doc_id", F.round("_s", 6).alias("bm25"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q63: deterministic epoch shuffle + round-robin sharding. Pretraining
+# loaders need the SAME pseudo-random corpus order on every rerun of an
+# epoch: order by md5(epoch_salt || doc_id) (bit-identical in DuckDB, same
+# contract as q28/q57), then stripe row_number() % n_shards so every shard
+# gets an equal, deterministic slice. Scale shape: the sort is a
+# range-partitioned total order (Spark's orderBy), the striping and the
+# per-shard manifest aggregate are partial-agg friendly; output is
+# n_shards rows. min(ord)/arg_min witness the order is the hashed one.
+# --------------------------------------------------------------------------
+
+_Q63_SALT = "epoch7|"
+_Q63_SHARDS = 16
+
+_Q63_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5('{_Q63_SALT}' || doc_id::VARCHAR) AS ord
+  FROM documents
+), striped AS (
+  SELECT doc_id, n_chars, ord,
+         (row_number() OVER (ORDER BY ord, doc_id) - 1) % {_Q63_SHARDS} AS shard_id
+  FROM h
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(substr(ord, 1, 8)) AS first_ord,
+       arg_min(doc_id, ord) AS first_doc
+FROM striped GROUP BY shard_id
+"""
+
+
+@register(
+    "q63_epoch_shuffle_shards",
+    oracle=_Q63_ORACLE,
+    doc="Deterministic epoch shuffle (order by md5(salt||doc_id)) striped "
+    "round-robin into 16 shards; per-shard manifest with order witness.",
+)
+def q63_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit(_Q63_SALT), F.col("doc_id").cast("string"))).alias("ord"),
+    )
+    w = Window.orderBy("ord", "doc_id")
+    striped = h.withColumn(
+        "shard_id", ((F.row_number().over(w) - 1) % _Q63_SHARDS).cast("long")
+    )
+    return striped.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.substring("ord", 1, 8)).alias("first_ord"),
+        F.min_by("doc_id", "ord").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q64: vocabulary coverage curve -- tokenizer planning: after counting
+# corpus token frequencies, what cumulative fraction of all tokens do the
+# top-k vocabulary entries cover? One explode+groupBy (partial-agg
+# combine does the heavy lifting map-side), then window arithmetic over
+# the |vocab|-sized frequency table -- the expensive pass touches the
+# corpus once; everything after is vocabulary-sized.
+# --------------------------------------------------------------------------
+
+_Q64_TOPK = 20
+
+_Q64_ORACLE = f"""
+WITH freq AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+), tot AS (SELECT sum(cnt) AS total FROM freq)
+SELECT term, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+       round(sum(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING)::DOUBLE / tot.total, 8)
+         AS cum_frac
+FROM freq CROSS JOIN tot
+ORDER BY rank LIMIT {_Q64_TOPK}
+"""
+
+
+@register(
+    "q64_vocab_coverage",
+    oracle=_Q64_ORACLE,
+    doc="Vocabulary coverage curve: corpus token frequencies, cumulative "
+    "coverage fraction of the top-20 entries (tokenizer planning).",
+)
+def q64_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt")).first()[0]
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    cum = Window.orderBy(F.desc("cnt"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_frac",
+            F.round(F.sum("cnt").over(cum).cast("double") / F.lit(float(total)), 8),
+        )
+        .orderBy("rank")
+        .limit(_Q64_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q65: distributed Bloom-filter runtime pruning -- the "runtime row filter"
+# Spark builds internally for dynamic join pruning, hand-rolled so the
+# filter itself is oracle-verifiable. Build: hash each watchlist key twice
+# (portable md5), set 2 bits in an m=1008-bit filter materialized as a
+# 16-row (word_idx, bits) dim via groupBy+bit_or -- an aggregate, never a
+# driver collect, so the build distributes at any |keys|. Probe: two
+# broadcast equi-joins against the 16-row filter, pure bit-ops JVM-side.
+# Bits are 0..62 per word (bit 63 avoided: DuckDB raises on 1<<63). The
+# output reports measured false-positive pruning quality vs the exact
+# semi-join.
+# --------------------------------------------------------------------------
+
+_Q65_WORDS = 16
+_Q65_BITS = _Q65_WORDS * 63  # 1008 addressable bits, 0..62 used per word
+
+_Q65_ORACLE = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9900
+), key_bits AS (
+  SELECT c_custkey,
+         (('0x'||substr(md5('bf1|' || c_custkey::VARCHAR),1,8))::UBIGINT)::BIGINT
+           % {_Q65_BITS} AS b1,
+         (('0x'||substr(md5('bf2|' || c_custkey::VARCHAR),1,8))::UBIGINT)::BIGINT
+           % {_Q65_BITS} AS b2
+  FROM keys
+), contrib AS (
+  SELECT b1 // 63 AS word_idx, 1::BIGINT << (b1 % 63)::INT AS bits FROM key_bits
+  UNION ALL
+  SELECT b2 // 63, 1::BIGINT << (b2 % 63)::INT FROM key_bits
+), bloom AS (
+  SELECT word_idx, bit_or(bits) AS word FROM contrib GROUP BY word_idx
+), probe AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), probe_bits AS (
+  SELECT k,
+         (('0x'||substr(md5('bf1|' || k::VARCHAR),1,8))::UBIGINT)::BIGINT
+           % {_Q65_BITS} AS b1,
+         (('0x'||substr(md5('bf2|' || k::VARCHAR),1,8))::UBIGINT)::BIGINT
+           % {_Q65_BITS} AS b2
+  FROM probe
+), tested AS (
+  -- LEFT joins: a probe hashing into a word no key ever touched must FAIL
+  -- the test (empty word = 0 bits), not vanish from n_probe.
+  SELECT p.k,
+         ((coalesce(w1.word, 0) & (1::BIGINT << (p.b1 % 63)::INT)) <> 0
+          AND (coalesce(w2.word, 0) & (1::BIGINT << (p.b2 % 63)::INT)) <> 0)
+           AS bloom_pass,
+         EXISTS (SELECT 1 FROM keys kk WHERE kk.c_custkey = p.k) AS is_member
+  FROM probe_bits p
+  LEFT JOIN bloom w1 ON w1.word_idx = p.b1 // 63
+  LEFT JOIN bloom w2 ON w2.word_idx = p.b2 // 63
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(count(CASE WHEN bloom_pass THEN 1 END) AS BIGINT) AS n_pass,
+       CAST(count(CASE WHEN is_member THEN 1 END) AS BIGINT) AS n_members,
+       CAST(count(CASE WHEN bloom_pass AND NOT is_member THEN 1 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(count(CASE WHEN is_member AND NOT bloom_pass THEN 1 END) AS BIGINT)
+         AS n_false_neg
+FROM tested
+"""
+
+
+@register(
+    "q65_bloom_prune_join",
+    oracle=_Q65_ORACLE,
+    doc="Hand-rolled distributed Bloom filter (m=1008, k=2, portable md5 "
+    "bits): build via groupBy+bit_or into a 16-row dim, probe via two "
+    "broadcast joins; reports FP/FN vs the exact semi-join (FN must be 0).",
+)
+def q65_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+
+    def bit_pos(col, seed: str):
+        return md5_hash32(F.concat(F.lit(seed), col.cast("string"))) % _Q65_BITS
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_acctbal") > 9900).select("c_custkey")
+    kb = keys.select(
+        "c_custkey",
+        bit_pos(F.col("c_custkey"), "bf1|").alias("b1"),
+        bit_pos(F.col("c_custkey"), "bf2|").alias("b2"),
+    )
+    contrib = kb.select(
+        (F.col("b1") / 63).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b1 % 63 AS INT))").alias("bits"),
+    ).unionAll(
+        kb.select(
+            (F.col("b2") / 63).cast("long"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b2 % 63 AS INT))"),
+        )
+    )
+    bloom = contrib.groupBy("word_idx").agg(F.bit_or("bits").alias("word"))
+
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pb = probe.select(
+        "k",
+        bit_pos(F.col("k"), "bf1|").alias("b1"),
+        bit_pos(F.col("k"), "bf2|").alias("b2"),
+    )
+    w1 = F.broadcast(bloom.select(F.col("word_idx").alias("wi1"), F.col("word").alias("word1")))
+    w2 = F.broadcast(bloom.select(F.col("word_idx").alias("wi2"), F.col("word").alias("word2")))
+    member = F.broadcast(keys.select(F.col("c_custkey").alias("k")).withColumn("is_member", F.lit(True)))
+    # Left joins so a probe hashing into an all-zero (absent) word fails
+    # the membership test instead of disappearing from n_probe.
+    tested = (
+        pb.join(w1, (F.col("b1") / 63).cast("long") == F.col("wi1"), "left")
+        .join(w2, (F.col("b2") / 63).cast("long") == F.col("wi2"), "left")
+        .join(member, "k", "left")
+        .select(
+            (
+                (
+                    F.coalesce(F.col("word1"), F.lit(0).cast("long")).bitwiseAND(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b1 % 63 AS INT))")
+                    )
+                    != 0
+                )
+                & (
+                    F.coalesce(F.col("word2"), F.lit(0).cast("long")).bitwiseAND(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b2 % 63 AS INT))")
+                    )
+                    != 0
+                )
+            ).alias("bloom_pass"),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+    )
+    return tested.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_pass"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_members"),
+        F.count(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1)).alias("n_false_pos"),
+        F.count(F.when(F.col("is_member") & ~F.col("bloom_pass"), 1)).alias("n_false_neg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q66: interval-overlap join via bin bucketing. The naive formulation
+# ("order interval overlaps month window") is an inequality join Spark
+# can only run as a nested loop; the scale-safe plan EXPLODES each
+# interval into the month bins it spans (bounded fan-out: interval days /
+# bin width, here <= 3) and the overlap becomes a plain partial-agg
+# groupBy on the bin key -- no join at all. The oracle states the naive
+# inequality-join semantics and must produce identical results, proving
+# the bin rewrite exact. Intervals are derived deterministically from
+# orders (start = o_orderdate, length = o_orderkey % 45 days).
+# --------------------------------------------------------------------------
+
+_Q66_ORACLE = """
+WITH iv AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate AS s,
+         o_orderdate + ((o_orderkey % 45)::INT) * INTERVAL 1 DAY AS e
+  FROM orders
+), bounds AS (
+  SELECT date_trunc('month', min(s)) AS lo, max(e) AS hi FROM iv
+), months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month_start
+  FROM bounds
+)
+SELECT m.month_start,
+       CAST(count(*) AS BIGINT) AS n_open,
+       round(sum(iv.o_totalprice), 2) AS sum_open_value
+FROM months m
+JOIN iv ON iv.s < m.month_start + INTERVAL 1 MONTH AND iv.e >= m.month_start
+GROUP BY m.month_start
+"""
+
+
+@register(
+    "q66_interval_month_overlap",
+    oracle=_Q66_ORACLE,
+    doc="Interval-overlap join rewritten as bounded bin explode + groupBy "
+    "(no inequality join / NLJ); oracle is the naive overlap join, "
+    "proving the rewrite exact.",
+)
+def q66_interval_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_totalprice",
+        F.col("o_orderdate").alias("s"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 45 AS INT))").alias("e"),
+    )
+    binned = iv.select(
+        "o_totalprice",
+        F.explode(
+            F.expr("sequence(date_trunc('month', s), e, interval 1 month)")
+        ).alias("month_start"),
+    )
+    return binned.groupBy("month_start").agg(
+        F.count(F.lit(1)).alias("n_open"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_open_value"),
+    )
+
