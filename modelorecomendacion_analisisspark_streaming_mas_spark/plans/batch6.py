@@ -1,7 +1,7 @@
 """Round-4 additions: web-curation and retrieval primitives over the
 ``documents`` table.
 
-Four operators a 100 TB pretraining-data pipeline runs constantly, each
+Operators a 100 TB pretraining-data pipeline runs constantly, each
 expressed as a declarative DataFrame plan with an exact DuckDB oracle:
 
   * q61 source-level quality gating (the C4/RefinedWeb "drop bad domains"
@@ -11,7 +11,14 @@ expressed as a declarative DataFrame plan with an exact DuckDB oracle:
   * q63 deterministic epoch shuffle + round-robin sharding (the "shuffle
     the corpus identically on every rerun" step before sequence packing);
   * q64 vocabulary coverage curve (tokenizer-planning: what fraction of
-    corpus tokens the top-k vocabulary entries cover).
+    corpus tokens the top-k vocabulary entries cover);
+  * q65 distributed Bloom runtime filter (build = aggregate, probe =
+    broadcast bit-ops; the oracle-checkable twin of Spark's runtime
+    row-level join pruning);
+  * q66 interval-overlap join via bounded bin explode (the scale-safe
+    rewrite of an inequality join Spark would nested-loop);
+  * q67 Count-Min sketch heavy hitters (mergeable-by-construction
+    partial-agg build; est >= true audited per probe).
 
 Capability parity: the reference's ETL notebooks stop at per-column
 cleaning (reference ``proyecto/limpieza*.ipynb``); these queries are the
@@ -499,5 +506,273 @@ def q66_interval_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("month_start").agg(
         F.count(F.lit(1)).alias("n_open"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_open_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q67: Count-Min sketch heavy hitters. The streaming-friendly frequency
+# sketch (d=4 rows x w=64 counters, portable md5 hashes) built as a plain
+# partial-agg groupBy -- which IS the CMS merge property: counters from
+# different partitions add, so the same plan distributes/merges at any
+# scale and the sketch table is d*w rows regardless of input size.
+# Probes (the exact top-10 users, deterministic tie-break) read their
+# estimate as min over the d cells via one broadcast join; CMS guarantees
+# est >= true (overcount only), which the output exposes per probe and
+# the oracle re-derives identically.
+# --------------------------------------------------------------------------
+
+_Q67_D = 4
+_Q67_W = 64
+_Q67_TOPK = 10
+
+_Q67_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id FROM events
+), rows_j AS (
+  SELECT unnest(generate_series(0, {_Q67_D - 1})) AS j
+), cells AS (
+  SELECT j,
+         (('0x'||substr(md5('cms'||j::VARCHAR||'|'||user_id::VARCHAR),1,8))::UBIGINT)::BIGINT
+           % {_Q67_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ev CROSS JOIN rows_j GROUP BY j, bucket
+), truec AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM ev GROUP BY user_id
+  ORDER BY count(*) DESC, user_id LIMIT {_Q67_TOPK}
+), probe AS (
+  SELECT t.user_id, t.true_cnt, r.j,
+         (('0x'||substr(md5('cms'||r.j::VARCHAR||'|'||t.user_id::VARCHAR),1,8))::UBIGINT)::BIGINT
+           % {_Q67_W} AS bucket
+  FROM truec t CROSS JOIN rows_j r
+)
+SELECT p.user_id, p.true_cnt,
+       min(c.cnt) AS est_cnt,
+       min(c.cnt) - p.true_cnt AS overcount
+FROM probe p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.user_id, p.true_cnt
+"""
+
+
+@register(
+    "q67_countmin_heavy_hitters",
+    oracle=_Q67_ORACLE,
+    doc="Count-Min sketch (d=4, w=64, portable md5) built as a mergeable "
+    "partial-agg groupBy; exact top-10 users probed against it, min-over-"
+    "rows estimate and per-probe overcount (always >= 0) reported.",
+)
+def q67_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+
+    def bucket(col, j: int):
+        return md5_hash32(F.concat(F.lit(f"cms{j}|"), col.cast("string"))) % _Q67_W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                bucket(F.col("user_id"), j).alias("bucket"),
+            )
+            for j in range(_Q67_D)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(cell_structs).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truec = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(_Q67_TOPK)
+    )
+    probe = truec.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        bucket(F.col("user_id"), j).alias("bucket"),
+                    )
+                    for j in range(_Q67_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "true_cnt", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(
+            F.min("cnt").alias("est_cnt"),
+            (F.min("cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q68: windowed funnel analysis (view -> click within 24h -> purchase
+# within 24h), the MATCH_RECOGNIZE-lite event-sequence primitive with
+# the conversion-window semantics product analytics actually uses
+# (first-touch anchoring: each step matches the FIRST qualifying event
+# after the previous step, within the window). Per user, a JVM-side
+# higher-order `aggregate` walks the time-sorted event list as a state
+# machine whose accumulator is (stage, anchor_ts) -- no Python UDF, no
+# per-step self-joins. Sort key is (ts, step_no), so simultaneous events
+# resolve in funnel order; the oracle re-derives the same semantics with
+# sequential conditional mins (>= lower bound because equal timestamps
+# sort in funnel order; <= anchor+window upper bound). Scale shape:
+# events are filtered to funnel types BEFORE the collect; per-user lists
+# are session-sized; users with zero funnel events re-enter as stage 0
+# via a distinct-users frame, never a corpus-wide collect.
+# --------------------------------------------------------------------------
+
+_Q68_WINDOW_MIN = 1440  # 24h conversion window: splits sf0.01 users 90/35/25
+
+_Q68_ORACLE = f"""
+WITH f1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS s1
+  FROM events GROUP BY user_id
+), f2 AS (
+  SELECT e.user_id, any_value(f1.s1) AS s1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= f1.s1
+                   AND e.ts <= f1.s1 + INTERVAL {_Q68_WINDOW_MIN} MINUTE
+              THEN e.ts END) AS s2
+  FROM events e JOIN f1 ON e.user_id = f1.user_id GROUP BY e.user_id
+), f3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= f2.s2
+                   AND e.ts <= f2.s2 + INTERVAL {_Q68_WINDOW_MIN} MINUTE
+              THEN e.ts END) AS s3,
+         any_value(f2.s1) AS s1, any_value(f2.s2) AS s2
+  FROM events e JOIN f2 ON e.user_id = f2.user_id GROUP BY e.user_id
+)
+SELECT CASE WHEN s3 IS NOT NULL THEN 3
+            WHEN s2 IS NOT NULL THEN 2
+            WHEN s1 IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f3 GROUP BY 1
+"""
+
+
+def funnel_user_stages(
+    ev: DataFrame, steps: tuple[str, ...], window_min: int | None = None
+) -> DataFrame:
+    """(user_id, ts, event_type) -> (user_id, stage): furthest funnel step
+    each user reached, matching the FIRST qualifying event per step in
+    time order (first-touch anchoring). With ``window_min`` set, each step
+    beyond the first must land within that many minutes of the previous
+    step's match. Events are filtered to funnel types BEFORE the per-user
+    collect; simultaneous events resolve in funnel order via the
+    (ts, step_no) sort key. Reusable core of q68; tie and window
+    semantics pinned by tests/test_batch6_ops.py.
+    """
+    step = None
+    for i, name in enumerate(steps, start=1):
+        step = (
+            F.when(F.col("event_type") == name, i)
+            if step is None
+            else step.when(F.col("event_type") == name, i)
+        )
+    funnel = ev.select("user_id", "ts", step.alias("step")).filter(
+        F.col("step").isNotNull()
+    )
+    per_user = funnel.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "step"))).alias("seq")
+    )
+    n = len(steps)
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("anchor")
+    )
+    stage = F.aggregate(
+        "seq",
+        init,
+        lambda acc, x: _funnel_advance(acc, x, n, window_min),
+        lambda acc: acc["stage"],
+    )
+    staged = per_user.select("user_id", stage.alias("stage"))
+    users = ev.select("user_id").distinct()
+    return users.join(staged, "user_id", "left").select(
+        "user_id", F.coalesce("stage", F.lit(0)).alias("stage")
+    )
+
+
+def _funnel_advance(acc, x, n_steps: int, window_min: int | None):
+    out = None
+    for i in range(1, n_steps + 1):
+        cond = (acc["stage"] == i - 1) & (x["step"] == i)
+        if window_min is not None and i > 1:
+            cond = cond & (
+                x["ts"] <= acc["anchor"] + F.expr(f"interval {window_min} minutes")
+            )
+        advanced = F.struct(F.lit(i).alias("stage"), x["ts"].alias("anchor"))
+        out = F.when(cond, advanced) if out is None else out.when(cond, advanced)
+    return out.otherwise(acc)
+
+
+@register(
+    "q68_funnel_stages",
+    oracle=_Q68_ORACLE,
+    doc="Windowed view->click->purchase funnel (24h conversion window, "
+    "first-touch anchoring) via a JVM higher-order aggregate state "
+    "machine; oracle = sequential conditional mins, identical ties.",
+)
+def q68_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    staged = funnel_user_stages(
+        ev, ("view", "click", "purchase"), window_min=_Q68_WINDOW_MIN
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# q69: retention cohort matrix -- the product-analytics staple. Cohort =
+# each user's first active day; one row per (cohort_day, day_offset) with
+# the distinct active users. Two partial-agg passes (first-touch per
+# user, distinct user-days) joined on user_id; the matrix is
+# |cohorts| x |days| -- tiny output regardless of input size.
+# --------------------------------------------------------------------------
+
+_Q69_ORACLE = """
+WITH first_touch AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+  FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM active a JOIN first_touch f ON a.user_id = f.user_id
+GROUP BY 1, day_offset
+"""
+
+
+@register(
+    "q69_retention_cohorts",
+    oracle=_Q69_ORACLE,
+    doc="Retention cohort matrix: first-active-day cohorts x day offset "
+    "-> distinct active users; two partial-agg passes + one join.",
+)
+def q69_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_touch = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
+    ).distinct()
+    return (
+        active.join(first_touch, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
 

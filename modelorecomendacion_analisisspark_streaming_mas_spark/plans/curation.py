@@ -366,8 +366,8 @@ def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d07_near_dup_clusters", oracle=_d07_oracle(8))
-def d07_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared d07/d09 front half: LSH pair graph -> (id, component)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
         docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4, shingle_n=3
@@ -383,7 +383,12 @@ def d07_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    cc = connected_components(verts, edges)
+    return connected_components(verts, edges)
+
+
+@register("d07_near_dup_clusters", oracle=_d07_oracle(8))
+def d07_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = _near_dup_components(spark, sf_dir)
     return (
         cc.groupBy(F.col("component").alias("keep_id"))
         .agg(
@@ -391,4 +396,65 @@ def d07_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("n_removed"),
         )
         .orderBy("keep_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# d09: QUALITY-based canonical selection. d07 keeps the min-doc_id member
+# of each near-dup cluster (the usual convention); production pipelines
+# keep the BEST member -- here max n_chars, doc_id as the deterministic
+# tie-break. Same pair graph and CC labels as d07; the selection is one
+# window rank over the cluster-sized label frame joined to a metadata
+# projection of the corpus (never the text payload). Oracle = d07's
+# unrolled CC lattice + the identical rank.
+# --------------------------------------------------------------------------
+
+
+def _d09_oracle(rounds: int = 8) -> str:
+    base = _d07_oracle(rounds)
+    final = base.rindex("SELECT lab AS keep_id")
+    return (
+        base[:final]
+        + """SELECT lab AS cluster_id, id AS keep_id, n_chars AS keep_chars,
+       n_docs
+FROM (
+  SELECT l.lab, l.id, d.n_chars,
+         CAST(count(*) OVER (PARTITION BY l.lab) AS BIGINT) AS n_docs,
+         row_number() OVER (PARTITION BY l.lab
+                            ORDER BY d.n_chars DESC, l.id) AS rn
+  FROM l"""
+        + str(rounds)
+        + """ l JOIN documents d ON l.id = d.doc_id
+) WHERE rn = 1
+"""
+    )
+
+
+@register(
+    "d09_canonical_keep_best",
+    oracle=_d09_oracle(8),
+    doc="Near-dup clusters keep the highest-quality member (max n_chars, "
+    "doc_id tie-break) instead of min-id; window rank over cluster-sized "
+    "frame joined to a metadata-only corpus projection.",
+)
+def d09_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cc = _near_dup_components(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = cc.join(meta, cc["id"] == meta["doc_id"]).select(
+        F.col("component").alias("cluster_id"), "id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id")
+    rank_w = w.orderBy(F.desc("n_chars"), F.asc("id"))
+    return (
+        labeled.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_docs",
+        )
     )

@@ -662,3 +662,64 @@ def s17_stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
     return out.select("event_type", F.col("n").cast("long").alias("n"), "sum_value")
+
+
+# --------------------------------------------------------------------------
+# s20: streaming Count-Min sketch maintenance -- q67's sketch build run
+# over the live stream. The cell explode + groupBy IS the CMS merge law,
+# so Spark's incremental state update maintains the sketch exactly: each
+# micro-batch's partial counters add into state, and the final state
+# equals the batch-built sketch (the oracle). State is bounded at d*w
+# rows (256) FOREVER, independent of stream length -- the reason
+# pipelines sketch instead of keeping exact per-key counts. Complete
+# mode here for the deterministic final snapshot; update mode emits only
+# touched cells per trigger in production.
+# --------------------------------------------------------------------------
+
+_S20_D = 4
+_S20_W = 64
+
+_S20_ORACLE = f"""
+WITH rows_j AS (
+  SELECT unnest(generate_series(0, {_S20_D - 1})) AS j
+)
+SELECT j,
+       (('0x'||substr(md5('cms'||j::VARCHAR||'|'||user_id::VARCHAR),1,8))::UBIGINT)::BIGINT
+         % {_S20_W} AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events CROSS JOIN rows_j GROUP BY j, bucket
+"""
+
+
+@register(
+    "s20_stream_countmin_cells",
+    oracle=_S20_ORACLE,
+    doc="Streaming Count-Min sketch: q67's cell build as an incremental "
+    "streaming aggregate; state bounded at d*w=256 rows regardless of "
+    "stream length, final state == batch sketch (oracle).",
+)
+def s20_stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+
+    stream = _replayed(spark, sf_dir).select("user_id")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                (
+                    md5_hash32(
+                        F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string"))
+                    )
+                    % _S20_W
+                ).alias("bucket"),
+            )
+            for j in range(_S20_D)
+        ]
+    )
+    cells = (
+        stream.select(F.explode(cell_structs).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _, out = run_to_memory_sink(cells, "complete", shuffle_partitions=8)
+    return out.select("j", "bucket", F.col("cnt").cast("long").alias("cnt"))

@@ -166,3 +166,98 @@ class FeedbackBotDataSource(DataSource):
 
 def register_feedback_bot_source(spark) -> None:
     spark.dataSource.register(FeedbackBotDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source STREAM WRITER (Spark 4): a JSONL-directory sink with
+# manifest-committed exactly-once semantics -- the write-side twin of the
+# readers above, completing the Python DS API surface (read batch, read
+# stream, write stream). Executors write micro-batch partitions to temp
+# files and return them as commit messages; the driver's commit() renames
+# them to deterministic batch-{id}-{i}.jsonl names and records a per-batch
+# manifest. A replayed batch (restart mid-commit) overwrites the SAME
+# names and manifest, so readers that trust only manifested files never
+# see duplicates -- the _spark_metadata idea of the built-in file sink,
+# re-implemented in ~60 lines of Python. At cluster scale `path` must be
+# shared storage, exactly like any file sink.
+# ---------------------------------------------------------------------------
+
+import glob as _glob
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+
+@dataclass
+class _JsonlFileMessage(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonlFileMessage:
+        tmp_dir = _os.path.join(self.path, "_tmp")
+        _os.makedirs(tmp_dir, exist_ok=True)
+        tmp = _os.path.join(tmp_dir, f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True, default=str) + "\n")
+                n += 1
+        return _JsonlFileMessage(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        # Deterministic final names + manifest overwrite = idempotent replay.
+        for stale in _glob.glob(_os.path.join(self.path, f"batch-{batchId}-*.jsonl")):
+            _os.remove(stale)
+        files = []
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = _os.path.join(self.path, f"batch-{batchId}-{i}.jsonl")
+            _os.replace(m.tmp_path, final)
+            files.append({"file": _os.path.basename(final), "rows": m.n_rows})
+        commits = _os.path.join(self.path, "_commits")
+        _os.makedirs(commits, exist_ok=True)
+        manifest_tmp = _os.path.join(commits, f".{batchId}.json.tmp")
+        with open(manifest_tmp, "w") as f:
+            json.dump({"batchId": batchId, "files": files}, f)
+        _os.replace(manifest_tmp, _os.path.join(commits, f"{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
+class JsonlDirSinkDataSource(DataSource):
+    """`df.writeStream.format("jsonl_dir").option("path", d)`: manifest-
+    committed JSONL directory sink via the Python Data Source API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlDirStreamWriter:
+        return JsonlDirStreamWriter(dict(self.options))
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirSinkDataSource)
+
+
+def read_jsonl_sink(spark, path: str):
+    """Read back ONLY manifest-committed files (uncommitted temp or
+    orphaned batch files are invisible, preserving exactly-once)."""
+    committed: list[str] = []
+    for mf in sorted(_glob.glob(_os.path.join(path, "_commits", "*.json"))):
+        with open(mf) as f:
+            committed += [
+                _os.path.join(path, e["file"]) for e in json.load(f)["files"]
+            ]
+    if not committed:
+        raise ValueError(f"no committed batches under {path}")
+    return spark.read.json(committed)

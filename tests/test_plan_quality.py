@@ -215,3 +215,43 @@ def test_q56_sessionization_single_data_shuffle(spark):
     p = _plan(spark, "q56_batch_sessionization")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("Exchange") <= 2, p
+
+
+def test_q62_bm25_prefilters_and_takeordered(spark):
+    """The corpus scan must be pre-filtered by arrays_overlap BEFORE the
+    generate/explode, and the final top-k must lower to TakeOrdered."""
+    p = _plan(spark, "q62_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "arrays_overlap" in p
+    gen_pos = p.find("Generate explode")
+    assert gen_pos != -1
+    # the filter feeding the explode sits below it in the printed plan
+    assert "arrays_overlap" in p[gen_pos:]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q65_bloom_probes_are_broadcast_joins(spark):
+    """The 16-row sketch dim and the member list must broadcast; the
+    probed fact never shuffles for the join."""
+    p = _plan(spark, "q65_bloom_prune_join")
+    assert p.count("BroadcastHashJoin") >= 3  # w1, w2, member
+    assert "SortMergeJoin" not in p
+
+
+def test_q66_interval_rewrite_has_no_join(spark):
+    """The binned interval-overlap plan is explode + partial agg -- the
+    nested-loop inequality join must not appear at all."""
+    p = _plan(spark, "q66_interval_month_overlap")
+    assert "Generate explode" in p
+    assert "Join" not in p  # no join operator of any kind
+    assert "partial" in p  # map-side combine before the single shuffle
+
+
+def test_q68_funnel_has_single_data_shuffle_and_no_python(spark):
+    """One exchange for the per-user collect; the state machine runs as
+    JVM aggregate expressions (no BatchEvalPython / ArrowEvalPython)."""
+    p = _plan(spark, "q68_funnel_stages")
+    assert "EvalPython" not in p  # the HOF state machine stays JVM-side
+    assert "collect_list(struct" in p  # one per-user collect, partial-agg'd
+    # funnel-type filter reaches the scan's data filters (pre-collect prune)
+    assert "DataFilters: [CASE WHEN (event_type" in p

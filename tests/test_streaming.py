@@ -554,3 +554,46 @@ def test_incremental_rollup_merge_semantics(spark, tmp_path):
         ("2024-01-02", "click"): 1,
         ("2024-01-03", "error"): 4,
     }
+
+
+def test_jsonl_dir_python_stream_writer_exactly_once(spark, sf_dir):
+    """The Python DataSourceStreamWriter sink: multi-trigger availableNow
+    replay lands every input row exactly once in manifest-committed JSONL
+    files; orphaned temp files are invisible to the reader."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        read_jsonl_sink,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    d = tempfile.mkdtemp(prefix="mras_replay_")
+    schema = stage_events_for_replay(spark, sf_dir, d)
+    multi = tempfile.mkdtemp(prefix="mras_multi_")
+    spark.read.parquet(d).repartition(3).write.mode("overwrite").parquet(multi)
+    stream = file_stream(spark, multi, schema, max_files_per_trigger=1)
+    out_dir = tempfile.mkdtemp(prefix="mras_jsonl_sink_")
+    q = (
+        stream.select("event_id", "event_type")
+        .writeStream.format("jsonl_dir")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mras_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Plant an orphaned temp file: committed readers must not see it.
+    orphan_dir = os.path.join(out_dir, "_tmp")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "orphan.jsonl"), "w") as f:
+        f.write('{"event_id": -1, "event_type": "bogus"}\n')
+    got = read_jsonl_sink(spark, out_dir)
+    src = spark.read.parquet(multi)
+    assert got.count() == src.count()
+    assert got.filter(F.col("event_id") == -1).count() == 0
+    # exactly-once at row granularity: ids match as a multiset
+    assert (
+        got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    )
+    # >1 batch committed (max_files_per_trigger=1 over 3 files)
+    manifests = os.listdir(os.path.join(out_dir, "_commits"))
+    assert len(manifests) >= 2
