@@ -326,3 +326,62 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_vertex
+
+
+def bfs_levels(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source unweighted BFS over the UNDIRECTED graph: returns
+    (id, level) where level is the hop distance to the nearest seed, or
+    NULL if unreached within ``max_iter`` rounds.
+
+    Frontier message passing, not full relaxation: round i sends messages
+    only from vertices settled at level i-1, so per-round work is
+    |frontier edges|, and the loop early-exits on an empty frontier. The
+    per-round shuffle carries vertex ids only. Equivalent by induction to
+    the Bellman-Ford unrolling the oracle runs (after round n, level(v) =
+    dist(v) iff dist(v) <= n). Below BROADCAST_VERTEX_LIMIT the frontier
+    and message frames broadcast, so the edge table never shuffles --
+    the same regime pagerank() uses.
+    """
+    small = vertices.count() < BROADCAST_VERTEX_LIMIT
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = vertices.select("id").join(
+        _maybe_broadcast(
+            seeds.select("id").distinct().withColumn("level", F.lit(0)), small
+        ),
+        "id",
+        "left",
+    )
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist.filter(F.col("level") == 0).select("id")
+    for i in range(1, max_iter + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        msgs = (
+            sym.join(_maybe_broadcast(frontier, small), sym.src == frontier.id)
+            .select(F.col("dst").alias("mid"))
+            .distinct()
+        )
+        dist = dist.join(
+            _maybe_broadcast(msgs, small), dist.id == msgs.mid, "left"
+        ).select(
+            "id",
+            F.when(F.col("level").isNotNull(), F.col("level"))
+            .otherwise(F.when(F.col("mid").isNotNull(), F.lit(i)))
+            .alias("level"),
+        )
+        if i % checkpoint_every == 0 or i == max_iter:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("level") == i).select("id")
+    return dist

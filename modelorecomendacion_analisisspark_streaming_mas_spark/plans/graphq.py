@@ -227,3 +227,72 @@ def g04_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# g05: multi-source BFS hop-distance histogram -- "how far is every
+# vertex from the nearest seed customer" (seeds: c_custkey % 100 == 0,
+# i.e. packed id % 200 == 0). The engine runs frontier message-passing
+# (per-round work = frontier edges, early exit on empty frontier); the
+# oracle unrolls the equivalent Bellman-Ford recurrence into 6
+# MATERIALIZED CTE levels, the g02/g03 technique. After round n both
+# assign level(v) = dist(v) iff dist(v) <= n, so the histograms match
+# bit-for-bit; unreached vertices report level -1.
+# --------------------------------------------------------------------------
+
+_G05_ROUNDS = 6
+
+
+def _bfs_oracle(rounds: int = _G05_ROUNDS) -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        """sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+)""",
+        """verts AS (
+  SELECT DISTINCT src AS id FROM sym
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id LIKE 'c%' AND CAST(substr(id, 2) AS BIGINT) % 100 = 0
+                  THEN 0 END AS lev
+  FROM verts
+)""",
+    ]
+    for n in range(1, rounds + 1):
+        ctes.append(
+            f"""l{n} AS MATERIALIZED (
+  SELECT v.id, least(v.lev, m.mn + 1) AS lev
+  FROM l{n - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(r.lev) AS mn
+    FROM sym s JOIN l{n - 1} r ON s.src = r.id
+    WHERE r.lev IS NOT NULL GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(coalesce(lev, -1) AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM l{rounds} GROUP BY 1
+"""
+    )
+
+
+@register(
+    "g05_bfs_level_histogram",
+    oracle=_bfs_oracle(),
+    doc="Multi-source BFS (6 rounds) hop-distance histogram from seed "
+    "customers; frontier message-passing engine vs unrolled Bellman-Ford "
+    "oracle; unreached = -1.",
+)
+def g05_bfs_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import bfs_levels
+
+    vertices, edges = bipartite_graph_encoded(spark, sf_dir)
+    seeds = vertices.filter(F.col("id") % 200 == 0).select("id")
+    dist = bfs_levels(vertices, edges, seeds, max_iter=_G05_ROUNDS)
+    return dist.groupBy(
+        F.coalesce(F.col("level"), F.lit(-1)).cast("long").alias("level")
+    ).agg(F.count(F.lit(1)).alias("n_vertices"))
