@@ -428,3 +428,51 @@ def edit1_neighborhood_join(
         "id_a", "id_b", "name_a", "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+def lsh_probe_index(
+    index_sigs: DataFrame,
+    probe_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental-ingestion LSH: band a PROBE batch against an EXISTING
+    corpus index instead of self-joining the whole corpus. Output:
+    distinct (doc_id, dup_of) candidate pairs, probe-side id first.
+
+    This is the shape that makes dedup INCREMENTAL at 100 TB: the
+    existing corpus is banded once (an index table you persist, bucketed
+    by (band_idx, band_key)); each new batch bands only its own docs and
+    equi-joins the index -- cost proportional to the BATCH, not the
+    corpus. The join is the same band-bucket equi-join as
+    lsh_candidate_pairs, so AQE skew handling and the star-cap idea
+    apply unchanged.
+    """
+
+    def banded(sigs: DataFrame, id_out: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_out),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("band_key"),
+                    ),
+                )
+            ).alias("band"),
+        ).select(id_out, "band.band_idx", "band.band_key")
+
+    probe_b = banded(probe_sigs, "doc_id")
+    index_b = banded(index_sigs, "dup_of")
+    return (
+        probe_b.join(index_b, ["band_idx", "band_key"])
+        .select("doc_id", "dup_of")
+        .distinct()
+    )

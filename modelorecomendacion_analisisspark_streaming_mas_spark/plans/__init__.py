@@ -63,6 +63,10 @@ _STALE_R1 = [
 _STALE_R2 = [
     "q01_pricing_summary",
     "q02_flagship_top_tokens",
+    # promoted within the equally-stale r02 group: window sentinel (the
+    # r4 additions consume ~16 front slots, so the group's tail now
+    # rotates across TWO rounds; these three must stay in-window)
+    "q38_robust_stats",
     "q03_global_rank_customers",
     "q04_star_join_revenue",
     "q05_balance_buckets",
@@ -97,7 +101,6 @@ _STALE_R2 = [
     "q35_unpivot_segment_metrics",
     "q36_listagg_region_nations",
     "q37_variant_event_props",
-    "q38_robust_stats",
     "q40_gap_fill_daily",
     "q41_range_frame_trailing_spend",
     "q42_try_arithmetic",

@@ -458,3 +458,242 @@ def d09_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q70: the curation-pipeline CAPSTONE, composing the round-4 operators
+# end-to-end the way a pretraining data job actually runs them:
+#
+#   1. source-level quality gate (q61's rounded-mean threshold);
+#   2. near-dup clustering among SURVIVING docs only (d02 pair lattice +
+#      CC), keeping the best member per cluster (d09's max-n_chars rank);
+#   3. deterministic epoch-shuffle striping of the kept docs into 8
+#      training shards (q63's md5 order);
+#   -> per-shard manifest (n_docs, sum_chars).
+#
+# The oracle is the full composition: q61's gate CTEs feeding d02's
+# lattice (its `documents` scan rewritten to the gated frame), the CC
+# rounds, the keep-best rank, and the striping -- one SQL statement
+# whose hash must match the four-stage DataFrame pipeline. Scale shape
+# inherits from the parts: the gate broadcasts, the LSH self-join is
+# band-bucketed over gated docs only, CC iterates on the pair graph, and
+# the stripe sorts KEPT docs (the smallest frame in the pipeline).
+# --------------------------------------------------------------------------
+
+_Q70_THRESHOLD = 0.50
+_Q70_SHARDS = 8
+_Q70_SALT = "curate7|"
+
+
+def _q70_oracle(rounds: int = 8) -> str:
+    gate = f"""doc_q AS (
+  SELECT doc_id, source, n_chars, text,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS ratio
+  FROM documents
+), good_src AS (
+  SELECT source FROM doc_q GROUP BY source
+  HAVING round(avg(ratio), 6) >= {_Q70_THRESHOLD}
+), gated AS (
+  SELECT d.doc_id, d.source, d.n_chars, d.text
+  FROM doc_q d JOIN good_src g ON d.source = g.source
+)"""
+    lattice = _D02_PAIR_CTES.replace("FROM documents", "FROM gated")
+    ctes = [
+        gate,
+        lattice,
+        """pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8
+)""",
+        """sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+)""",
+        "cverts AS (\n  SELECT DISTINCT src AS id FROM sym\n)",
+        "l0 AS MATERIALIZED (\n  SELECT id, id AS lab FROM cverts\n)",
+    ]
+    for n in range(1, rounds + 1):
+        ctes.append(
+            f"""p{n} AS MATERIALIZED (
+  SELECT v.id, least(v.lab, COALESCE(m.mn, v.lab)) AS lab
+  FROM l{n - 1} v LEFT JOIN (
+    SELECT s.dst AS id, min(r.lab) AS mn
+    FROM sym s JOIN l{n - 1} r ON s.src = r.id GROUP BY s.dst
+  ) m ON v.id = m.id
+)"""
+        )
+        ctes.append(
+            f"""l{n} AS MATERIALIZED (
+  SELECT a.id, b.lab FROM p{n} a JOIN p{n} b ON a.lab = b.id
+)"""
+        )
+    tail = f"""drop_list AS (
+  -- every clustered doc EXCEPT the best (max n_chars, min doc_id) per cluster
+  SELECT id AS doc_id FROM (
+    SELECT l.id, row_number() OVER (PARTITION BY l.lab
+                                    ORDER BY d.n_chars DESC, l.id) AS rn
+    FROM l{rounds} l JOIN gated d ON l.id = d.doc_id
+  ) WHERE rn > 1
+), kept AS (
+  SELECT g.doc_id, g.n_chars,
+         md5('{_Q70_SALT}' || g.doc_id::VARCHAR) AS ord
+  FROM gated g ANTI JOIN drop_list x ON g.doc_id = x.doc_id
+), striped AS (
+  SELECT n_chars,
+         (row_number() OVER (ORDER BY ord, doc_id) - 1) % {_Q70_SHARDS} AS shard_id
+  FROM kept
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM striped GROUP BY shard_id"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + tail
+
+
+@register(
+    "q70_curation_pipeline_v2",
+    oracle=_q70_oracle(8),
+    doc="Capstone composition: source gate (q61) -> near-dup keep-best "
+    "(d02+CC+d09) on survivors -> md5 epoch striping into 8 shards "
+    "(q63); single composed SQL oracle.",
+)
+def q70_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    doc_q = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ratio"),
+    )
+    good_src = (
+        doc_q.groupBy("source")
+        .agg(F.round(F.avg("ratio"), 6).alias("r"))
+        .filter(F.col("r") >= _Q70_THRESHOLD)
+        .select("source")
+    )
+    gated = doc_q.join(F.broadcast(good_src), "source").select(
+        "doc_id", "n_chars", "text"
+    )
+    # Materialize once: the LSH pipeline, CC loop, and the final anti-join
+    # all derive from this frame.
+    gated = gated.localCheckpoint(eager=True)
+
+    pairs = minhash_near_duplicates(
+        gated, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4, shingle_n=3
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges)
+    meta = gated.select("doc_id", "n_chars")
+    rank_w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("id"))
+    drop_list = (
+        cc.join(meta, cc["id"] == meta["doc_id"])
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = gated.join(drop_list, "doc_id", "left_anti").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit(_Q70_SALT), F.col("doc_id").cast("string"))).alias("ord"),
+    )
+    stripe_w = Window.orderBy("ord", "doc_id")
+    striped = kept.withColumn(
+        "shard_id", ((F.row_number().over(stripe_w) - 1) % _Q70_SHARDS).cast("long")
+    )
+    return striped.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d10: INCREMENTAL index-probe dedup -- the ingestion-time shape: the
+# existing corpus (doc_id % 2 == 0) is banded once into a persistent LSH
+# index; a new batch (odd ids) bands only itself and equi-joins the
+# index, so per-batch cost tracks the batch, not the corpus. Each new doc
+# reports its best existing match (highest exact Jaccard >= 0.8,
+# dup_of tie-break). Oracle: d02's signature lattice with the candidate
+# join restricted to (new x existing) instead of the full self-join.
+# --------------------------------------------------------------------------
+
+
+def _d10_oracle() -> str:
+    prefix = _D02_PAIR_CTES.split(", cands AS")[0]
+    return (
+        "WITH "
+        + prefix
+        + """, cands AS (
+  SELECT DISTINCT n.doc_id AS doc_id, e.doc_id AS dup_of
+  FROM keyed n JOIN keyed e
+    ON n.band_idx = e.band_idx AND n.band_key = e.band_key
+   AND n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+), verified AS (
+  SELECT c.doc_id, c.dup_of,
+         round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+               / len(list_distinct(sa.s || sb.s)), 4) AS jaccard
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_id
+  JOIN sh sb ON sb.doc_id = c.dup_of
+)
+SELECT doc_id, dup_of, jaccard FROM (
+  SELECT doc_id, dup_of, jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, dup_of) AS rn
+  FROM verified WHERE jaccard >= 0.8
+) WHERE rn = 1
+"""
+    )
+
+
+@register(
+    "d10_incremental_index_dedup",
+    oracle=_d10_oracle(),
+    doc="Incremental dedup: new batch (odd ids) LSH-probed against the "
+    "existing-corpus band index (even ids); best exact-Jaccard match per "
+    "new doc; per-batch cost tracks the batch, not the corpus.",
+)
+def d10_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import lsh_probe_index, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_sigs = minhash_signatures(existing, "doc_id", "text").cache()
+    probe_sigs = minhash_signatures(new_batch, "doc_id", "text").cache()
+    cands = lsh_probe_index(idx_sigs, probe_sigs)
+    sets_p = probe_sigs.select("doc_id", F.col("shingle_set").alias("set_p"))
+    sets_i = idx_sigs.select(
+        F.col("doc_id").alias("dup_of"), F.col("shingle_set").alias("set_i")
+    )
+    verified = (
+        cands.join(sets_p, "doc_id")
+        .join(sets_i, "dup_of")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_p", "set_i"))
+                / F.size(F.array_union("set_p", "set_i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )

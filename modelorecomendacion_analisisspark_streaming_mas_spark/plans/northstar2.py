@@ -290,3 +290,173 @@ def mm04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_wav_table(spark, docs, "doc_id", "text")
     return extract_audio_features(media, decode=decode_audio_wav)
+
+
+# --------------------------------------------------------------------------
+# e04: Product-Quantization ANN (PQ + ADC), the memory-compressed scale
+# path beyond IVF: 64-dim vectors split into M=4 subspaces of 16 dims;
+# each subspace's codebook is the deterministic pinned subset
+# (vec_id % 53 -> 10 centroids), so the whole structure is
+# oracle-verifiable like e03. Encode = per-subspace nearest centroid
+# (vectors become 4 small codes -- at scale, 4 bytes instead of 256);
+# query = Asymmetric Distance Computation: the query precomputes its
+# distance to every (subspace, centroid) cell (a 40-row lookup table,
+# broadcast), and each candidate's approx distance is the SUM of 4
+# looked-up cells -- a groupBy, never a full-vector scan. L2^2 is
+# computed as an index-ordered sum (zip_with+aggregate / indexed
+# list_transform+list_sum) so both engines sum bit-identically.
+#
+# Honesty note on quality: the synthetic embeddings are UNCLUSTERED iid
+# noise (same-label and cross-label mean L2^2 both =~ 2.0), so top-k
+# recall vs brute force is ~chance for ANY quantizer at this codebook
+# size -- the measured ADC-vs-true-distance correlation is +0.5, which
+# is what a 4x16/10-centroid PQ delivers on structureless data. The
+# oracle verifies the STRUCTURE exactly (codes, lookup table, ADC sums);
+# tests pin the self-encoding invariant of codebook vectors.
+# --------------------------------------------------------------------------
+
+_E04_M = 4
+_E04_SUBDIM = 16
+_E04_STRIDE = 53
+_E04_TOPK = 5
+
+_E04_SUB_L2 = (
+    "list_sum(list_transform({a}, (x, i) -> (x - {b}[i]) * (x - {b}[i])))"
+)
+
+_E04_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), subs AS (
+  SELECT unnest(generate_series(0, {_E04_M - 1})) AS m
+), sub_e AS (
+  SELECT vec_id, m, v[m * {_E04_SUBDIM} + 1 : m * {_E04_SUBDIM} + {_E04_SUBDIM}] AS sv
+  FROM e CROSS JOIN subs
+), sub_cb AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub_e WHERE vec_id % {_E04_STRIDE} = 0
+), assign AS (
+  SELECT vec_id, m, cid,
+         row_number() OVER (
+           PARTITION BY vec_id, m
+           ORDER BY {_E04_SUB_L2.format(a='sv', b='cv')}, cid
+         ) AS rn
+  FROM sub_e JOIN sub_cb USING (m)
+), codes AS (
+  SELECT vec_id, m, cid FROM assign WHERE rn = 1
+), qd AS (
+  SELECT s.vec_id AS query_id, s.m, c.cid,
+         {_E04_SUB_L2.format(a='s.sv', b='c.cv')} AS pd
+  FROM sub_e s JOIN sub_cb c USING (m)
+  WHERE s.vec_id < 10
+), approx AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id, sum(q.pd) AS adist
+  FROM codes x JOIN qd q ON q.m = x.m AND q.cid = x.cid
+  WHERE x.vec_id <> q.query_id
+  GROUP BY q.query_id, x.vec_id
+)
+SELECT query_id, neighbor_id, round(adist, 4) AS approx_l2sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS BIGINT) AS rn
+FROM approx QUALIFY rn <= {_E04_TOPK}
+"""
+
+
+def _pq_sub_l2(a, b):
+    """Index-ordered L2^2 (zip_with + left fold): bit-identical to the
+    oracle's indexed list_transform + list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v) -> (vec_id, m, sv): explode into M subspace slices."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.slice("v", m * _E04_SUBDIM + 1, _E04_SUBDIM).alias("sv"),
+                    )
+                    for m in range(_E04_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def pq_codes(e: DataFrame) -> DataFrame:
+    """PQ encode: (vec_id, v) -> (vec_id, m, cid), the per-subspace
+    nearest pinned centroid. Exposed for the structural invariant tests
+    (a codebook vector must encode to itself)."""
+    from pyspark.sql import Window
+
+    sub_e = pq_subvectors(e)
+    sub_cb = (
+        sub_e.filter(F.col("vec_id") % _E04_STRIDE == 0)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    )
+    scored = sub_e.join(F.broadcast(sub_cb), "m").withColumn(
+        "d", _pq_sub_l2(F.col("sv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+
+@register(
+    "e04_knn_pq_adc",
+    oracle=_E04_ORACLE,
+    doc="Product-Quantization ANN with Asymmetric Distance Computation: "
+    "M=4x16-dim subspaces, deterministic pinned codebooks (oracle-exact "
+    "like e03); encode = per-subspace argmin, query = broadcast 40-cell "
+    "lookup + sum of 4 codes per candidate.",
+)
+def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub_l2 = _pq_sub_l2
+    sub_e = pq_subvectors(e)
+    sub_cb = (
+        sub_e.filter(F.col("vec_id") % _E04_STRIDE == 0)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    )
+    codes = pq_codes(e)
+    qd = (
+        sub_e.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(sub_cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cid",
+            sub_l2(F.col("sv"), F.col("cv")).alias("pd"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(qd), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adist"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        approx.withColumn("rn", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rn") <= _E04_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 4).alias("approx_l2sq"),
+            "rn",
+        )
+    )

@@ -150,7 +150,38 @@ def _s19_stream_tws_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s21_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed funnel (q68's machine run incrementally in a
+    transformWithStateInPandas ListState buffer): per-user stage
+    recomputed from the buffered in-order history each micro-batch, so
+    out-of-order arrival and batch splits cannot change the answer.
+    Final per-user rows (max monotone n_seen) histogram to exactly q68's
+    batch result -- the oracle IS q68's SQL."""
+    from pyspark.sql import Window
+
+    from ..sources.streams import run_to_memory_sink
+    from ..streaming.stateful_v2 import funnel_stage_per_user
+    from .streamq import _replayed
+
+    stream = _replayed(spark, sf_dir)
+    out_stream = funnel_stage_per_user(stream, window_min=1440)
+    # 4 partitions: see the sizing note in s10 (here ~150 user keys).
+    _, out = run_to_memory_sink(
+        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+    )
+    w = Window.partitionBy("user_id")
+    final = (
+        out.withColumn("_mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("user_id", "stage")
+    )
+    return final.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 if stateful_v2_available():  # pragma: no cover - env-dependent branch
+    from .batch6 import _Q68_ORACLE
+
     register("s10_stream_tws_counts", oracle=_S10_ORACLE)(_s10_stream_tws_counts)
     register("s18_stream_tws_latest", oracle=_S18_ORACLE)(_s18_stream_tws_latest)
     register("s19_stream_tws_buckets", oracle=_S19_ORACLE)(_s19_stream_tws_buckets)
+    register("s21_stream_funnel_stages", oracle=_Q68_ORACLE)(_s21_stream_funnel_stages)

@@ -223,3 +223,96 @@ def latest_k_per_type(stream: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+FUNNEL_SCHEMA = "user_id bigint, stage int, n_seen bigint"
+
+# Hard cap on buffered funnel events per user: exactness requires the full
+# (in-watermark) funnel history, so past the cap the operator FAILS LOUDLY
+# instead of silently truncating (the repo's counted-limit idiom). At real
+# scale the cap pairs with a watermark/TTL that expires settled prefixes.
+FUNNEL_BUFFER_CAP = 4096
+
+
+class WindowedFunnel(StatefulProcessor):
+    """Incremental windowed-funnel stage per user: the s21 streaming twin
+    of q68's batch state machine (plans/batch6.py::funnel_user_stages).
+
+    ListState buffers the user's funnel events (ts_us, step); every
+    micro-batch appends, re-sorts by (ts_us, step), and re-runs the
+    first-touch machine -- so LATE/OUT-OF-ORDER events are handled
+    exactly: the recompute from the buffered history gives the same
+    answer as a batch over everything seen, regardless of arrival order
+    or micro-batch splits. Emissions carry monotone ``n_seen`` so the
+    final row per user is selectable; stage recomputation is O(|buffer|)
+    per touched user per batch.
+    """
+
+    def __init__(self, window_min: int | None = 1440) -> None:
+        self._window_us = None if window_min is None else window_min * 60_000_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._buf = handle.getListState("funnel_buf", "ts_us bigint, step int")
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        buf = [(int(t), int(s)) for t, s in self._buf.get()]
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            hits = pdf[pdf["step"] > 0]
+            buf.extend(
+                zip(hits["ts_us"].astype("int64"), hits["step"].astype("int64"))
+            )
+        if len(buf) > FUNNEL_BUFFER_CAP:
+            raise ValueError(
+                f"funnel buffer for user {key[0]} exceeds {FUNNEL_BUFFER_CAP} "
+                "events; raise the cap or add a watermark/TTL expiry"
+            )
+        buf.sort()
+        stage, anchor = 0, None
+        for ts, step in buf:
+            in_window = (
+                stage == 0
+                or self._window_us is None
+                or ts <= anchor + self._window_us
+            )
+            if step == stage + 1 and in_window:
+                stage, anchor = step, ts
+        self._buf.put(buf)
+        self._seen.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "stage": [stage], "n_seen": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_stage_per_user(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_min: int | None = 1440,
+) -> DataFrame:
+    """Streaming windowed-funnel stages keyed by user. Rows of non-funnel
+    types still flow through (step 0) so every user present in the stream
+    gets a state row -- matching q68's distinct-users frame, where a user
+    with no funnel events counts at stage 0."""
+    from pyspark.sql import functions as F
+
+    step = F.lit(0)
+    for i, name in reversed(list(enumerate(steps, start=1))):
+        step = F.when(F.col("event_type") == name, i).otherwise(step)
+    src = stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        step.cast("int").alias("step"),
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WindowedFunnel(window_min),
+        outputStructType=FUNNEL_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -167,3 +167,20 @@ def test_funnel_machine_matches_python_reference_on_random_events(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_epoch_shuffle_shards_are_balanced_and_partition_all_docs(spark, sf_dir):
+    """Round-robin striping: shard sizes differ by at most 1 and sum to
+    the corpus size."""
+    from pyspark.sql import functions as F
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = REGISTRY["q63_epoch_shuffle_shards"].fn(spark, sf_dir).collect()
+    sizes = [r["n_docs"] for r in rows]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(sizes) == n_docs
+    assert max(sizes) - min(sizes) <= 1
+    assert len(rows) == min(16, n_docs)

@@ -313,3 +313,30 @@ def test_near_dup_cluster_transitive_chain(spark):
         .collect()
     }
     assert clusters == {1: 3, 7: 2}
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """PQ structural invariants: every vector gets exactly M codes, every
+    code points at a pinned centroid, and a codebook vector's nearest
+    centroid in every subspace is itself (distance 0)."""
+    from pyspark.sql import functions as F
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.northstar2 import (
+        _E04_M,
+        _E04_STRIDE,
+        pq_codes,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codes = pq_codes(e)
+    n_vecs = e.count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n_vecs
+    assert all(r["count"] == _E04_M for r in per_vec)
+    assert codes.filter(F.col("cid") % _E04_STRIDE != 0).count() == 0
+    self_rows = codes.filter(F.col("vec_id") % _E04_STRIDE == 0)
+    assert self_rows.filter(F.col("cid") != F.col("vec_id")).count() == 0

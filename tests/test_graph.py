@@ -172,3 +172,33 @@ def test_triangle_count_planted(spark):
     )
     got = {r["v"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_bfs_levels_on_planted_chain_and_island(spark):
+    """Chain 1-2-3-4-5 seeded at 1, plus a disconnected island 10-11:
+    levels are hop distances, the island stays NULL (unreached), and a
+    max_iter cutoff truncates exactly at the cutoff."""
+    from pyspark.sql import functions as F
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        bfs_levels,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["level"]
+        for r in bfs_levels(vertices, edges, seeds, max_iter=6).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: None, 11: None}
+    truncated = {
+        r["id"]: r["level"]
+        for r in bfs_levels(vertices, edges, seeds, max_iter=2).collect()
+    }
+    assert truncated == {1: 0, 2: 1, 3: 2, 4: None, 5: None, 10: None, 11: None}

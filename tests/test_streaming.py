@@ -597,3 +597,56 @@ def test_jsonl_dir_python_stream_writer_exactly_once(spark, sf_dir):
     # >1 batch committed (max_files_per_trigger=1 over 3 files)
     manifests = os.listdir(os.path.join(out_dir, "_commits"))
     assert len(manifests) >= 2
+
+
+def test_stream_funnel_recomputes_exactly_under_out_of_order_arrival(spark):
+    """A late-arriving view (earlier ts, later micro-batch) must flip a
+    user's stage exactly as a batch recompute would: the ListState buffer
+    re-sorts the full history, so arrival order cannot change the answer."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.compat import (
+        protobuf_shim,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.stateful_probe import (
+        stateful_v2_available,
+    )
+
+    if not stateful_v2_available():
+        _pytest.skip("no protobuf runtime -> stateful v2 unavailable")
+    protobuf_shim.ensure_worker_shim(spark)
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        funnel_stage_per_user,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(i, user, typ, mins):
+        return (i, t0 + dt.timedelta(minutes=mins), user, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # Batch 1: click@10, purchase@20 -- without a view these score stage 0.
+    part1 = [row(1, 7, "click", 10), row(2, 7, "purchase", 20)]
+    # Batch 2 delivers the LATE view@5: recompute => view->click->purchase = 3.
+    part2 = [row(3, 7, "view", 5)]
+
+    d = tempfile.mkdtemp(prefix="mras_funnel_ooo_")
+    df1 = spark.createDataFrame(part1, cols)
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(part2, cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = file_stream(spark, d, df1.schema, max_files_per_trigger=1)
+    _, out = run_to_memory_sink(
+        funnel_stage_per_user(stream, window_min=60),
+        "update",
+        shuffle_partitions=4,
+        rocksdb_state=True,
+    )
+    rows = out.orderBy("n_seen").collect()
+    final = rows[-1]
+    assert final["stage"] == 3, rows
+    # and if both files landed in one batch the answer is the same -- the
+    # invariant is arrival-order independence, pinned by the final stage.
