@@ -389,3 +389,44 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
+
+
+def image_average_hash(
+    df: DataFrame, decode=fake_decode_image, hash_size: int = 8
+) -> DataFrame:
+    """Perceptual average-hash per image: decode -> block-mean downsample
+    to hash_size x hash_size -> threshold at the mean -> 64-bit hash.
+    (id, content) -> (id, phash). Arrow-batched mapInPandas; pure numpy,
+    deterministic across runs/partitionings. The multimodal twin of d01:
+    dedup keyed on pixel CONTENT, robust to container-level byte noise
+    (re-encodes of the same pixels hash identically)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                px = decode(bytes(content)).astype(np.float64)
+                h, w = px.shape
+                rb = np.linspace(0, h, hash_size + 1).astype(int)
+                cb = np.linspace(0, w, hash_size + 1).astype(int)
+                block = np.array(
+                    [
+                        [
+                            px[rb[i] : max(rb[i + 1], rb[i] + 1),
+                               cb[j] : max(cb[j + 1], cb[j] + 1)].mean()
+                            for j in range(hash_size)
+                        ]
+                        for i in range(hash_size)
+                    ]
+                )
+                bits = (block > block.mean()).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # fold into signed 64-bit for a Spark long column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append({"id": int(rid), "phash": val})
+            yield pd.DataFrame(out, columns=["id", "phash"])
+
+    return df.select("id", "content").mapInPandas(hashes, schema="id long, phash long")

@@ -460,3 +460,66 @@ def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mm06: multimodal dedup -- perceptual average-hash over REAL decoded PNG
+# pixels (stdlib codec), grouped to find duplicate images. The chain
+# encode -> decode -> block-mean aHash -> groupBy is the d01 shape moved
+# into the image modality: dedup keys on pixel CONTENT, so byte-level
+# container differences (re-encodes) collapse to one group.
+#
+# The corpus has no duplicate texts, so the dup population is planted
+# the way it happens in production: a deterministic slice (doc_id % 25)
+# is RE-INGESTED under new ids (+1_000_000) -- same pixels arriving a
+# second time through a second encode pass.
+#
+# Oracle: the fixture pixels derive deterministically from each doc's
+# text (functions/multimodal.py::_text_pixels), so identical text <=>
+# identical pixels <=> identical phash, and dup groups keyed by
+# min(doc_id) equal the text-identity groups -- giving this decode
+# pipeline an EXACT oracle (conditional only on no 64-bit aHash
+# collision between text-distinct docs, which the fixed testdata does
+# not contain; a collision would split hash_match, not pass silently).
+# --------------------------------------------------------------------------
+
+_MM06_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_images
+FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+@register(
+    "mm06_image_phash_dedup",
+    oracle=_MM06_ORACLE,
+    doc="Perceptual average-hash dedup over real decoded PNGs: dup groups "
+    "(rep_id = min id, size) keyed on pixel content; oracle = the "
+    "text-identity groups the deterministic fixture guarantees.",
+)
+def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import (
+        decode_image,
+        image_average_hash,
+        synth_png_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reingested = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    media = synth_png_table(
+        spark, docs.unionByName(reingested), "doc_id", "text"
+    )
+    hashes = image_average_hash(media, decode=decode_image)
+    return (
+        hashes.groupBy("phash")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_images"))
+        .filter(F.col("n_images") > 1)
+        .select("rep_id", "n_images")
+    )
