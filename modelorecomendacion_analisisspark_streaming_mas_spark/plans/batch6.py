@@ -18,7 +18,12 @@ expressed as a declarative DataFrame plan with an exact DuckDB oracle:
   * q66 interval-overlap join via bounded bin explode (the scale-safe
     rewrite of an inequality join Spark would nested-loop);
   * q67 Count-Min sketch heavy hitters (mergeable-by-construction
-    partial-agg build; est >= true audited per probe).
+    partial-agg build; est >= true audited per probe);
+  * q68 windowed funnel analysis (JVM higher-order-aggregate state
+    machine; the streaming twin is s21);
+  * q69 retention cohort matrix;
+  * q71 KMV distinct sketches with set algebra (union/intersection
+    estimates vs exacts, oracle-exact unlike HLL).
 
 Capability parity: the reference's ETL notebooks stop at per-column
 cleaning (reference ``proyecto/limpieza*.ipynb``); these queries are the
@@ -776,3 +781,166 @@ def q69_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
 
+
+
+# --------------------------------------------------------------------------
+# q71: KMV (k-minimum-values) distinct sketches with SET ALGEBRA -- the
+# mergeable distinct-count sketch whose union/intersection estimates HLL
+# cannot give directly. Hashes are portable md5, so unlike HLL (q44,
+# rows-only) the whole structure -- per-type sketches, merged union
+# sketch, Jaccard overlap, and the estimates themselves -- is
+# bit-deterministic and oracle-exact. Saturation rule on both engines:
+# a sketch holding fewer than k hashes IS the exact distinct set, so the
+# estimate degrades gracefully to the true count (exercised at sf0.001
+# where distinct users < k; the estimator path runs at sf0.01).
+# Scale shape: one distinct-project of (type, hash), then everything is
+# k-sized; sketch merge = k smallest of concatenated sketches, which is
+# exactly how per-partition partial sketches would combine.
+# --------------------------------------------------------------------------
+
+_Q71_K = 64
+_Q71_TYPES = ("click", "purchase")
+
+_Q71_ORACLE = f"""
+WITH hs AS (
+  SELECT DISTINCT event_type,
+         (('0x'||substr(md5('kmv|' || user_id::VARCHAR),1,8))::UBIGINT)::BIGINT AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= {_Q71_K}
+), kth AS (
+  SELECT event_type, max(h) AS hk, count(*) AS sz FROM sk GROUP BY event_type
+), est_t AS (
+  SELECT event_type,
+         CASE WHEN sz < {_Q71_K} THEN sz
+              ELSE CAST(round(({_Q71_K} - 1) * 4294967296.0 / hk) AS BIGINT)
+         END AS est
+  FROM kth
+), su AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= {_Q71_K}
+), ua AS (
+  SELECT max(h) AS uhk, count(*) AS usz FROM su
+), est_u AS (
+  SELECT CASE WHEN usz < {_Q71_K} THEN usz
+              ELSE CAST(round(({_Q71_K} - 1) * 4294967296.0 / uhk) AS BIGINT)
+         END AS est_union, usz
+  FROM ua
+), inter AS (
+  SELECT count(*) AS ic FROM su
+  WHERE EXISTS (SELECT 1 FROM sk a WHERE a.event_type = 'click' AND a.h = su.h)
+    AND EXISTS (SELECT 1 FROM sk b WHERE b.event_type = 'purchase' AND b.h = su.h)
+), ex AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+), exacts AS (
+  SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_click,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_purchase,
+         count(DISTINCT user_id) AS exact_union
+  FROM ex
+), exact_int AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+    SELECT user_id FROM ex GROUP BY user_id HAVING count(*) = 2
+  )
+)
+SELECT (SELECT est FROM est_t WHERE event_type = 'click') AS est_click,
+       (SELECT est FROM est_t WHERE event_type = 'purchase') AS est_purchase,
+       e.est_union,
+       CAST(round(i.ic * 1.0 / e.usz * e.est_union) AS BIGINT) AS est_intersect,
+       x.exact_click, x.exact_purchase, x.exact_union,
+       n.exact_intersect
+FROM est_u e, inter i, exacts x, exact_int n
+"""
+
+
+@register(
+    "q71_kmv_sketch_setops",
+    oracle=_Q71_ORACLE,
+    doc="KMV distinct sketches (k=64, portable md5) with set algebra: "
+    "per-type estimates, merged-union estimate, Jaccard intersection "
+    "estimate, all vs exacts; saturated sketches degrade to exact counts.",
+)
+def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_hash32
+
+    k = _Q71_K
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_Q71_TYPES)
+    )
+    hs = ev.select(
+        "event_type",
+        md5_hash32(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kth = sk.groupBy("event_type").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("sz")
+    )
+    est = F.when(F.col("sz") < k, F.col("sz")).otherwise(
+        F.round((k - 1) * 4294967296.0 / F.col("hk")).cast("long")
+    )
+    ests = kth.select("event_type", est.alias("est")).agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("est"))).alias("est_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("est"))).alias(
+            "est_purchase"
+        ),
+    )
+    su = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .select("h")
+    )
+    in_click = sk.filter(F.col("event_type") == "click").select("h")
+    in_purch = sk.filter(F.col("event_type") == "purchase").select("h")
+    inter_cnt = (
+        su.join(in_click, "h", "left_semi").join(in_purch, "h", "left_semi").count()
+    )
+    uhk, usz = su.agg(F.max("h"), F.count(F.lit(1))).first()
+    if usz < k:
+        est_union = usz
+    else:
+        est_union = int(round((k - 1) * 4294967296.0 / uhk))
+    est_int = int(round(inter_cnt * 1.0 / usz * est_union))
+
+    ex = ev.select("event_type", "user_id").distinct()
+    both = (
+        ex.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 2)
+        .count()
+    )
+    exacts = ex.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_click"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchase"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    return (
+        ests.crossJoin(exacts)
+        .withColumn("est_union", F.lit(est_union).cast("long"))
+        .withColumn("est_intersect", F.lit(est_int).cast("long"))
+        .withColumn("exact_intersect", F.lit(both).cast("long"))
+        .select(
+            "est_click",
+            "est_purchase",
+            "est_union",
+            "est_intersect",
+            "exact_click",
+            "exact_purchase",
+            "exact_union",
+            "exact_intersect",
+        )
+    )
