@@ -287,3 +287,51 @@ def q52_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q72: ORC round-trip -- the second columnar format Spark ships natively.
+# The same lineitem slice is written as ORC (zlib, the Spark default)
+# and read back; the aggregate must equal the parquet-sourced oracle,
+# proving format-level losslessness (nulls, doubles, strings, timestamps
+# all survive). Format breadth matters at 100 TB because ingestion
+# rarely controls its upstream: a lakehouse reads what it is given.
+# --------------------------------------------------------------------------
+
+_ORC: dict[str, str] = {}
+
+
+def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
+    key = sf_dir
+    if key not in _ORC:
+        d = tempfile.mkdtemp(prefix="mras_orc_")
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(d)
+        _ORC[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _ORC[key]
+
+
+@register(
+    "q72_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Native ORC write + read-back of lineitem; aggregate equals the "
+    "parquet-sourced oracle (format round-trip losslessness).",
+)
+def q72_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _orc_copy(spark, sf_dir)
+    return (
+        spark.read.orc(d)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
