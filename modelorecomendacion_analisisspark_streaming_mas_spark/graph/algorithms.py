@@ -333,11 +333,14 @@ def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,
     max_iter: int = 6,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Multi-source unweighted BFS over the UNDIRECTED graph: returns
     (id, level) where level is the hop distance to the nearest seed, or
     NULL if unreached within ``max_iter`` rounds.
+
+    Unlike pagerank's cadenced checkpointing, dist is checkpointed every
+    round: the per-round frontier-emptiness probe forces materialization
+    regardless, so a cadence would just re-execute off-cadence joins twice.
 
     Frontier message passing, not full relaxation: round i sends messages
     only from vertices settled at level i-1, so per-round work is
@@ -366,6 +369,10 @@ def bfs_levels(
     dist = dist.localCheckpoint(eager=True)
     frontier = dist.filter(F.col("level") == 0).select("id")
     for i in range(1, max_iter + 1):
+        # dist is ALWAYS checkpointed at this point (pre-loop or end of the
+        # previous round), so this emptiness probe scans materialized
+        # partitions instead of re-executing the round's join a second time
+        # when the frontier is then consumed for messages below.
         if frontier.limit(1).count() == 0:
             break
         msgs = (
@@ -381,7 +388,9 @@ def bfs_levels(
             .otherwise(F.when(F.col("mid").isNotNull(), F.lit(i)))
             .alias("level"),
         )
-        if i % checkpoint_every == 0 or i == max_iter:
-            dist = dist.localCheckpoint(eager=True)
+        # Checkpoint every round before deriving the probe-bearing frontier:
+        # the probe forces materialization anyway, so cadenced checkpointing
+        # would only buy re-running the join once more per off-cadence round.
+        dist = dist.localCheckpoint(eager=True)
         frontier = dist.filter(F.col("level") == i).select("id")
     return dist

@@ -880,7 +880,14 @@ def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_hash32(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))).alias("h"),
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
-    sk = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    # sk is k-sized per type (<= 128 rows total); localCheckpoint materializes
+    # the events scan + distinct + window ONCE, so the several sketch-algebra
+    # branches below reuse it instead of re-running the scan per action.
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .localCheckpoint(eager=True)
+    )
     kth = sk.groupBy("event_type").agg(
         F.max("h").alias("hk"), F.count(F.lit(1)).alias("sz")
     )
@@ -902,37 +909,43 @@ def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_click = sk.filter(F.col("event_type") == "click").select("h")
     in_purch = sk.filter(F.col("event_type") == "purchase").select("h")
-    inter_cnt = (
-        su.join(in_click, "h", "left_semi").join(in_purch, "h", "left_semi").count()
+    # Union/intersection estimates stay IN-PLAN: F.round is half-away-from-
+    # zero, matching DuckDB's round() -- driver-side Python round() would be
+    # banker's rounding and flip exact-.5 estimates by 1.
+    ua = su.agg(F.max("h").alias("uhk"), F.count(F.lit(1)).alias("usz"))
+    est_u = ua.select(
+        F.when(F.col("usz") < k, F.col("usz"))
+        .otherwise(F.round((k - 1) * 4294967296.0 / F.col("uhk")).cast("long"))
+        .alias("est_union"),
+        "usz",
     )
-    uhk, usz = su.agg(F.max("h"), F.count(F.lit(1))).first()
-    if usz < k:
-        est_union = usz
-    else:
-        est_union = int(round((k - 1) * 4294967296.0 / uhk))
-    est_int = int(round(inter_cnt * 1.0 / usz * est_union))
+    inter = (
+        su.join(in_click, "h", "left_semi")
+        .join(in_purch, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    est_setops = est_u.crossJoin(inter).select(
+        "est_union",
+        F.round(F.col("ic") * 1.0 / F.col("usz") * F.col("est_union"))
+        .cast("long")
+        .alias("est_intersect"),
+    )
 
-    ex = ev.select("event_type", "user_id").distinct()
-    both = (
-        ex.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("nt"))
-        .filter(F.col("nt") == 2)
-        .count()
+    # Exact side in ONE scan: per-user type flags, then a single rollup gives
+    # all four exact counts (vs. two separate distinct+agg passes).
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("hc"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("hp"),
     )
-    exacts = ex.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("exact_click"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("exact_purchase"),
-        F.countDistinct("user_id").alias("exact_union"),
+    exacts = per_user.agg(
+        F.sum("hc").cast("long").alias("exact_click"),
+        F.sum("hp").cast("long").alias("exact_purchase"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("hc") * F.col("hp")).cast("long").alias("exact_intersect"),
     )
     return (
-        ests.crossJoin(exacts)
-        .withColumn("est_union", F.lit(est_union).cast("long"))
-        .withColumn("est_intersect", F.lit(est_int).cast("long"))
-        .withColumn("exact_intersect", F.lit(both).cast("long"))
+        ests.crossJoin(est_setops)
+        .crossJoin(exacts)
         .select(
             "est_click",
             "est_purchase",

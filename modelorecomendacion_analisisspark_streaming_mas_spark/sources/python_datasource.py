@@ -226,6 +226,15 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
         with open(manifest_tmp, "w") as f:
             json.dump({"batchId": batchId, "files": files}, f)
         _os.replace(manifest_tmp, _os.path.join(commits, f"{batchId}.json"))
+        # Any file still under _tmp/ after the batch committed is by
+        # construction uncommitted garbage (a retried/speculative task's
+        # orphan that never made it into a commit message) -- sweep it so
+        # _tmp/ doesn't accumulate forever.
+        for orphan in _glob.glob(_os.path.join(self.path, "_tmp", "*.jsonl")):
+            try:
+                _os.remove(orphan)
+            except OSError:
+                pass  # concurrent cleanup or in-flight rename; harmless
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
