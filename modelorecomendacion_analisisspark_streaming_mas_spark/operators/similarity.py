@@ -217,6 +217,66 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+# Quantization scale for the DETERMINISTIC signature path: vectors are
+# snapped to integers (round-half-away-from-zero at 3 decimals) so the
+# plane dot products are exact int64 arithmetic in BOTH engines -- no
+# float summation-order ambiguity can flip a sign bit at the >= 0
+# boundary, which is what makes the e02 oracle hash-exact rather than
+# merely "usually agrees".
+LSH_QUANT_SCALE = 1000.0
+
+
+def md5_rademacher_planes(
+    dim: int, n_planes: int, n_tables: int, tag: str = "lshpl"
+) -> np.ndarray:
+    """+-1 hyperplanes derived from portable md5 -- component (t, p, d) is
+    +1 iff the low bit of ``int(md5(f"{tag}|{t}|{p}|{d}")[:8], 16)`` is 0.
+
+    Rademacher projections are a standard sign-LSH variant (same collision
+    -probability-vs-angle guarantee family as Gaussian planes); deriving
+    them from md5 makes the whole LSH structure reproducible inside any
+    engine with an md5() function, so the DuckDB oracle rebuilds identical
+    tables instead of trusting row counts.
+    """
+    import hashlib
+
+    planes = np.empty((n_tables, n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(
+                    hashlib.md5(f"{tag}|{t}|{p}|{d}".encode()).hexdigest()[:8], 16
+                )
+                planes[t, p, d] = 1 if h % 2 == 0 else -1
+    return planes
+
+
+def _det_signatures_udf(planes: np.ndarray):
+    """Integer twin of ``_all_signatures_udf``: quantize each vector to
+    int64 (round half away from zero, matching SQL round()), then one
+    exact int64 matmul against the +-1 planes yields every table's sign
+    bits. Bit-for-bit reproducible by the oracle's list arithmetic."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype=np.float64).reshape(len(vecs), dim)
+        # floor(|x|*scale + 0.5) * sign(x): round HALF AWAY FROM ZERO --
+        # np.round would be banker's and disagree with SQL on exact .5s.
+        Q = (np.floor(np.abs(V) * LSH_QUANT_SCALE + 0.5) * np.sign(V)).astype(
+            np.int64
+        )
+        bits = (Q @ flat.T >= 0).reshape(len(V), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return sigs
+
+
 def _all_signatures_udf(tables: list[list[list[float]]]):
     """Arrow-batched signature computation: ONE (batch x dim) @ (dim x
     n_tables*n_planes) matmul yields every table's sign bits at once.
@@ -258,12 +318,21 @@ def lsh_cosine_topk(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    plane_mode: str = "md5",
 ) -> DataFrame:
     """Approximate cosine top-k: ``n_tables`` independent sign-LSH tables of
-    ``n_planes`` hyperplanes; dot products only within shared buckets."""
-    tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    ``n_planes`` hyperplanes; dot products only within shared buckets.
 
-    sig_udf = _all_signatures_udf(tables)
+    ``plane_mode="md5"`` (default) uses md5-derived +-1 planes with exact
+    integer signature arithmetic -- oracle-reproducible (e02's hash-exact
+    driver check). ``plane_mode="gaussian"`` keeps the seeded Gaussian
+    planes for callers that want them.
+    """
+    if plane_mode == "md5":
+        sig_udf = _det_signatures_udf(md5_rademacher_planes(dim, n_planes, n_tables))
+    else:
+        tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+        sig_udf = _all_signatures_udf(tables)
 
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         # norm once per input row, BEFORE the n_tables-way explode (and

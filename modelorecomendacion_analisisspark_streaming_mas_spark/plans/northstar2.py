@@ -411,19 +411,17 @@ def pq_codes(e: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "e04_knn_pq_adc",
-    oracle=_E04_ORACLE,
-    doc="Product-Quantization ANN with Asymmetric Distance Computation: "
-    "M=4x16-dim subspaces, deterministic pinned codebooks (oracle-exact "
-    "like e03); encode = per-subspace argmin, query = broadcast 40-cell "
-    "lookup + sum of 4 codes per candidate.",
-)
-def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred=None,
+    k: int = _E04_TOPK,
+) -> DataFrame:
+    """PQ + ADC top-k as a reusable operator (e04 is this over the
+    catalog embeddings with ``vec_id < 10`` queries). ``query_pred`` is a
+    callable on the vec_id Column, or None for all-vectors-as-queries."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
+    e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     sub_l2 = _pq_sub_l2
@@ -433,8 +431,11 @@ def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
     )
     codes = pq_codes(e)
+    q_side = (
+        sub_e.filter(query_pred(F.col("vec_id"))) if query_pred is not None else sub_e
+    )
     qd = (
-        sub_e.filter(F.col("vec_id") < 10)
+        q_side
         .join(F.broadcast(sub_cb), "m")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -452,7 +453,7 @@ def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
         approx.withColumn("rn", F.row_number().over(rank_w).cast("long"))
-        .filter(F.col("rn") <= _E04_TOPK)
+        .filter(F.col("rn") <= k)
         .select(
             "query_id",
             "neighbor_id",
@@ -460,6 +461,19 @@ def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "e04_knn_pq_adc",
+    oracle=_E04_ORACLE,
+    doc="Product-Quantization ANN with Asymmetric Distance Computation: "
+    "M=4x16-dim subspaces, deterministic pinned codebooks (oracle-exact "
+    "like e03); encode = per-subspace argmin, query = broadcast 40-cell "
+    "lookup + sum of 4 codes per candidate.",
+)
+def e04_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_pred=lambda vid: vid < 10, k=_E04_TOPK)
 
 
 # --------------------------------------------------------------------------

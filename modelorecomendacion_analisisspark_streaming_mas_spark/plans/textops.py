@@ -277,12 +277,52 @@ def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# e02: LSH-bucketed approximate cosine top-5 (the 100 TB scale path;
-# random hyperplanes -> engine-specific, so rows-only + recall pytest).
+# e02: LSH-bucketed approximate cosine top-5 (the 100 TB scale path).
+# Hash-exact oracle since r5: the hyperplanes are md5-derived +-1
+# (Rademacher) and the signature dot products run in exact int64 on
+# quantized vectors, so DuckDB rebuilds the IDENTICAL 8-table LSH
+# structure from scratch -- buckets, candidate pairs, and the final
+# cosine top-5 are all verified, not just row counts. Same pinning
+# technique e03 uses for centroids and e04 for codebooks.
 # --------------------------------------------------------------------------
 
+_E02_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         [CASE WHEN x >= 0 THEN floor(x * 1000.0 + 0.5)
+               ELSE -floor(-x * 1000.0 + 0.5) END::BIGINT
+          for x in embedding::DOUBLE[]] AS q
+  FROM embeddings
+), planes AS (
+  SELECT t, p,
+         [CASE WHEN (('0x'||substr(md5('lshpl|'||t::VARCHAR||'|'||p::VARCHAR||'|'||d::VARCHAR),1,8))::UBIGINT)::BIGINT % 2 = 0
+               THEN 1 ELSE -1 END for d in generate_series(0, 63)] AS w
+  FROM unnest(generate_series(0, 7)) tt(t), unnest(generate_series(0, 3)) pp(p)
+), sig AS (
+  SELECT e.vec_id, pl.t,
+         SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> e.q[i] * pl.w[i])) >= 0
+                  THEN (1 << pl.p) ELSE 0 END) AS b
+  FROM e, planes pl
+  GROUP BY e.vec_id, pl.t
+), pairs AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.b = cs.b
+  WHERE qs.vec_id < 10 AND qs.vec_id <> cs.vec_id
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+  FROM pairs p
+  JOIN e a ON a.vec_id = p.query_id
+  JOIN e b ON b.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rn
+FROM scored QUALIFY rn <= 5
+"""
 
-@register("e02_knn_lsh", oracle=None)
+
+@register("e02_knn_lsh", oracle=_E02_ORACLE)
 def e02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
