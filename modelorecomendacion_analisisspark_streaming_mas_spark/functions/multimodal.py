@@ -50,6 +50,18 @@ VIDEO_SCHEMA = (
 N_FEATURES = 16
 
 
+def _round_half_up6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 for nonnegative x: round half AWAY from
+    zero at 6dp, as one fixed sequence of double ops an oracle mirrors
+    verbatim. Python's round() is banker's, which disagrees with SQL on
+    exactly-representable ties (e.g. k/128 pixel means end in a true
+    decimal ...5 and round half-to-EVEN), so it cannot anchor a
+    hash-exact contract."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
 def _codec_available() -> bool:
     try:
         import PIL.Image  # noqa: F401
@@ -93,6 +105,32 @@ def fake_decode_image(content: bytes) -> np.ndarray:
     return base + hist[:64].reshape(8, 8)
 
 
+def image_feature_vector(px: np.ndarray) -> list[float]:
+    """[mean, std, min, max, 12-bin histogram] of a uint8 pixel array,
+    each rounded to 6dp, computed with ARITHMETIC AN ORACLE CAN REPLAY:
+    mean and variance come from exact integer sums (S1, S2 fit doubles
+    exactly, so summation order cannot matter), variance is the fixed
+    op-order ``S2/n - (S1/n)^2``, and the histogram bins integers against
+    exact dyadic boundaries (bin = floor(px * 12/512), and 12/512 is a
+    power-of-two-denominator rational). np.std's pairwise-summed
+    deviations formula would differ from any SQL rendering in the last
+    ulps and turn 6dp rounding into a coin flip near boundaries."""
+    flat = px.astype(np.int64).ravel()
+    n = flat.size
+    s1 = int(flat.sum())
+    s2 = int((flat * flat).sum())
+    mean = s1 / n
+    var = s2 / n - (s1 / n) * (s1 / n)
+    std = float(np.sqrt(max(var, 0.0)))
+    hist = np.bincount((flat * (12.0 / 512.0)).astype(np.int64), minlength=12)[
+        : N_FEATURES - 4
+    ]
+    v = [mean, std, float(flat.min()), float(flat.max())] + [
+        float(c) for c in hist
+    ]
+    return [_round_half_up6(float(x)) for x in v]
+
+
 def extract_image_features(df: DataFrame, decode=fake_decode_image) -> DataFrame:
     """binary content -> fixed-dim feature vector via mapInPandas.
 
@@ -108,18 +146,10 @@ def extract_image_features(df: DataFrame, decode=fake_decode_image) -> DataFrame
             # dominates when the decode itself is cheap.
             for rid, content, meta in zip(pdf["id"], pdf["content"], pdf["meta"]):
                 px = decode(content)
-                v = np.concatenate(
-                    [
-                        [px.mean(), px.std(), px.min(), px.max()],
-                        np.histogram(px, bins=N_FEATURES - 4, range=(0, 512))[0].astype(
-                            np.float64
-                        ),
-                    ]
-                )
                 out_rows.append(
                     {
                         "id": rid,
-                        "features": [round(float(x), 6) for x in v],
+                        "features": image_feature_vector(px),
                         "width": meta["width"] if meta is not None else None,
                     }
                 )
@@ -148,15 +178,7 @@ def extract_image_features_arrow(df: DataFrame, decode=fake_decode_image) -> Dat
             out_feats, out_width = [], []
             for i in range(rb.num_rows):
                 px = decode(contents[i].as_py())
-                v = np.concatenate(
-                    [
-                        [px.mean(), px.std(), px.min(), px.max()],
-                        np.histogram(px, bins=N_FEATURES - 4, range=(0, 512))[0].astype(
-                            np.float64
-                        ),
-                    ]
-                )
-                out_feats.append([round(float(x), 6) for x in v])
+                out_feats.append(image_feature_vector(px))
                 out_width.append(widths[i].as_py() if widths is not None else None)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -227,12 +249,14 @@ def extract_audio_features(df: DataFrame, decode=fake_decode_audio) -> DataFrame
                 n = int(meta["n_samples"])
                 pcm = decode(content, n)
                 zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                # _round_half_up6, not round(): see the helper's docstring
+                # -- zcr = zc/512-style dyadic ties exist in this data
                 out_rows.append(
                     {
                         "id": rid,
-                        "duration_s": round(n / sr, 6),
-                        "rms": round(float(np.sqrt(np.mean(pcm**2))), 6),
-                        "zcr": round(zc / max(n - 1, 1), 6),
+                        "duration_s": _round_half_up6(n / sr),
+                        "rms": _round_half_up6(float(np.sqrt(np.mean(pcm**2)))),
+                        "zcr": _round_half_up6(zc / max(n - 1, 1)),
                     }
                 )
             yield pd.DataFrame(out_rows, columns=["id", "duration_s", "rms", "zcr"])
@@ -287,19 +311,23 @@ def synth_image_table(spark, source_df: DataFrame, id_col: str, text_col: str) -
 
 
 def _text_pixels(text: str) -> np.ndarray:
-    """Deterministic gray pixels from a text payload: md5-seeded noise of a
-    text-length-derived size, with the utf-8 byte histogram folded into the
-    top rows so the IMAGE CONTENT (not just its dims) depends on the text."""
+    """Deterministic gray pixels from a text payload: pixel k is byte
+    ``k % 16`` of ``md5(text | block k//16)``, at a text-length-derived
+    size.
+
+    r5 change (was PCG64-seeded noise): md5-block pixels are reproducible
+    inside ANY engine with md5() -- the same pinning move as e02's
+    Rademacher planes -- which is what lets mm02's decoded-pixel features
+    carry an exact DuckDB oracle instead of a rows-only check. Content
+    still depends on the full text through the hash."""
     data = text.encode("utf-8")
-    h = hashlib.md5(data).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     height = len(data) % 16 + 8
     width = len(data) % 24 + 8
-    px = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
-    hist = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
-    fold = (hist[: width * 2] % 256).astype(np.uint8).reshape(2, width)
-    px[:2] = fold
-    return px
+    npx = height * width
+    out = bytearray()
+    for blk in range((npx + 15) // 16):
+        out += hashlib.md5(data + b"|" + str(blk).encode()).digest()
+    return np.frombuffer(bytes(out[:npx]), dtype=np.uint8).reshape(height, width)
 
 
 def synth_png_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> DataFrame:

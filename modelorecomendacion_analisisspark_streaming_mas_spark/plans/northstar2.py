@@ -207,16 +207,66 @@ def mm01_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # mm02: Arrow-batched feature extraction over the binary column via
-# mapInPandas -- now the REAL codec path (r4): every content blob is a
-# valid PNG built by the stdlib encoder, decoded back by decode_image
-# (PIL if present, else the stdlib inflate+unfilter decoder), so the
-# features depend on genuine pixel data. Deterministic but not
-# SQL-expressible -> rows-only driver check; numeric fidelity pinned by
-# tests/test_multimodal.py (numpy round-trip parity).
+# mapInPandas -- the REAL codec path (r4): every content blob is a valid
+# PNG built by the stdlib encoder, decoded back by decode_image (PIL if
+# present, else the stdlib inflate+unfilter decoder), so the features
+# depend on genuine pixel data.
+#
+# HASH-EXACT oracle since r5 (was rows-only): the fixture pixels are
+# md5-block bytes (multimodal._text_pixels), so DuckDB regenerates the
+# identical pixel matrix from the text column and replays the feature
+# arithmetic. Exactness is engineered, not hoped for: mean/std come from
+# exact integer sums (image_feature_vector), the histogram uses exact
+# dyadic bin boundaries, and the final sq-sum is an explicit left-fold
+# matching Spark's F.aggregate order. The oracle therefore verifies the
+# DECODED PIXELS (encode -> PNG -> decode round-trip must be lossless)
+# -- a corrupted codec changes features and breaks the hash.
 # --------------------------------------------------------------------------
 
+_MM02_PX = (
+    "[(('0x'||substr(md5(text||'|'||(k // 16)::VARCHAR), (k % 16) * 2 + 1, 2))::UINTEGER)::BIGINT "
+    "for k in generate_series(0, npx - 1)]"
+)
 
-@register("mm02_image_features")
+_MM02_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS id, text,
+         octet_length(encode(text)) % 16 + 8 AS height,
+         octet_length(encode(text)) % 24 + 8 AS width
+  FROM documents
+), px AS (
+  SELECT id, width, height * width AS npx,
+         {_MM02_PX} AS p
+  FROM d
+), sums AS (
+  SELECT id, width, npx,
+         list_sum(p)::BIGINT AS s1,
+         list_sum([x * x for x in p])::BIGINT AS s2,
+         list_min(p)::DOUBLE AS fmin,
+         list_max(p)::DOUBLE AS fmax,
+         [list_sum([CASE WHEN floor(x * (12.0 / 512.0)) = b THEN 1 ELSE 0 END for x in p])::DOUBLE
+          for b in generate_series(0, 11)] AS hist
+  FROM px
+), feats AS (
+  SELECT id, width,
+         floor(s1 / npx * 1000000.0 + 0.5) / 1000000.0 AS f_mean,
+         floor(sqrt(greatest(s2 / npx - (s1 / npx) * (s1 / npx), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS f_std,
+         fmin AS f_min, fmax AS f_max, hist
+  FROM sums
+)
+SELECT id,
+       round(f_mean * f_mean + f_std * f_std + f_min * f_min + f_max * f_max
+             + hist[1] * hist[1] + hist[2] * hist[2] + hist[3] * hist[3]
+             + hist[4] * hist[4] + hist[5] * hist[5] + hist[6] * hist[6]
+             + hist[7] * hist[7] + hist[8] * hist[8] + hist[9] * hist[9]
+             + hist[10] * hist[10] + hist[11] * hist[11] + hist[12] * hist[12],
+             4) AS feature_sq_sum,
+       width::INT AS width
+FROM feats
+"""
+
+
+@register("mm02_image_features", oracle=_MM02_ORACLE)
 def mm02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import (
         decode_image,
@@ -271,15 +321,49 @@ def mm03_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # mm04: audio decode + acoustic features through the same Arrow-batched
-# mapInPandas contract as mm02 -- now REAL WAV containers (r4): 16-bit
-# PCM tones encoded via stdlib wave, decoded back by decode_audio_wav,
-# which also cross-checks the metadata-declared clip length against the
-# container header. rms/zcr are pinned numerically by
-# tests/test_multimodal.py against a driver-side numpy round-trip.
+# mapInPandas contract as mm02 -- REAL WAV containers (r4): 16-bit PCM
+# tones encoded via stdlib wave, decoded back by decode_audio_wav, which
+# also cross-checks the metadata-declared clip length against the
+# container header.
+#
+# HASH-EXACT oracle since r5 (was rows-only): the tone is amp*sin(2pi f
+# t) with (f, amp, n) md5/length-derived from text, so DuckDB replays
+# synthesis AND 16-bit quantization (round(x*32767)/32768 -- the lossy
+# step decode_wav inverts exactly). Post-quantization arithmetic is
+# exact by construction: sample squares k^2/2^30 are dyadic doubles
+# whose sums fit 41 bits, so rms is bit-identical regardless of
+# summation order; zcr counts integer sign flips. The only cross-engine
+# float dependency left is libm sin() agreeing to well under the 1/65534
+# quantization step, a ~1e-11-per-sample tie risk.
 # --------------------------------------------------------------------------
 
+_MM04_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, md5(text) AS h,
+         octet_length(encode(text)) % 1600 + 400 AS n
+  FROM documents
+), meta AS (
+  SELECT id, n,
+         (('0x'||substr(h, 1, 4))::UINTEGER % 1800 + 200)::BIGINT AS freq,
+         (('0x'||substr(h, 5, 2))::UINTEGER / 255.0) * 0.8 + 0.1 AS amp
+  FROM d
+), pcm AS (
+  SELECT id, n,
+         [round(amp * sin(((2 * pi()) * freq) * (i / 8000.0)) * 32767.0) / 32768.0
+          for i in generate_series(0, n - 1)] AS p
+  FROM meta
+)
+SELECT id,
+       floor(n / 8000.0 * 1000000.0 + 0.5) / 1000000.0 AS duration_s,
+       floor(sqrt(list_sum([x * x for x in p]) / n) * 1000000.0 + 0.5) / 1000000.0 AS rms,
+       floor(list_sum(list_transform(generate_series(2, n), i ->
+             CASE WHEN (p[i] < 0) != (p[i-1] < 0) THEN 1 ELSE 0 END)) / (n - 1)
+             * 1000000.0 + 0.5) / 1000000.0 AS zcr
+FROM pcm
+"""
 
-@register("mm04_audio_features")
+
+@register("mm04_audio_features", oracle=_MM04_ORACLE)
 def mm04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import (
         decode_audio_wav,

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+    _round_half_up6,
     decode_image,
     extract_image_features,
     fake_decode_image,
@@ -129,9 +130,9 @@ def test_audio_features_match_numpy_reference(spark, sf_dir):
         pcm = fake_decode_audio(bytes(row["content"]), n)
         zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
         r = got[row["id"]]
-        assert r["duration_s"] == round(n / sr, 6)
-        assert r["rms"] == round(float(np.sqrt(np.mean(pcm**2))), 6)
-        assert r["zcr"] == round(zc / (n - 1), 6)
+        assert r["duration_s"] == _round_half_up6(n / sr)
+        assert r["rms"] == _round_half_up6(float(np.sqrt(np.mean(pcm**2))))
+        assert r["zcr"] == _round_half_up6(zc / (n - 1))
 
 
 def test_real_png_pipeline_matches_numpy_roundtrip(spark, sf_dir):
@@ -143,10 +144,10 @@ def test_real_png_pipeline_matches_numpy_roundtrip(spark, sf_dir):
     import numpy as np
 
     from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
-        N_FEATURES,
         _text_pixels,
         decode_image,
         extract_image_features,
+        image_feature_vector,
         synth_png_table,
     )
 
@@ -159,19 +160,17 @@ def test_real_png_pipeline_matches_numpy_roundtrip(spark, sf_dir):
     assert len(got) == 25
 
     for row in docs.select("doc_id", "text").collect():
-        px = _text_pixels(row["text"]).astype(np.float64)
-        v = np.concatenate(
-            [
-                [px.mean(), px.std(), px.min(), px.max()],
-                np.histogram(px, bins=N_FEATURES - 4, range=(0, 512))[0].astype(
-                    np.float64
-                ),
-            ]
-        )
-        expect = [round(float(x), 6) for x in v]
+        px = _text_pixels(row["text"])
+        expect = image_feature_vector(px)
         feats, width = got[row["doc_id"]]
         assert feats == expect
         assert width == px.shape[1]
+        # pin the feature semantics independently of the helper: mean/std
+        # must agree with numpy's to float tolerance (the helper's exact
+        # integer-sum formula is a determinism device, not a redefinition)
+        f = px.astype(np.float64)
+        assert abs(expect[0] - f.mean()) < 1e-6
+        assert abs(expect[1] - f.std()) < 1e-6
 
 
 def test_real_wav_pipeline_matches_numpy_roundtrip(spark, sf_dir):
@@ -209,9 +208,9 @@ def test_real_wav_pipeline_matches_numpy_roundtrip(spark, sf_dir):
         pcm, _ = decode_wav(encode_wav(amp * np.sin(2 * np.pi * freq * t), sr))
         zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
         r = got[row["doc_id"]]
-        assert r["duration_s"] == round(n / sr, 6)
-        assert r["rms"] == round(float(np.sqrt(np.mean(pcm**2))), 6)
-        assert r["zcr"] == round(zc / (n - 1), 6)
+        assert r["duration_s"] == _round_half_up6(n / sr)
+        assert r["rms"] == _round_half_up6(float(np.sqrt(np.mean(pcm**2))))
+        assert r["zcr"] == _round_half_up6(zc / (n - 1))
 
 
 def test_wav_decode_rejects_metadata_mismatch():
