@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import atexit
 import datetime
+import os
 import shutil
 import tempfile
 
@@ -422,8 +423,25 @@ _SENTINEL_TS = datetime.datetime(2025, 1, 1)  # > max events ts + watermark at e
 def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, -1)  # distinct staging variant: 1 copy + sentinel row
     if key not in _STAGED:
+        # Derive from the SHARED base staging instead of re-materializing
+        # the events table: hard-link its parquet files into a fresh dir
+        # and append only the one-row sentinel file. Saves a full
+        # read+write of the events table per process (s01 and friends
+        # have usually staged the base already; if not, stage it once
+        # here so every later _replayed() call reuses it too).
+        base_key = (sf_dir, 1, None)
+        if base_key not in _STAGED:
+            bd = tempfile.mkdtemp(prefix="mras_stream_")
+            bschema = stage_events_for_replay(spark, sf_dir, bd, copies=1)
+            _STAGED[base_key] = (bd, bschema)
+        bd, schema = _STAGED[base_key]
         d = tempfile.mkdtemp(prefix="mras_stream_")
-        schema = stage_events_for_replay(spark, sf_dir, d, copies=1)
+        for f in os.listdir(bd):
+            if f.endswith(".parquet"):
+                try:
+                    os.link(os.path.join(bd, f), os.path.join(d, f))
+                except OSError:  # cross-device or FS without hard links
+                    shutil.copy2(os.path.join(bd, f), os.path.join(d, f))
         sentinel = spark.createDataFrame(
             [(-1, _SENTINEL_TS, -1, "__sentinel__", 0.0, "{}")], schema
         )
