@@ -296,3 +296,107 @@ def g05_bfs_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(
         F.coalesce(F.col("level"), F.lit(-1)).cast("long").alias("level")
     ).agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+# --------------------------------------------------------------------------
+# g06: WEIGHTED PageRank -- the semantic nuance the reference leaves on
+# the table: its edges carry rating weights
+# (GraphFrames_prueba/Explorativa3.ipynb:94-102) but GraphFrames pageRank
+# ignores them. Here the edge weight is the (customer, part) purchase
+# multiplicity and u's contribution to v is rank(u) * w(u,v) / sum_x
+# w(u,x); with all-equal weights this degenerates to g02 exactly. Oracle:
+# the same unrolled-CTE technique as g02, with the weighted recurrence.
+# --------------------------------------------------------------------------
+
+_W_EDGES_SQL = """
+edges AS (
+  SELECT 'c' || o.o_custkey AS src, 'p' || l.l_partkey AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)"""
+
+
+def _weighted_pagerank_oracle(iters: int = 10) -> str:
+    ctes = [
+        _W_EDGES_SQL.strip(),
+        """verts AS (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+)""",
+        """ws AS (
+  SELECT src, sum(w) AS wsum FROM edges GROUP BY src
+)""",
+        """e AS (
+  SELECT edges.src, edges.dst, edges.w, ws.wsum
+  FROM edges JOIN ws ON edges.src = ws.src
+)""",
+        "r0 AS (\n  SELECT id, 1.0 AS rank FROM verts\n)",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(
+            f"""r{n} AS (
+  SELECT v.id, 0.15 + 0.85 * COALESCE(s.contrib, 0.0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst, sum(r.rank * e.w / e.wsum) AS contrib
+    FROM e JOIN r{n - 1} r ON e.src = r.id GROUP BY e.dst
+  ) s ON v.id = s.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, round(rank, 6) AS pagerank
+FROM r{iters}
+ORDER BY rank DESC, id
+LIMIT 100
+"""
+    )
+
+
+def weighted_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded (src, dst, weight) with weight = purchase multiplicity;
+    the weighted twin of bipartite_graph_encoded's edge build (groupBy
+    count instead of distinct -- same single fact-join shuffle)."""
+    from ..graph.algorithms import BROADCAST_VERTEX_LIMIT, _maybe_broadcast
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders_small = (
+        orders.limit(BROADCAST_VERTEX_LIMIT + 1).count() <= BROADCAST_VERTEX_LIMIT
+    )
+    return (
+        li.join(_maybe_broadcast(orders, orders_small), li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+@register(
+    "g06_weighted_pagerank_top100",
+    oracle=_weighted_pagerank_oracle(10),
+    doc="Weighted PageRank (contrib = rank*w/sum w), 10 iterations, edge "
+    "weight = purchase multiplicity; unrolled-CTE oracle like g02.",
+)
+def g06_weighted_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import pagerank_weighted
+
+    edges = weighted_bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = pagerank_weighted(vertices, edges, reset_prob=0.15, max_iter=10)
+    return (
+        pr.select(decode_vertex_id(F.col("id")).alias("id"), "pagerank")
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(100)
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
+    )

@@ -202,3 +202,47 @@ def test_bfs_levels_on_planted_chain_and_island(spark):
         for r in bfs_levels(vertices, edges, seeds, max_iter=2).collect()
     }
     assert truncated == {1: 0, 2: 1, 3: 2, 4: None, 5: None, 10: None, 11: None}
+
+
+def test_weighted_pagerank_degenerates_to_unweighted(spark):
+    """With all-equal weights, rank*w/sum(w) == rank/outDegree, so
+    pagerank_weighted must equal pagerank to float tolerance on any
+    graph (here: a 3-cycle plus a dangling chord)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    from pyspark.sql import functions as F
+
+    w_edges = edges.withColumn("weight", F.lit(7))
+    pr = {r["id"]: r["pagerank"] for r in pagerank(vertices, edges, max_iter=8).collect()}
+    prw = {
+        r["id"]: r["pagerank"]
+        for r in pagerank_weighted(vertices, w_edges, max_iter=8).collect()
+    }
+    assert set(pr) == set(prw)
+    for k in pr:
+        assert abs(pr[k] - prw[k]) < 1e-9
+
+
+def test_weighted_pagerank_favors_heavy_edge(spark):
+    """A source splitting 9:1 between two sinks must rank the heavy sink
+    strictly higher -- the property unweighted PageRank cannot express."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        pagerank_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, weight long"
+    )
+    vertices = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    pr = {
+        r["id"]: r["pagerank"]
+        for r in pagerank_weighted(vertices, edges, max_iter=5).collect()
+    }
+    assert pr[2] > pr[3] > 0
