@@ -435,6 +435,7 @@ def lsh_probe_index(
     probe_sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
+    index_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental-ingestion LSH: band a PROBE batch against an EXISTING
     corpus index instead of self-joining the whole corpus. Output:
@@ -445,8 +446,18 @@ def lsh_probe_index(
     by (band_idx, band_key)); each new batch bands only its own docs and
     equi-joins the index -- cost proportional to the BATCH, not the
     corpus. The join is the same band-bucket equi-join as
-    lsh_candidate_pairs, so AQE skew handling and the star-cap idea
-    apply unchanged.
+    lsh_candidate_pairs, so AQE skew handling applies unchanged.
+
+    ``index_bucket_cap`` is the probe-path twin of the self-join's
+    star-topology cap: a VIRAL band (thousands of near-identical docs
+    already indexed) would otherwise produce |bucket| x |probe-hits|
+    candidates. Capped, each probe doc compares against at most ``cap``
+    representatives per bucket (lowest dup_of = oldest first,
+    deterministic) -- O(cap * batch) candidates. Match quality is
+    preserved for the case the cap exists for: bucket members share the
+    band signature, so a probe doc that truly matches the bucket matches
+    its representatives. None = complete candidates (the oracle-exact
+    catalog setting; the cap is for planted-skew regimes).
     """
 
     def banded(sigs: DataFrame, id_out: str) -> DataFrame:
@@ -471,6 +482,18 @@ def lsh_probe_index(
 
     probe_b = banded(probe_sigs, "doc_id")
     index_b = banded(index_sigs, "dup_of")
+    if index_bucket_cap is not None:
+        # representative selection per bucket: the window sorts only ids
+        # within one bucket (O(H log H) of 8-byte rows), which replaces
+        # the H x P pair blow-up the join would otherwise emit
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key").orderBy("dup_of")
+        index_b = (
+            index_b.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= index_bucket_cap)
+            .drop("rn")
+        )
     return (
         probe_b.join(index_b, ["band_idx", "band_key"])
         .select("doc_id", "dup_of")

@@ -139,3 +139,55 @@ def test_fastss_cap_noop_below_threshold(spark):
         for r in edit1_neighborhood_join(df, "id", "name", bucket_cap=100).collect()
     }
     assert capped == exact == {(1, 2, 1), (2, 3, 1)}
+
+
+def test_viral_batch_probe_index_cap_bounds_candidates(spark):
+    """d10's incremental path meets the storm: a viral doc is ALREADY
+    indexed n_hot times, and a new batch re-ingests it 40 more times.
+    Uncapped, every band of every probe copy joins the whole hot bucket
+    (~4 bands x 40 x n_hot pairs). index_bucket_cap must bound
+    candidates at probe x cap while every probe doc still finds a
+    representative match."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        lsh_probe_index,
+        minhash_signatures,
+    )
+
+    n_hot, n_probe, cap = 1500, 40, 8
+    existing = _corpus(spark, n_hot, 50)
+    probe = spark.createDataFrame(
+        [(1_000_000 + i, HOT_TEXT) for i in range(n_probe)]
+        + [(2_000_000 + i, f"fresh unseen probe doc {i} tok{i * 13}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx_sigs = minhash_signatures(existing, "doc_id", "text")
+    probe_sigs = minhash_signatures(probe, "doc_id", "text")
+
+    capped = lsh_probe_index(idx_sigs, probe_sigs, index_bucket_cap=cap).collect()
+    # identical docs collapse to ONE bucket set; representatives are the
+    # cap lowest ids, so each viral probe doc yields exactly cap pairs
+    hot_pairs = [r for r in capped if r["doc_id"] >= 1_000_000 and r["doc_id"] < 2_000_000]
+    assert len(hot_pairs) == n_probe * cap
+    assert {r["dup_of"] for r in hot_pairs} == set(range(cap))
+    # every viral probe doc still has candidates to verify against
+    assert {r["doc_id"] for r in hot_pairs} == {1_000_000 + i for i in range(n_probe)}
+    # fresh docs match nothing (no false fan-out added by the cap)
+    assert not [r for r in capped if r["doc_id"] >= 2_000_000]
+
+
+def test_probe_index_cap_none_is_complete(spark):
+    """Default (None) must remain the complete candidate set the d10
+    oracle hashes against -- the cap is opt-in for skew regimes."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        lsh_probe_index,
+        minhash_signatures,
+    )
+
+    existing = _corpus(spark, 30, 0)
+    probe = spark.createDataFrame(
+        [(500 + i, HOT_TEXT) for i in range(5)], "doc_id long, text string"
+    )
+    idx_sigs = minhash_signatures(existing, "doc_id", "text")
+    probe_sigs = minhash_signatures(probe, "doc_id", "text")
+    full = lsh_probe_index(idx_sigs, probe_sigs).collect()
+    assert len(full) == 5 * 30  # every (probe, index) pair survives distinct
