@@ -192,3 +192,86 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported WAV sample width {width}")
     return (pcm if ch == 1 else pcm.reshape(-1, ch)), sr
+
+
+# --------------------------------------------------------------------------
+# BMP (Windows DIB, uncompressed) -- the second stdlib-decodable image
+# container (r4's remaining "honest gate" was PNG-only-without-PIL).
+# BMP needs no compression library at all: header + padded BGR rows.
+# Scope: 24-bit BI_RGB (what the encoder emits; the dominant uncompressed
+# variant in the wild) and 8-bit palettted gray; anything else raises
+# ValueError naming the offending header field.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8 (H,W) gray or (H,W,3) RGB -> 24-bit BI_RGB BMP bytes
+    (gray replicated across B=G=R; rows bottom-up, 4-byte aligned)."""
+    arr = np.asarray(pixels)
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_bmp needs uint8 pixels, got {arr.dtype}")
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_bmp needs (H,W) or (H,W,3), got {arr.shape}")
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        body += row[:, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, pixel_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> uint8 (H,W) gray if all channels equal, else (H,W,3)
+    RGB. Supports 24-bit BI_RGB and 8-bit palettted, top-down or
+    bottom-up rows."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    pixel_offset = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if bpp == 24:
+        row_bytes = w * 3
+        stride = (row_bytes + 3) & ~3
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            off = pixel_offset + i * stride
+            row = np.frombuffer(data[off : off + row_bytes], dtype=np.uint8).reshape(
+                w, 3
+            )
+            px[i if top_down else h - 1 - i] = row[:, ::-1]  # BGR -> RGB
+    elif bpp == 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off : pal_off + n_colors * 4], dtype=np.uint8
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA entries -> RGB
+        stride = (w + 3) & ~3
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            off = pixel_offset + i * stride
+            idx = np.frombuffer(data[off : off + w], dtype=np.uint8)
+            px[i if top_down else h - 1 - i] = pal[idx]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 1] == px[:, :, 2]).all():
+        return px[:, :, 0].copy()
+    return px

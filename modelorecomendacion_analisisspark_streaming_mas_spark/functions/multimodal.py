@@ -75,9 +75,10 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(content: bytes) -> "np.ndarray":
-    """Real decode path: PIL when importable, else the stdlib-only PNG
-    decoder (codecs_stdlib.decode_png). Non-PNG payloads on a PIL-less
-    host raise NotImplementedError -- the remaining honest gate."""
+    """Real decode path: PIL when importable, else the stdlib-only
+    decoders (codecs_stdlib.decode_png / decode_bmp). Payloads that are
+    neither PNG nor BMP on a PIL-less host raise NotImplementedError --
+    the remaining honest gate (JPEG etc. genuinely need a codec lib)."""
     if _codec_available():
         import io
 
@@ -88,10 +89,14 @@ def decode_image(content: bytes) -> "np.ndarray":
         from .codecs_stdlib import decode_png
 
         return decode_png(content)
+    if content[:2] == b"BM":
+        from .codecs_stdlib import decode_bmp
+
+        return decode_bmp(content)
     raise NotImplementedError(
-        "no codec for this payload: PIL is absent and the content is not "
-        "PNG (the stdlib fallback only speaks PNG); use fake_decode_image "
-        "for non-container test payloads"
+        "no codec for this payload: PIL is absent and the content is "
+        "neither PNG nor BMP (the stdlib fallbacks); use "
+        "fake_decode_image for non-container test payloads"
     )
 
 
@@ -352,6 +357,37 @@ def synth_png_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                             "width": int(px.shape[1]),
                             "height": int(px.shape[0]),
                             "format": "image/png",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "content", "meta"])
+
+    src = source_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(build, schema=IMAGE_SCHEMA)
+
+
+def synth_bmp_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BMP twin of synth_png_table: same deterministic text-derived
+    pixels, different real container (24-bit BI_RGB). Mixing the two in
+    one pipeline proves content-keyed dedup across FORMATS: a re-encode
+    of the same pixels as BMP must hash identically to the PNG."""
+    from .codecs_stdlib import encode_bmp
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                px = _text_pixels(text)
+                rows.append(
+                    {
+                        "id": int(rid),
+                        "content": encode_bmp(px),
+                        "meta": {
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "format": "image/bmp",
                         },
                     }
                 )

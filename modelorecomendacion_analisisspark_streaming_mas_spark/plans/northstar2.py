@@ -596,14 +596,16 @@ FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
 @register(
     "mm06_image_phash_dedup",
     oracle=_MM06_ORACLE,
-    doc="Perceptual average-hash dedup over real decoded PNGs: dup groups "
-    "(rep_id = min id, size) keyed on pixel content; oracle = the "
-    "text-identity groups the deterministic fixture guarantees.",
+    doc="Perceptual average-hash dedup over real decoded images ACROSS "
+    "container formats (originals PNG, re-ingests BMP since r5): dup "
+    "groups (rep_id = min id, size) keyed on pixel content; oracle = "
+    "the text-identity groups the deterministic fixture guarantees.",
 )
 def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import (
         decode_image,
         image_average_hash,
+        synth_bmp_table,
         synth_png_table,
     )
 
@@ -611,8 +613,10 @@ def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reingested = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    media = synth_png_table(
-        spark, docs.unionByName(reingested), "doc_id", "text"
+    # second ingest arrives as a DIFFERENT container (BMP): the dedup
+    # must key on decoded pixel content, not container bytes
+    media = synth_png_table(spark, docs, "doc_id", "text").unionByName(
+        synth_bmp_table(spark, reingested, "doc_id", "text")
     )
     hashes = image_average_hash(media, decode=decode_image)
     return (

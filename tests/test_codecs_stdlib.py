@@ -160,3 +160,68 @@ def test_wav_clipping_is_saturating():
     out, _ = decode_wav(encode_wav(np.array([2.0, -2.0]), 8000))
     assert out[0] == pytest.approx(32767 / 32768)
     assert out[1] == pytest.approx(-1.0)
+
+
+def test_bmp_roundtrip_gray():
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # widths 5/6/7/8 cover every 4-byte row-padding case
+    for w in (5, 6, 7, 8):
+        px = (np.arange(9 * w).reshape(9, w) * 7 % 251).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_bmp_roundtrip_rgb():
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    # avoid the all-channels-equal gray collapse in this fixture
+    px[0, 0] = [1, 2, 3]
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_bmp_rejects_unsupported():
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        decode_bmp,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PX not a bmp")
+
+
+def test_decode_image_speaks_bmp_without_pil():
+    """The second real container format behind decode_image's injection
+    point: a BMP payload decodes on a PIL-less host (shrinking r4's
+    PNG-only codec gate)."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        encode_bmp,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        decode_image,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        import pytest
+
+        pytest.skip("PIL present: decode_image prefers it")
+    except ImportError:
+        pass
+    px = (np.arange(60).reshape(6, 10) * 11 % 256).astype(np.uint8)
+    assert (decode_image(encode_bmp(px)) == px).all()
