@@ -17,73 +17,44 @@ from . import batch5  # noqa: E402,F401
 from . import batch6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 4 rotation).
+# Registration-order policy (round 5 rotation).
 #
 # The driver's CORRECTNESS sweep samples at most ~50 queries per round *in
 # registration order*, so the order of this dict decides which queries get a
 # hard driver-side oracle run. Policy (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST: queries that have never had a driver-side oracle run,
-#      plus any newly added query -- anything NOT in a staleness list below
-#      lands ahead of the re-confirmations automatically.
-#   2. STALE_R1 / STALE_R2: oldest-verified first. After r03 every query has
-#      had at least one driver run (VERDICT r3); freshness now rotates so no
-#      entry silently drifts -- queries whose LAST driver check was round 1,
-#      then round 2 (the big q01-q48 batch tail), fill the rest of the
-#      window (VERDICT r3 "Next round" item 4).
-#   3. FRESH_R3: hash-exact in CORRECTNESS_r03 -- re-checked last.
-#   4. Inherently rows-only samples (q17 random sample, q44 HLL +/-bound)
-#      go at the very end: a window slot spent on them can never upgrade
-#      to a hash match.
+#   1. VERIFY_FIRST: brand-new queries plus queries whose PLAN OR ORACLE
+#      changed this round (they must be re-greened under the driver, not
+#      just pytest). Anything not in a list below lands here automatically.
+#   2. STALE_R2 / STALE_R3: oldest driver check first. After r4, 30 entries
+#      were last checked in r2 and 50 in r3 (union across rounds covers all;
+#      judge re-sampled 20 of the stale ones in r4 -- all MATCH -- but the
+#      official record should rotate too).
+#   3. FRESH_R4: hash-exact in CORRECTNESS_r04 -- re-checked last.
+#   4. Inherently rows-only samples (q17 Bernoulli, q44 HLL; m01/m02/m05
+#      ALS training) at the very end: a window slot spent on them can
+#      never upgrade to a hash match. (m01/m02/m05 sit at the tail of
+#      STALE_R3 for the same reason.)
 # ---------------------------------------------------------------------------
 
-# Never driver-checked (new this round). Entries not in ANY list are slotted
-# immediately after this block -- BEFORE the re-confirmations -- so a
-# brand-new query always lands inside the driver's ~50-query window even as
-# the catalog grows.
+# New in r5 or materially changed in r5 (e02/mm02/mm04 gained hash-exact
+# oracles; mm06 re-ingests via BMP; q71 moved estimation in-plan; e04 was
+# refactored through pq_adc_topk; s13/s14/s01 share restaged replay dirs).
 _VERIFY_FIRST = [
-    "s10_stream_tws_counts",  # unlocked r4 via compat/protobuf_shim.py
-    "s18_stream_tws_latest",  # new r4: ListState latest-k, exact oracle
-    "s19_stream_tws_buckets",  # new r4: MapState histogram, exact oracle
+    "g06_weighted_pagerank_top100",
+    "e02_knn_lsh",
+    "mm02_image_features",
+    "mm04_audio_features",
+    "mm06_image_phash_dedup",
+    "q71_kmv_sketch_setops",
+    "e04_knn_pq_adc",
+    "s13_stream_file_sink",
+    "s14_stream_left_outer_join",
+    "s01_stream_tumbling_counts",
 ]
 
-# Last driver-checked in round 1 (missed both the r02 and r03 windows).
-_STALE_R1 = [
-    "s08_stream_dedup_watermark",
-    "s09_stream_longest_run",
-    "d04_ngram_jaccard_dedup",
-    "d05_embedding_near_dups",
-    "e03_knn_ivf",
-    "t05_doc_fingerprints",
-    "mm01_resize_plan",
-]
-
-# Last driver-checked in round 2 (q17/q44 were in that window but are
-# inherently rows-only -- kept at the absolute end).
+# Last driver-checked in round 2 (the oldest official record).
 _STALE_R2 = [
-    "q01_pricing_summary",
-    "q02_flagship_top_tokens",
-    # promoted within the equally-stale r02 group: window sentinel (the
-    # r4 additions consume ~16 front slots, so the group's tail now
-    # rotates across TWO rounds; these three must stay in-window)
-    "q38_robust_stats",
-    "q03_global_rank_customers",
-    "q04_star_join_revenue",
-    "q05_balance_buckets",
-    "q06_map_lookup_regions",
-    "q07_regex_brand_etl",
-    "q08_daily_events",
-    "q09_quantiles",
-    "q10_dedup_pairs_histogram",
-    "q11_set_ops_nationkeys",
-    "q12_null_fill_activity",
-    "q13_top_orders",
-    "q14_running_spend",
-    "q15_json_props",
-    "q16_segment_top_customers",
-    "q18_range_lookup_tiers",
-    "q19_rollup_orders",
-    "q20_cube_lineitem",
     "q21_asof_click_attribution",
     "q22_salted_group_count",
     "q23_salted_join_revenue",
@@ -114,9 +85,9 @@ _STALE_R2 = [
     "g02_pagerank_top100",
 ]
 
-# Hash-exact (or rows-only-by-construction) in CORRECTNESS_r03: freshest,
-# re-checked last. Original registration order within the group.
-_FRESH_R3 = [
+# Last driver-checked in round 3 (oldest-first tail fills the window;
+# the rest re-greens in r6).
+_STALE_R3 = [
     "d01_exact_dedup_docs",
     "d02_minhash_near_dups",
     "d03_simhash_docs",
@@ -125,23 +96,15 @@ _FRESH_R3 = [
     "t03_token_stats",
     "t04_tfidf_top_terms",
     "e01_knn_bruteforce",
-    "e02_knn_lsh",
-    "mm02_image_features",
     "s11_stream_static_join",
     "s12_stream_dynamic_session",
     "g03_component_histogram",
-    "m01_als_top5_recs",
-    "m02_cold_start_fold_in",
     "g04_trade_triangles",
     "m03_item_item_cosine",
-    "m05_implicit_als_recs",
-    "s13_stream_file_sink",
-    "s14_stream_left_outer_join",
     "s15_incremental_rollup",
     "s16_stream_quality_router",
     "s17_stream_static_anti_join",
     "mm03_video_frame_plan",
-    "mm04_audio_features",
     "t08_bigram_cross_entropy",
     "d06_contamination_check",
     "t06_repetition_metrics",
@@ -160,13 +123,68 @@ _FRESH_R3 = [
     "mm05_shard_manifest",
     "q58_equidepth_histogram",
     "q59_snapshot_diff",
-    "s01_stream_tumbling_counts",
     "s02_stream_sliding_counts",
     "s03_stream_session_counts",
     "s04_stream_dedup_counts",
     "s05_stream_latest_topk",
     "s06_stream_group_counts",
     "s07_stream_stream_join",
+    "m01_als_top5_recs",
+    "m02_cold_start_fold_in",
+    "m05_implicit_als_recs",
+]
+
+# Hash-exact (or rows-only-by-construction) in CORRECTNESS_r04: freshest,
+# re-checked last.
+_FRESH_R4 = [
+    "s10_stream_tws_counts",
+    "s18_stream_tws_latest",
+    "s19_stream_tws_buckets",
+    "g05_bfs_level_histogram",
+    "s20_stream_countmin_cells",
+    "mm06_image_phash_dedup",
+    "q61_source_quality_gate",
+    "q62_bm25_topk",
+    "q63_epoch_shuffle_shards",
+    "q64_vocab_coverage",
+    "q65_bloom_prune_join",
+    "q66_interval_month_overlap",
+    "q67_countmin_heavy_hitters",
+    "q68_funnel_stages",
+    "q69_retention_cohorts",
+    "s21_stream_funnel_stages",
+    "d09_canonical_keep_best",
+    "q70_curation_pipeline_v2",
+    "d10_incremental_index_dedup",
+    "q72_orc_roundtrip",
+    "q60_sequence_packing",
+    "s08_stream_dedup_watermark",
+    "s09_stream_longest_run",
+    "d04_ngram_jaccard_dedup",
+    "d05_embedding_near_dups",
+    "e03_knn_ivf",
+    "t05_doc_fingerprints",
+    "mm01_resize_plan",
+    "q01_pricing_summary",
+    "q02_flagship_top_tokens",
+    "q38_robust_stats",
+    "q03_global_rank_customers",
+    "q04_star_join_revenue",
+    "q05_balance_buckets",
+    "q06_map_lookup_regions",
+    "q07_regex_brand_etl",
+    "q08_daily_events",
+    "q09_quantiles",
+    "q10_dedup_pairs_histogram",
+    "q11_set_ops_nationkeys",
+    "q12_null_fill_activity",
+    "q13_top_orders",
+    "q14_running_spend",
+    "q15_json_props",
+    "q16_segment_top_customers",
+    "q18_range_lookup_tiers",
+    "q19_rollup_orders",
+    "q20_cube_lineitem",
 ]
 
 _ROWS_ONLY_TAIL = ["q17_sample_stats", "q44_hll_sketch_distinct"]
@@ -176,16 +194,16 @@ def _apply_order() -> None:
     order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
     placed = (
         set(order)
-        | set(_STALE_R1)
         | set(_STALE_R2)
-        | set(_FRESH_R3)
+        | set(_STALE_R3)
+        | set(_FRESH_R4)
         | set(_ROWS_ONLY_TAIL)
     )
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]
-    order += [n for n in _STALE_R1 if n in REGISTRY]
     order += [n for n in _STALE_R2 if n in REGISTRY]
-    order += [n for n in _FRESH_R3 if n in REGISTRY]
+    order += [n for n in _STALE_R3 if n in REGISTRY]
+    order += [n for n in _FRESH_R4 if n in REGISTRY]
     order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
     reordered = {n: REGISTRY[n] for n in order}
     assert len(reordered) == len(REGISTRY), "reorder dropped queries"

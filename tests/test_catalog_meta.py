@@ -55,18 +55,20 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     window = list(REGISTRY)[:50]
-    # r4: every query has had >=1 driver run (VERDICT r3), so the front of
-    # the window is (a) anything brand-new, (b) the stalest entries -- last
-    # checked in r01/r02 -- rotating forward per the freshness policy.
+    # r5: front of the window is (a) anything brand-new or changed this
+    # round (plan/oracle edits must re-green under the driver, not just
+    # pytest), (b) the stalest entries -- last driver-checked in r02 --
+    # rotating forward per the freshness policy.
     must_be_early = {
-        "s10_stream_tws_counts",  # new in r4 (protobuf shim unlock)
-        # last driver-checked in round 1:
-        "s08_stream_dedup_watermark", "s09_stream_longest_run",
-        "d04_ngram_jaccard_dedup", "d05_embedding_near_dups",
-        "e03_knn_ivf", "t05_doc_fingerprints", "mm01_resize_plan",
-        # oldest of the round-2-checked batch tail:
-        "q01_pricing_summary", "q02_flagship_top_tokens",
-        "q38_robust_stats",
+        # new / materially changed in r5:
+        "g06_weighted_pagerank_top100", "e02_knn_lsh",
+        "mm02_image_features", "mm04_audio_features",
+        "mm06_image_phash_dedup", "q71_kmv_sketch_setops",
+        "e04_knn_pq_adc", "s13_stream_file_sink",
+        "s14_stream_left_outer_join", "s01_stream_tumbling_counts",
+        # oldest official record (last driver-checked in round 2):
+        "q21_asof_click_attribution", "q48_training_data_pipeline",
+        "g01_part_in_degrees", "g02_pagerank_top100",
     }
     missing = must_be_early - set(window)
     assert not missing, f"stale/unverified queries outside driver window: {missing}"
@@ -81,13 +83,13 @@ def test_rows_only_set_is_intentional():
     new query accidentally registered without an oracle fails here
     instead of silently weakening the gate."""
     rows_only = {n for n, q in REGISTRY.items() if q.oracle is None}
+    # r5 shrank this set to the legitimately-nondeterministic core:
+    # e02/mm02/mm04 graduated to hash-exact oracles (pinned md5
+    # hyperplanes / replayable fixture pixels+tones).
     assert rows_only == {
         "q17_sample_stats",
-        "e02_knn_lsh",
         "m01_als_top5_recs",
         "m02_cold_start_fold_in",
         "m05_implicit_als_recs",
-        "mm02_image_features",
-        "mm04_audio_features",
         "q44_hll_sketch_distinct",
     }, rows_only
