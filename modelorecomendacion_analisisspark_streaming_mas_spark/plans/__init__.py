@@ -15,6 +15,7 @@ from . import curation  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
 from . import batch5  # noqa: E402,F401
 from . import batch6  # noqa: E402,F401
+from . import batch7  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration-order policy (round 5 rotation).

@@ -1,0 +1,275 @@
+"""Round-5 catalog additions: truncated-dim rerank ANN (e05), canonical-
+URL dedup (d11), event-transition bigrams (q73).
+
+Each extends an existing north-star family with a shape 100 TB pipelines
+actually run: two-stage ANN that reads a quarter of the vector bytes in
+its scan phase, the web-crawl dedup mode that keys on canonicalized URLs
+rather than content, and per-user sequence mining without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+
+# --------------------------------------------------------------------------
+# e05: truncated-dimension two-stage ANN (Matryoshka-style rerank). Pass 1
+# scores ALL candidates on only the first 16 of 64 dims -- at scale that
+# is a quarter of the memory bandwidth, and with the prefix stored as its
+# own parquet column the full vectors are never read in the scan phase
+# (column pruning). Pass 2 reranks the m=20 survivors per query with the
+# full-dim cosine. Both passes are plain joins + windows -> exact oracle.
+# --------------------------------------------------------------------------
+
+_E05_PROBE_DIMS = 16
+_E05_RERANK_M = 20
+_E05_K = 5
+
+_E05_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         embedding[1:{_E05_PROBE_DIMS}]::DOUBLE[] AS p
+  FROM embeddings
+), q AS (SELECT * FROM e WHERE vec_id < 10),
+pass1 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv, q.v AS qv,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.p, c.p)
+                    / (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p))) DESC,
+                    c.vec_id
+         ) AS prn
+  FROM q JOIN e c ON q.vec_id <> c.vec_id
+), rerank AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM pass1 WHERE prn <= {_E05_RERANK_M}
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rn
+FROM rerank QUALIFY rn <= {_E05_K}
+"""
+
+
+def truncated_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = _E05_K,
+    probe_dims: int = _E05_PROBE_DIMS,
+    rerank_m: int = _E05_RERANK_M,
+) -> DataFrame:
+    """Two-stage ANN: coarse cosine on the leading ``probe_dims`` dims
+    over all candidates, exact full-dim rerank of the ``rerank_m``
+    survivors. Query side broadcast (small by contract, like e01); the
+    candidate scan touches only the prefix slice, so with the prefix
+    materialized as a separate column the scan phase never reads full
+    vectors."""
+    from ..operators.similarity import _as_double, _dot
+
+    c = embeddings.select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cp", F.slice("cv", 1, probe_dims))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qp", F.slice("qv", 1, probe_dims))
+    pass1 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "cos_p",
+            _dot(F.col("qp"), F.col("cp"))
+            / (
+                F.sqrt(_dot(F.col("qp"), F.col("qp")))
+                * F.sqrt(_dot(F.col("cp"), F.col("cp")))
+            ),
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("cos_p"), F.asc("c_id"))
+    survivors = pass1.withColumn("prn", F.row_number().over(w1)).filter(
+        F.col("prn") <= rerank_m
+    )
+    rerank = survivors.withColumn(
+        "cos_raw",
+        _dot(F.col("qv"), F.col("cv"))
+        / (
+            F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("cos_raw", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "e05_knn_truncated_rerank",
+    oracle=_E05_ORACLE,
+    doc="Matryoshka-style two-stage ANN: coarse cosine on the first 16 of "
+    "64 dims over all candidates (quarter the scan bytes), exact full-dim "
+    "rerank of the top-20 survivors; exact oracle for both stages.",
+)
+def e05_knn_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncated_rerank_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+# --------------------------------------------------------------------------
+# d11: canonical-URL dedup -- the web-crawl dedup mode that keys on WHERE
+# a page came from rather than its content: scheme/host case, query
+# strings, fragments, and trailing slashes are noise; path case is not.
+# The fixture plants exactly those four variant classes over a shared
+# page space (doc_id mod 97 pages x mod 3 hosts), so canonicalization
+# must collapse them. Chain is pure JVM regexp -- no UDF.
+# --------------------------------------------------------------------------
+
+_D11_URL_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'https://cdn' || (doc_id % 3)::VARCHAR || '.example.com/doc/page' || (doc_id % 97)::VARCHAR
+  WHEN 1 THEN 'HTTPS://CDN' || (doc_id % 3)::VARCHAR || '.EXAMPLE.COM/doc/page' || (doc_id % 97)::VARCHAR || '/'
+  WHEN 2 THEN 'https://cdn' || (doc_id % 3)::VARCHAR || '.example.com/doc/page' || (doc_id % 97)::VARCHAR || '?utm_source=feed&utm_medium=rss'
+  ELSE 'https://cdn' || (doc_id % 3)::VARCHAR || '.example.com/doc/page' || (doc_id % 97)::VARCHAR || '#section-2'
+END"""
+
+_D11_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_D11_URL_SQL} AS url FROM documents
+), c AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(regexp_replace(regexp_replace(url, '[#?].*$', ''), '/+$', ''),
+                              '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+         || regexp_replace(regexp_replace(regexp_replace(url, '[#?].*$', ''), '/+$', ''),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS canonical_url
+  FROM u
+)
+SELECT canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+FROM c
+GROUP BY canonical_url
+HAVING count(*) > 1
+"""
+
+
+def canonical_url(url) -> F.Column:
+    """RFC-3986-spirit canonicalization as one JVM expression chain:
+    drop fragment+query, strip trailing slashes, lowercase ONLY the
+    scheme://host part (paths are case-sensitive)."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(url, r"[#?].*$", ""), r"/+$", ""
+    )
+    head = F.lower(
+        F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    )
+    tail = F.regexp_replace(stripped, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    return F.concat(head, tail)
+
+
+@register(
+    "d11_canonical_url_dedup",
+    oracle=_D11_ORACLE,
+    doc="Canonical-URL dedup: lowercase scheme+host, strip query/"
+    "fragment/trailing slashes (path case preserved); groups the four "
+    "planted variant classes per page; pure JVM regexp chain.",
+)
+def d11_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.lit("cdn"), (F.col("doc_id") % 3).cast("string"))
+    page = F.concat(F.lit("page"), (F.col("doc_id") % 97).cast("string"))
+    base = F.concat(host, F.lit(".example.com/doc/"), page)
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            # host case noise only -- path case is SIGNIFICANT and must
+            # survive canonicalization, so the variant keeps it lowercase
+            F.concat(
+                F.lit("HTTPS://CDN"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".EXAMPLE.COM/doc/"),
+                page,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), base, F.lit("?utm_source=feed&utm_medium=rss")
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("#section-2")))
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return (
+        u.withColumn("canonical_url", canonical_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# q73: event-transition bigrams -- the (prev_type -> next_type) frequency
+# matrix over per-user event sequences, the sequence-mining primitive
+# under session analysis and next-action models. Per-user lag window
+# (hash shuffle on user_id, NO global sort); deterministic (ts, event_id)
+# ordering; global top-20 via one tiny agg.
+# --------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, prev_type, next_type) AS BIGINT) AS rn
+FROM pairs QUALIFY rn <= 20
+"""
+
+
+@register(
+    "q73_event_transition_bigrams",
+    oracle=_Q73_ORACLE,
+    doc="Per-user event-type transition bigrams (lag window ordered by "
+    "ts,event_id), global top-20 transitions; shuffle keyed on user_id, "
+    "no global sort.",
+)
+def q73_event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("prev_type", "next_type", "n", "rn")
+    )

@@ -130,3 +130,30 @@ def test_recall_planted_e04_pq(spark, planted):
     # collisions between clusters (expected ~1.7 of 30x29/2 pairs at 256
     # cells) -- hence a floor below 1.0
     assert _recall(truth, got) >= 0.8
+
+
+def test_recall_real_corpus_e05_truncated_rerank(spark, corpus_truth):
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch7 import (
+        truncated_rerank_topk,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    got = _pairs(
+        truncated_rerank_topk(emb, emb.filter(F.col("vec_id") < 10)).collect()
+    )
+    # a 16-dim prefix of iid-noise 64-dim vectors explains 1/4 of the
+    # cosine variance; measured 0.38 -- floor catches a broken rerank
+    assert _recall(corpus_truth, got) >= 0.25
+
+
+def test_recall_planted_e05_truncated_rerank(spark, planted):
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch7 import (
+        truncated_rerank_topk,
+    )
+
+    df, labels = planted
+    truth = _pairs(cosine_topk_bruteforce(df, df, k=5).collect())
+    got = _pairs(truncated_rerank_topk(df, df).collect())
+    # cluster-mates stay near-identical in ANY prefix, so pass 1 keeps
+    # them all and the exact rerank restores the full top-5
+    assert _recall(truth, got) >= 0.95
