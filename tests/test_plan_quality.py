@@ -63,6 +63,15 @@ def test_e01_broadcasts_query_side(spark):
     assert "CartesianProduct" not in p
 
 
+def test_e05_broadcasts_query_side_both_stages(spark):
+    """The truncated-rerank ANN must broadcast the tiny query side (like
+    e01) and never fall back to a cartesian product; the rerank stage is
+    a window over pass-1 survivors, not a second scan join."""
+    p = _plan(spark, "e05_knn_truncated_rerank")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 # Queries whose PLAN deliberately contains Arrow-batched Python -- each one
 # is the documented exemplar of a vectorized-Python operator class, never
 # row-at-a-time:
