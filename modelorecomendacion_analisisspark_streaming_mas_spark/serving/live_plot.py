@@ -73,6 +73,57 @@ def matplotlib_bar_render(
     return render
 
 
+def png_bar_render(
+    label_key: str,
+    value_key: str,
+    path: str,
+    width: int = 320,
+    height: int = 200,
+) -> Callable[[Sequence[dict]], None]:
+    """A REAL image presentation surface without matplotlib: rasterize
+    each snapshot as a grayscale bar chart (pure numpy) and encode it
+    with the in-house stdlib PNG encoder (functions/codecs_stdlib.py).
+    The file is replaced atomically per snapshot, so a browser/file
+    watcher pointed at ``path`` sees the same live-updating figure the
+    reference gets from plt.ion (app/plot_live.py:15-26). Same callback
+    shape as ascii_bar_render: swapping presentation is one argument."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..functions.codecs_stdlib import encode_png
+
+    margin = 12
+
+    def render(rows: Sequence[dict]) -> None:
+        if not rows:
+            return
+        values = [max(float(r[value_key]), 0.0) for r in rows]
+        top = max(values) or 1.0
+        canvas = np.full((height, width), 255, dtype=np.uint8)
+        plot_h = height - 2 * margin
+        plot_w = width - 2 * margin
+        n = len(values)
+        slot = plot_w // max(n, 1)
+        bar_w = max(slot - 4, 1)
+        for i, v in enumerate(values):
+            bar_h = int(plot_h * v / top)
+            x0 = margin + i * slot + 2
+            y0 = height - margin - bar_h
+            # alternate two grays so adjacent bars stay distinguishable
+            canvas[y0 : height - margin, x0 : x0 + bar_w] = 80 if i % 2 else 140
+        canvas[height - margin, margin : width - margin] = 0  # x axis
+        canvas[margin : height - margin + 1, margin - 1] = 0  # y axis
+        data = encode_png(canvas)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".png")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    return render
+
+
 class LiveCountsPoller:
     """Poll-and-render loop (plt.ion analog), background-threaded.
 

@@ -208,3 +208,31 @@ def test_matplotlib_render_gated_like_every_optional_dep():
         return
     render = matplotlib_bar_render("gender", "n")
     render([{"gender": "Hombre", "n": 3}, {"gender": "Mujer", "n": 5}])
+
+
+def test_png_bar_render_writes_decodable_chart(tmp_path):
+    """The stdlib-PNG presentation surface: the rendered file must be a
+    decodable image whose bar heights track the snapshot values."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.codecs_stdlib import (
+        decode_png,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.serving.live_plot import (
+        png_bar_render,
+    )
+
+    path = str(tmp_path / "chart.png")
+    render = png_bar_render("gender", "n", path, width=120, height=80)
+    render([{"gender": "Hombre", "n": 30}, {"gender": "Mujer", "n": 10}])
+    px = decode_png(open(path, "rb").read())
+    assert px.shape == (80, 120)
+    dark = px < 200
+    # bar 1 (value 30) must paint ~3x the pixels of bar 2 (value 10)
+    left = dark[:, : 120 // 2].sum()
+    right = dark[:, 120 // 2 :].sum()
+    assert left > right > 0
+    # a second snapshot atomically replaces the file
+    render([{"gender": "Hombre", "n": 1}, {"gender": "Mujer", "n": 1}])
+    px2 = decode_png(open(path, "rb").read())
+    assert px2.shape == (80, 120)
