@@ -273,3 +273,66 @@ def q73_event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("prev_type", "next_type", "n", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# t09: BPE merge-candidate statistics -- the first step of byte-pair-
+# encoding tokenizer training: count adjacent character pairs across the
+# corpus, weighted by WORD FREQUENCY (the classic optimization: train on
+# the distinct-word histogram, not the raw token stream -- at 100 TB the
+# distinct-word table is orders of magnitude smaller than the corpus).
+# The top pair is the first BPE merge. Exact oracle; chars via substring
+# so both engines agree on pair extraction.
+# Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+# generate_series(1, 0) is empty -- single-char words are filtered
+# before the transform on both sides.
+# --------------------------------------------------------------------------
+
+_T09_ORACLE = """
+WITH words AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, i, 2))) AS pair,
+         freq
+  FROM words
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n,
+       CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rn
+FROM agg QUALIFY rn <= 30
+"""
+
+
+@register(
+    "t09_bpe_pair_counts",
+    oracle=_T09_ORACLE,
+    doc="BPE tokenizer-training step 1: adjacent char-pair counts "
+    "weighted by distinct-word frequency (train on the word histogram, "
+    "not the corpus); top-30 merge candidates.",
+)
+def t09_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 30)
+        .select("pair", "n", "rn")
+    )
