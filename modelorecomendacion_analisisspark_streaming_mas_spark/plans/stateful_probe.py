@@ -178,6 +178,64 @@ def _s21_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+_S22_GAP_MIN = 45
+
+_S22_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), flags AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > {_S22_GAP_MIN}::BIGINT * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM seq
+), ids AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flags
+), per AS (
+  SELECT user_id, sid, count(*) AS n FROM ids GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS INT) AS max_session_events
+FROM per GROUP BY user_id
+"""
+
+
+def _s22_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMER sessionization (the transformWithState surface
+    s10/s18/s19/s21 never touch): intra-batch session closes emit from
+    handleInputRows; each user's FINAL open session closes only via
+    registerTimer(last_seen + gap) firing once the watermark passes it --
+    which the replay's far-future sentinel guarantees. Every emitted row
+    is one closed session exactly once (append mode), so the aggregated
+    sink equals the batch gaps-and-islands oracle."""
+    from ..sources.streams import run_to_memory_sink
+    from ..streaming.stateful_v2 import timer_sessionize_per_user
+    from .streamq import _replayed_with_sentinel
+
+    stream = _replayed_with_sentinel(spark, sf_dir)
+    out_stream = timer_sessionize_per_user(stream, gap_min=_S22_GAP_MIN)
+    # 4 partitions: see the sizing note in s10 (~150 user keys).
+    _, out = run_to_memory_sink(
+        out_stream, "append", shuffle_partitions=4, rocksdb_state=True
+    )
+    return (
+        out.filter(F.col("user_id") >= 0)  # drop the watermark sentinel's row
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
 if stateful_v2_available():  # pragma: no cover - env-dependent branch
     from .batch6 import _Q68_ORACLE
 
@@ -185,3 +243,6 @@ if stateful_v2_available():  # pragma: no cover - env-dependent branch
     register("s18_stream_tws_latest", oracle=_S18_ORACLE)(_s18_stream_tws_latest)
     register("s19_stream_tws_buckets", oracle=_S19_ORACLE)(_s19_stream_tws_buckets)
     register("s21_stream_funnel_stages", oracle=_Q68_ORACLE)(_s21_stream_funnel_stages)
+    register("s22_stream_timer_sessions", oracle=_S22_ORACLE)(
+        _s22_stream_timer_sessions
+    )

@@ -316,3 +316,99 @@ def funnel_stage_per_user(
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_SCHEMA = "user_id long, start_us long, end_us long, n_events int"
+
+
+class TimerSessionizer(StatefulProcessor):
+    """Inactivity-closed sessionization driven by EVENT-TIME TIMERS -- the
+    transformWithState surface none of s10/s18/s19/s21 exercise: sessions
+    that close WITHIN a batch are emitted from handleInputRows, but the
+    final open session per user can only close when the watermark proves
+    no more events will arrive -- which is exactly what registerTimer(
+    last_seen + gap) + handleExpiredTimer expresses. On expiry the held
+    session is emitted and the state cleared; a newer event in the
+    meantime deletes the stale timer and re-registers.
+
+    Every emitted row is a CLOSED session (each exactly once), so the
+    sink's union equals the batch gaps-and-islands sessionization."""
+
+    def __init__(self, gap_us: int) -> None:
+        self.gap_us = int(gap_us)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.sess = handle.getValueState(
+            "sess", "start_us long, last_us long, n int"
+        )
+
+    def _timer_ms(self, last_us: int) -> int:
+        return (last_us + self.gap_us) // 1000
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        uid = int(key[0])
+        ts_list = sorted(
+            int(t) for pdf in rows for t in pdf["ts_us"].tolist()
+        )
+        if not ts_list:
+            return
+        if self.sess.exists():
+            start, last, n = (int(x) for x in self.sess.get())
+            # the previously registered close-timer is now stale
+            self.handle.deleteTimer(self._timer_ms(last))
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for ts in ts_list:
+            if last is not None and ts - last > self.gap_us:
+                closed.append(
+                    {"user_id": uid, "start_us": start, "end_us": last, "n_events": n}
+                )
+                start, n = ts, 0
+            if start is None:
+                start = ts
+            n += 1
+            last = ts
+        self.sess.update((start, last, n))
+        self.handle.registerTimer(self._timer_ms(last))
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "start_us", "end_us", "n_events"])
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self.sess.exists():
+            return
+        start, last, n = (int(x) for x in self.sess.get())
+        if expiredTimerInfo.getExpiryTimeInMs() < self._timer_ms(last):
+            return  # stale timer raced a newer event; the live one follows
+        self.sess.clear()
+        yield pd.DataFrame(
+            [{"user_id": int(key[0]), "start_us": start, "end_us": last, "n_events": n}],
+            columns=["user_id", "start_us", "end_us", "n_events"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def timer_sessionize_per_user(
+    stream: DataFrame, gap_min: int = 45, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Timer-closed sessions keyed by user. ``stream`` must carry (ts,
+    user_id); event-time timers require a watermark and
+    timeMode="EventTime"."""
+    from pyspark.sql import functions as F
+
+    src = stream.withWatermark("ts", watermark).select(
+        "ts", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerSessionizer(gap_us=gap_min * 60 * 1_000_000),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

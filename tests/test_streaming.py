@@ -650,3 +650,52 @@ def test_stream_funnel_recomputes_exactly_under_out_of_order_arrival(spark):
     assert final["stage"] == 3, rows
     # and if both files landed in one batch the answer is the same -- the
     # invariant is arrival-order independence, pinned by the final stage.
+
+
+def test_transform_with_state_timer_sessionization(spark):
+    """Event-time TIMERS (stateful_v2's last untested surface): sessions
+    closing inside a batch emit from handleInputRows; the final open
+    session per user closes only when the watermark passes last_seen +
+    gap -- i.e. via registerTimer/handleExpiredTimer. Planted timeline:
+    user 1 has two sessions split by a >45min gap, user 2 one session;
+    the sentinel row (user -1, far future) advances the watermark so the
+    open sessions finalize. Every session must appear exactly once."""
+    import datetime
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.compat import protobuf_shim
+
+    if protobuf_shim.install() is None:
+        pytest.skip("no protobuf runtime (native or vendored) on this host")
+    protobuf_shim.ensure_worker_shim(spark)
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        timer_sessionize_per_user,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0)), (1, at(10)), (1, at(20)),      # session A: 3 events
+        (1, at(90)), (1, at(95)),                  # session B after 70min gap
+        (2, at(5)),                                # session C: 1 event
+        (-1, at(100000)),                          # watermark sentinel
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    d = tempfile.mkdtemp(prefix="mras_timer_")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = file_stream(spark, d, df.schema)
+    _, out = run_to_memory_sink(
+        timer_sessionize_per_user(stream, gap_min=45),
+        "append",
+        shuffle_partitions=4,
+        rocksdb_state=True,
+    )
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {(1, 3), (1, 2), (2, 1)}
+    assert out.filter(F.col("user_id") >= 0).count() == 3  # exactly once each
