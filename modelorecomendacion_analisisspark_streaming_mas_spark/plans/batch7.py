@@ -336,3 +336,163 @@ def t09_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 30)
         .select("pair", "n", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# q74: LEAKAGE-SAFE train/test split -- the step after near-dup clustering
+# that naive pipelines get wrong: hashing doc_id puts two near-duplicates
+# on opposite sides of the split and the eval set leaks into training.
+# Correct unit of assignment is the NEAR-DUP CLUSTER: split on
+# hash(component label), singletons on hash(own id). Reuses d07's pair
+# graph + connected components wholesale; the oracle is d07's lattice +
+# the same hash split. n_groups per side proves group-atomicity (a
+# spanning group would raise the group count).
+# --------------------------------------------------------------------------
+
+
+def _q74_oracle() -> str:
+    from .curation import _d07_oracle
+
+    prefix = _d07_oracle(8).rsplit("SELECT lab AS keep_id", 1)[0]
+    return (
+        prefix.rstrip()
+        + """,
+assigned AS (
+  SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS gid
+  FROM documents d LEFT JOIN l8 l ON d.doc_id = l.id
+), sp AS (
+  SELECT doc_id, gid,
+         CASE WHEN (('0x'||substr(md5('split|' || gid::VARCHAR),1,8))::UBIGINT)::BIGINT % 10 < 2
+              THEN 'test' ELSE 'train' END AS split
+  FROM assigned
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT gid) AS BIGINT) AS n_groups
+FROM sp GROUP BY split
+"""
+    )
+
+
+@register(
+    "q74_cluster_aware_split",
+    oracle=_q74_oracle(),
+    doc="Leakage-safe 80/20 split: near-dup clusters (d07's CC labels) are "
+    "the atomic unit -- hash(component) decides the side, so no near-"
+    "duplicate pair ever spans train/test.",
+)
+def q74_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32
+    from .curation import _near_dup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = _near_dup_components(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    assigned = docs.select("doc_id").join(F.broadcast(cc), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("gid")
+    )
+    split = F.when(
+        md5_hash32(F.concat(F.lit("split|"), F.col("gid").cast("string"))) % 10 < 2,
+        "test",
+    ).otherwise("train")
+    return (
+        assigned.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gid").alias("n_groups"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q75: token-budget curriculum fill -- "take the highest-quality docs
+# until the token budget is spent", the selection step of budgeted
+# pretraining mixes. Semantics: global order by (score DESC, doc_id),
+# keep docs while cumulative token count <= budget.
+#
+# Scale shape: NO global sort/window. Scores are rounded to 3dp, so the
+# per-score histogram is bounded by the score RANGE (a few thousand rows
+# at any corpus size); the driver walks that tiny histogram to find the
+# boundary score, whole buckets above it are taken with a plain filter,
+# and only the boundary bucket runs a (bucket-partitioned) cumulative
+# window. The collect is limit-probed: it fails loudly rather than
+# pulling an unbounded histogram.
+# --------------------------------------------------------------------------
+
+_Q75_BUDGET = 10_000
+_Q75_HIST_LIMIT = 100_000
+
+_Q75_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         round(n_chars * 1.0 / len(string_split(text, ' ')), 3) AS score
+  FROM documents
+), o AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+FROM o WHERE cum <= {_Q75_BUDGET} GROUP BY source
+"""
+
+
+@register(
+    "q75_token_budget_curriculum",
+    oracle=_Q75_ORACLE,
+    doc="Budgeted curriculum selection: highest chars-per-token score "
+    "first until the token budget fills; threshold-refinement plan (tiny "
+    "score histogram driver-side, boundary bucket windowed per-bucket) "
+    "instead of a global sort.",
+)
+def q75_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.round(F.col("n_chars") / F.size(F.split("text", " ")), 3).alias("score"),
+    ).localCheckpoint(eager=True)  # scored once; reused by filter + boundary window
+
+    hist = (
+        t.groupBy("score")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .orderBy(F.desc("score"))
+        .limit(_Q75_HIST_LIMIT + 1)
+        .collect()
+    )
+    if len(hist) > _Q75_HIST_LIMIT:
+        raise ValueError(
+            f"score histogram exceeds {_Q75_HIST_LIMIT} buckets; "
+            "coarsen the score rounding before using the driver-side walk"
+        )
+    acc = 0
+    boundary_score = None
+    boundary_remaining = 0
+    full_cut = None  # scores strictly above this are taken whole
+    for row in hist:
+        if acc + row["bucket_tokens"] <= _Q75_BUDGET:
+            acc += row["bucket_tokens"]
+            full_cut = row["score"]
+        else:
+            boundary_score = row["score"]
+            boundary_remaining = _Q75_BUDGET - acc
+            break
+    whole = t.filter(F.col("score") >= full_cut) if full_cut is not None else t.limit(0)
+    parts = [whole]
+    if boundary_score is not None:
+        w = Window.partitionBy("score").orderBy("doc_id")
+        boundary = (
+            t.filter(F.col("score") == boundary_score)
+            .withColumn("cum", F.sum("n_tokens").over(w))
+            .filter(F.col("cum") <= boundary_remaining)
+            .drop("cum")
+        )
+        parts.append(boundary)
+    selected = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return selected.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tokens").alias("sel_tokens"),
+    )

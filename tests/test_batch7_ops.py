@@ -1,0 +1,117 @@
+"""Round-5 batch7 operator semantics beyond the driver oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch7 import (
+    canonical_url,
+)
+from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+    load_table,
+)
+
+
+def test_canonical_url_rules(spark):
+    """Unit rules: host case folds, path case survives, query/fragment/
+    trailing slashes drop, port and userinfo stay (they are part of the
+    authority, untouched beyond case)."""
+    cases = [
+        ("https://A.B.com/Path/X", "https://a.b.com/Path/X"),
+        ("HTTPS://A.B.COM/Path/X/", "https://a.b.com/Path/X"),
+        ("https://a.b.com/Path/X?utm=1&b=2", "https://a.b.com/Path/X"),
+        ("https://a.b.com/Path/X#frag", "https://a.b.com/Path/X"),
+        ("http://Host:8080/p", "http://host:8080/p"),
+        ("https://a.b.com", "https://a.b.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_cluster_aware_split_no_group_spans(spark, sf_dir):
+    """The leakage property itself: every near-dup component must land
+    entirely on one side of the split (checked doc-by-doc, not via the
+    aggregate the oracle hashes)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.text import (
+        md5_hash32,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.curation import (
+        _near_dup_components,
+    )
+
+    cc = _near_dup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(
+        cc.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", F.col("doc_id")).alias("gid"))
+    split = F.when(
+        md5_hash32(F.concat(F.lit("split|"), F.col("gid").cast("string"))) % 10 < 2,
+        "test",
+    ).otherwise("train")
+    spanning = (
+        assigned.withColumn("split", split)
+        .groupBy("gid")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert spanning == 0
+
+
+def test_token_budget_matches_global_sort_semantics(spark, sf_dir):
+    """The threshold-refinement plan must select EXACTLY the doc set the
+    naive global-sort cumsum would: compare doc-id sets, not just the
+    aggregate the oracle hashes."""
+    from pyspark.sql import Window
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch7 import (
+        _Q75_BUDGET,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.round(F.col("n_chars") / F.size(F.split("text", " ")), 3).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        r["doc_id"]
+        for r in t.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= _Q75_BUDGET)
+        .collect()
+    }
+
+    # reconstruct the refined selection doc set (the catalog entry only
+    # exposes the per-source aggregate)
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import batch7
+
+    hist = (
+        t.groupBy("score")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .orderBy(F.desc("score"))
+        .collect()
+    )
+    acc, full_cut, boundary, remaining = 0, None, None, 0
+    for row in hist:
+        if acc + row["bt"] <= batch7._Q75_BUDGET:
+            acc += row["bt"]
+            full_cut = row["score"]
+        else:
+            boundary, remaining = row["score"], batch7._Q75_BUDGET - acc
+            break
+    sel = t.filter(F.col("score") >= full_cut) if full_cut is not None else t.limit(0)
+    got = {r["doc_id"] for r in sel.collect()}
+    if boundary is not None:
+        wb = Window.partitionBy("score").orderBy("doc_id")
+        got |= {
+            r["doc_id"]
+            for r in t.filter(F.col("score") == boundary)
+            .withColumn("cum", F.sum("n_tokens").over(wb))
+            .filter(F.col("cum") <= remaining)
+            .collect()
+        }
+    assert got == naive
