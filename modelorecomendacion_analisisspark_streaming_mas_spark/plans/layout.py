@@ -335,3 +335,54 @@ def q72_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q76: JSON-lines round-trip -- the row-oriented interchange format (the
+# one most 100 TB ingestion actually receives from upstream APIs/logs).
+# The orders slice is written as JSONL and read back WITH AN EXPLICIT
+# SCHEMA (schema inference on JSON is a full extra pass over the data --
+# never at scale); the aggregate must equal the parquet-sourced oracle,
+# proving longs/doubles/strings/dates survive the text round-trip.
+# --------------------------------------------------------------------------
+
+_JSONL: dict[str, str] = {}
+
+
+def _jsonl_copy(spark: SparkSession, sf_dir: str):
+    key = sf_dir
+    if key not in _JSONL:
+        d = tempfile.mkdtemp(prefix="mras_jsonl_")
+        src = load_table(spark, sf_dir, "orders")
+        src.write.mode("overwrite").json(d)
+        _JSONL[key] = (d, src.schema)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _JSONL[key]
+
+
+@register(
+    "q76_json_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="JSON-lines write + schema-explicit read-back of orders; "
+    "aggregate equals the parquet-sourced oracle (text round-trip "
+    "losslessness; no inference pass).",
+)
+def q76_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, schema = _jsonl_copy(spark, sf_dir)
+    return (
+        spark.read.schema(schema)
+        .json(d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )

@@ -135,3 +135,25 @@ def test_bucketize_covers_every_value(spark, values):
             assert r["lbl"] == "mid", x
         else:
             assert r["lbl"] == "high"
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) for arbitrary planted
+    URLs -- canonicalization must be a projection."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch7 import (
+        canonical_url,
+    )
+
+    urls = [
+        "HTTPS://Host.X/Path/Y?q=1#f",
+        "http://a.b/",
+        "ftp://U:p@H.com:21/Dir/",
+        "https://h/deep/Path///",
+        "https://h",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c2"))
+    assert [r["c"] for r in once.collect()] == [r["c2"] for r in twice.collect()]
