@@ -228,7 +228,17 @@ _MM02_PX = (
     "for k in generate_series(0, npx - 1)]"
 )
 
-_MM02_ORACLE = f"""
+# left-fold order matches Spark's F.aggregate exactly (0.0 + f1^2 + ...)
+_MM02_FSS = (
+    "f_mean * f_mean + f_std * f_std + f_min * f_min + f_max * f_max"
+    " + hist[1] * hist[1] + hist[2] * hist[2] + hist[3] * hist[3]"
+    " + hist[4] * hist[4] + hist[5] * hist[5] + hist[6] * hist[6]"
+    " + hist[7] * hist[7] + hist[8] * hist[8] + hist[9] * hist[9]"
+    " + hist[10] * hist[10] + hist[11] * hist[11] + hist[12] * hist[12]"
+)
+
+# CTE prefix shared with s23's streaming-decode oracle (plans/streamq.py)
+_MM02_FEATS_CTES = f"""
 WITH d AS (
   SELECT doc_id AS id, text,
          octet_length(encode(text)) % 16 + 8 AS height,
@@ -253,14 +263,12 @@ WITH d AS (
          floor(sqrt(greatest(s2 / npx - (s1 / npx) * (s1 / npx), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS f_std,
          fmin AS f_min, fmax AS f_max, hist
   FROM sums
-)
+)"""
+
+_MM02_ORACLE = f"""
+{_MM02_FEATS_CTES}
 SELECT id,
-       round(f_mean * f_mean + f_std * f_std + f_min * f_min + f_max * f_max
-             + hist[1] * hist[1] + hist[2] * hist[2] + hist[3] * hist[3]
-             + hist[4] * hist[4] + hist[5] * hist[5] + hist[6] * hist[6]
-             + hist[7] * hist[7] + hist[8] * hist[8] + hist[9] * hist[9]
-             + hist[10] * hist[10] + hist[11] * hist[11] + hist[12] * hist[12],
-             4) AS feature_sq_sum,
+       round({_MM02_FSS}, 4) AS feature_sq_sum,
        width::INT AS width
 FROM feats
 """
@@ -624,4 +632,149 @@ def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_images"))
         .filter(F.col("n_images") > 1)
         .select("rep_id", "n_images")
+    )
+
+
+# --------------------------------------------------------------------------
+# e06: IVF+PQ combined ANN -- the FAISS-IVFPQ shape and the actual
+# billion-vector serving layout: a coarse quantizer routes the search to
+# nprobe inverted lists (e03's structure), and within the probed lists
+# candidates are scored by PQ Asymmetric Distance (e04's 40-cell lookup)
+# instead of full vectors -- at scale the full vectors never leave disk;
+# the search touches 4-byte codes only. Both building blocks are already
+# deterministically pinned (docked centroids, docked codebooks), so the
+# COMPOSITION inherits a full hash-exact oracle.
+# --------------------------------------------------------------------------
+
+_E06_NPROBE = 2
+_E06_CENT_STRIDE = 37
+
+_E06_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id % {_E06_CENT_STRIDE} = 0),
+scored AS (
+  SELECT e.vec_id, e.v, cent.ccid,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS cc
+  FROM e, cent
+), ranked AS (
+  SELECT vec_id, v, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, ccid) AS crn
+  FROM scored
+), lists AS (
+  SELECT vec_id AS neighbor_id, ccid FROM ranked WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ccid FROM ranked WHERE crn <= {_E06_NPROBE} AND vec_id < 10
+), cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (ccid)
+  WHERE p.query_id <> l.neighbor_id
+), subs AS (
+  SELECT unnest(generate_series(0, {_E04_M - 1})) AS m
+), sub_e AS (
+  SELECT vec_id, m, v[m * {_E04_SUBDIM} + 1 : m * {_E04_SUBDIM} + {_E04_SUBDIM}] AS sv
+  FROM e CROSS JOIN subs
+), sub_cb AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub_e WHERE vec_id % {_E04_STRIDE} = 0
+), assign AS (
+  SELECT vec_id, m, cid,
+         row_number() OVER (
+           PARTITION BY vec_id, m
+           ORDER BY {_E04_SUB_L2.format(a='sv', b='cv')}, cid
+         ) AS rn
+  FROM sub_e JOIN sub_cb USING (m)
+), codes AS (
+  SELECT vec_id, m, cid FROM assign WHERE rn = 1
+), qd AS (
+  SELECT s.vec_id AS query_id, s.m, c.cid,
+         {_E04_SUB_L2.format(a='s.sv', b='c.cv')} AS pd
+  FROM sub_e s JOIN sub_cb c USING (m)
+  WHERE s.vec_id < 10
+), approx AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.pd) AS adist
+  FROM cand c
+  JOIN codes x ON x.vec_id = c.neighbor_id
+  JOIN qd q ON q.query_id = c.query_id AND q.m = x.m AND q.cid = x.cid
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(adist, 4) AS approx_l2sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS BIGINT) AS rn
+FROM approx QUALIFY rn <= {_E04_TOPK}
+"""
+
+
+@register(
+    "e06_knn_ivfpq",
+    oracle=_E06_ORACLE,
+    doc="IVF+PQ combined ANN (the FAISS-IVFPQ serving shape): coarse "
+    "cosine routing to nprobe=2 docked-centroid lists, PQ-ADC scoring "
+    "within the probed lists -- full vectors never touched at query "
+    "time; composition of e03+e04's pinned structures, hash-exact.",
+)
+def e06_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+        "vn", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    cent = e.filter(F.col("vec_id") % _E06_CENT_STRIDE == 0).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("ccid"))
+    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
+        "vec_id", "ccid", "crn"
+    )
+    lists = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "ccid"
+    )
+    probes = (
+        ranked.filter((F.col("crn") <= _E06_NPROBE) & (F.col("vec_id") < 10))
+        .select(F.col("vec_id").alias("query_id"), "ccid")
+    )
+    cand = (
+        probes.join(lists, "ccid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e2 = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    codes = pq_codes(e2).withColumnRenamed("vec_id", "neighbor_id")
+    sub_e = pq_subvectors(e2)
+    sub_cb = (
+        sub_e.filter(F.col("vec_id") % _E04_STRIDE == 0)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    )
+    qd = (
+        sub_e.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(sub_cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cid",
+            _pq_sub_l2(F.col("sv"), F.col("cv")).alias("pd"),
+        )
+    )
+    approx = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        approx.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _E04_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 4).alias("approx_l2sq"),
+            "rn",
+        )
     )

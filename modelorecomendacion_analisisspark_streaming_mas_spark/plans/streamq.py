@@ -741,3 +741,95 @@ def s20_stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, out = run_to_memory_sink(cells, "complete", shuffle_partitions=8)
     return out.select("j", "bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# s23: STREAMING multimodal decode -- media blobs arriving on a stream,
+# features extracted incrementally (the ingestion-time shape of mm02:
+# at 100 TB media lands continuously; batch re-decodes of the corpus are
+# exactly what a streaming decode avoids). The same Arrow-batched
+# mapInPandas feature extractor runs UNCHANGED on the streaming
+# DataFrame (stateless -> pipelined inside each micro-batch, no state
+# store); a complete-mode width histogram of per-image feature energy is
+# the final state. Oracle: mm02's pixel-replay CTEs aggregated the same
+# way -- so the STREAMING decode path is held to the same bit-level
+# contract as the batch one.
+# --------------------------------------------------------------------------
+
+_MEDIA_STAGED: dict[str, str] = {}
+
+
+def _staged_media(spark: SparkSession, sf_dir: str) -> str:
+    from ..functions.multimodal import synth_png_table
+
+    if sf_dir not in _MEDIA_STAGED:
+        d = tempfile.mkdtemp(prefix="mras_media_")
+        docs = __import__(
+            "modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers",
+            fromlist=["load_table"],
+        ).load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        synth_png_table(spark, docs, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(d)
+        _MEDIA_STAGED[sf_dir] = d
+    return _MEDIA_STAGED[sf_dir]
+
+
+@atexit.register
+def _cleanup_media() -> None:
+    for d in _MEDIA_STAGED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _MEDIA_STAGED.clear()
+
+
+def _s23_oracle() -> str:
+    from .northstar2 import _MM02_FEATS_CTES, _MM02_FSS
+
+    return (
+        _MM02_FEATS_CTES
+        + f"""
+SELECT width::INT AS width,
+       CAST(count(*) AS BIGINT) AS n_images,
+       round(sum(round({_MM02_FSS}, 4)), 2) AS energy
+FROM feats GROUP BY width
+"""
+    )
+
+
+@register(
+    "s23_stream_image_features",
+    oracle=_s23_oracle(),
+    doc="Streaming multimodal decode: PNG blobs replayed through a file "
+    "stream, Arrow-batched decode+features per micro-batch (stateless "
+    "mapInPandas), complete-mode width histogram of feature energy; "
+    "oracle = mm02's pixel-replay CTEs aggregated identically.",
+)
+def s23_stream_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import _parse_datatype_string
+
+    from ..functions.multimodal import (
+        IMAGE_SCHEMA,
+        decode_image,
+        extract_image_features,
+    )
+    from ..sources.streams import run_to_memory_sink
+
+    d = _staged_media(spark, sf_dir)
+    stream = spark.readStream.schema(_parse_datatype_string(IMAGE_SCHEMA)).parquet(d)
+    feats = extract_image_features(stream, decode=decode_image)
+    agg = (
+        feats.withColumn(
+            "fss",
+            F.round(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4
+            ),
+        )
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.sum("fss"), 2).alias("energy"),
+        )
+    )
+    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
+    return out
+
