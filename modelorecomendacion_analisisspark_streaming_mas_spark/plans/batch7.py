@@ -496,3 +496,179 @@ def q75_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_selected"),
         F.sum("n_tokens").alias("sel_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q77: MERGE / upsert-apply semantics (the lakehouse write primitive
+# Spark-on-parquet lacks as a verb, expressed as the relational plan a
+# MERGE compiles to): a keyed change set (inserts + updates + deletes,
+# DELETE WINS on conflict) applied to a base snapshot via one
+# key-partitioned full outer join -- the copy-on-write MERGE shape. The
+# change set derives deterministically from the base so the oracle can
+# rebuild it; the output aggregates the merged snapshot per segment,
+# proving row-level apply semantics (an off-by-one in any branch shifts
+# a count or a sum).
+# --------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+), changes AS (
+  SELECT c_custkey AS k, 'U' AS op, round(c_acctbal + 100.0, 2) AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', round(c_custkey * 1.5, 2)
+  FROM customer WHERE c_custkey % 17 = 0
+), merged AS (
+  SELECT COALESCE(b.c_custkey, c.k) AS k,
+         COALESCE(b.c_mktsegment, 'NEW') AS seg,
+         CASE WHEN c.op = 'U' THEN c.new_bal
+              WHEN c.op = 'I' THEN c.new_bal
+              ELSE b.c_acctbal END AS bal
+  FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_rows, round(sum(bal), 2) AS sum_bal
+FROM merged GROUP BY seg
+"""
+
+
+@register(
+    "q77_merge_upsert_apply",
+    oracle=_Q77_ORACLE,
+    doc="MERGE semantics on parquet: keyed inserts/updates/deletes "
+    "(delete wins) applied through one key-partitioned full outer join "
+    "-- the copy-on-write MERGE plan; per-segment aggregate of the "
+    "merged snapshot proves row-level apply.",
+)
+def q77_merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    updates = (
+        cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 13 != 0))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("U").alias("op"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+        )
+    )
+    deletes = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.round(F.col("c_custkey") * 1.5, 2).alias("new_bal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = (
+        base.join(changes, base.c_custkey == changes.k, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("seg"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+    )
+    return merged.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("bal"), 2).alias("sum_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m06: co-occurrence recommendations with LIFT -- the "users who bought X
+# also bought Y" statistic m03's cosine does not give (cosine rewards
+# rating-vector alignment; lift corrects for item popularity, the thing
+# that makes naive co-counts recommend bestsellers to everyone). Scope
+# is bounded the scale-correct way: pairs only among the top-50 most
+# popular parts (deterministic count/partkey ranking, broadcast), so the
+# pair space is N^2/2 regardless of corpus size.
+# --------------------------------------------------------------------------
+
+_M06_TOP = 50
+_M06_K = 20
+
+_M06_ORACLE = f"""
+WITH bask AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), n_c AS (SELECT count(DISTINCT cust) AS n FROM bask),
+pop AS (
+  SELECT part, count(*) AS n_cust,
+         row_number() OVER (ORDER BY count(*) DESC, part) AS prn
+  FROM bask GROUP BY part
+), top AS (SELECT part, n_cust FROM pop WHERE prn <= {_M06_TOP}),
+tb AS (
+  SELECT b.cust, b.part, t.n_cust FROM bask b JOIN top t USING (part)
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         a.n_cust AS na, b.n_cust AS nb, count(*) AS nab
+  FROM tb a JOIN tb b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2, 3, 4
+)
+SELECT part_a, part_b, CAST(nab AS BIGINT) AS n_both,
+       round(nab * 1.0 * n_c.n / (na * 1.0 * nb), 4) AS lift,
+       CAST(row_number() OVER (ORDER BY nab * 1.0 * n_c.n / (na * 1.0 * nb) DESC, part_a, part_b) AS BIGINT) AS rn
+FROM pairs, n_c QUALIFY rn <= {_M06_K}
+"""
+
+
+@register(
+    "m06_cooccurrence_lift",
+    oracle=_M06_ORACLE,
+    doc="Item co-occurrence with lift among the top-50 popular parts "
+    "(bounded pair space, broadcast top list); corrects for popularity "
+    "the way raw co-counts cannot; top-20 by lift.",
+)
+def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bask = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by n_c, pop, and the pair join
+    )
+    n_c = bask.select("cust").distinct().count()
+    pop = bask.groupBy("part").agg(F.count(F.lit(1)).alias("n_cust"))
+    wp = Window.orderBy(F.desc("n_cust"), F.asc("part"))
+    top = (
+        pop.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= _M06_TOP)
+        .select("part", "n_cust")
+    )
+    tb = bask.join(F.broadcast(top), "part")
+    a = tb.select(
+        F.col("cust"), F.col("part").alias("part_a"), F.col("n_cust").alias("na")
+    )
+    b = tb.select(
+        F.col("cust"), F.col("part").alias("part_b"), F.col("n_cust").alias("nb")
+    )
+    pairs = (
+        a.join(b, ["cust"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    lift = (F.col("nab") * 1.0 * F.lit(n_c) / (F.col("na") * 1.0 * F.col("nb"))).alias(
+        "lift_raw"
+    )
+    wr = Window.orderBy(F.desc("lift_raw"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        pairs.withColumn("lift_raw", lift)
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= _M06_K)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("nab").alias("n_both"),
+            F.round("lift_raw", 4).alias("lift"),
+            "rn",
+        )
+    )
