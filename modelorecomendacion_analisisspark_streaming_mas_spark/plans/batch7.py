@@ -672,3 +672,164 @@ def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q78: DELETE PROPAGATION (right-to-be-forgotten): a deletion set of
+# customers must cascade through the fact chain -- orders of deleted
+# customers go, and lineitems of those orders go. The scale-correct
+# shape is anti-join per hop with the deletion set broadcast (deletion
+# lists are small relative to facts) and the orders->lineitem hop keyed
+# on the FACT's join key, never a row-at-a-time scrub. Output: per-table
+# survivor counts + surviving revenue, which any missed or over-deleted
+# row shifts.
+# --------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH del AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 11 = 0
+), surv_c AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM del)
+), surv_o AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+), surv_l AS (
+  SELECT l.l_extendedprice, l.l_discount FROM lineitem l
+  WHERE l.l_orderkey IN (SELECT o_orderkey FROM surv_o)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM surv_c) AS n_customers,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv_o) AS n_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv_l) AS n_lineitems,
+       (SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) FROM surv_l) AS surviving_revenue
+"""
+
+
+@register(
+    "q78_delete_propagation",
+    oracle=_Q78_ORACLE,
+    doc="Right-to-be-forgotten cascade: broadcast anti-join per hop "
+    "(customers -> orders -> lineitem); per-table survivor counts + "
+    "revenue prove no missed or over-deleted rows.",
+)
+def q78_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deletions = cust.filter(F.col("c_custkey") % 11 == 0).select("c_custkey")
+    surv_c = cust.join(F.broadcast(deletions), "c_custkey", "left_anti")
+    surv_o = orders.join(
+        F.broadcast(deletions.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    # second hop keys on the FACT's own join key: a left-semi against the
+    # surviving orders (shuffle on l_orderkey; at scale this is the big
+    # join and it is keyed correctly -- never broadcast the fact side)
+    surv_l = li.join(
+        surv_o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    counts = (
+        surv_c.agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(surv_o.agg(F.count(F.lit(1)).alias("n_orders")))
+        .crossJoin(
+            surv_l.agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("surviving_revenue"),
+            )
+        )
+    )
+    return counts
+
+
+# --------------------------------------------------------------------------
+# d12: TRUNCATION dedup -- doc B is a strict PREFIX of doc A (the crawl
+# failure mode Jaccard misses: a 2000-token page and its 50-token
+# truncation share almost no shingle mass, yet one subsumes the other).
+# Candidates bucket on the hash of the first 8 tokens (truncations
+# shorter than that cannot subsume meaningfully), verify by exact
+# startswith, keep (survivor = longer, tie -> smaller id). The fixture
+# plants truncations by re-ingesting each doc_id % 40 == 0 doc cut to
+# its first 12 tokens under a new id.
+# --------------------------------------------------------------------------
+
+_D12_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(string_split(text, ' ')[1:12], ' ')
+  FROM documents WHERE doc_id % 40 = 0 AND len(string_split(text, ' ')) > 12
+), keyed AS (
+  SELECT doc_id, text,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pk,
+         len(string_split(text, ' ')) AS n_tok
+  FROM all_docs WHERE len(string_split(text, ' ')) >= 8
+), pairs AS (
+  SELECT a.doc_id AS full_id, b.doc_id AS trunc_id,
+         a.n_tok AS full_tok, b.n_tok AS trunc_tok
+  FROM keyed a JOIN keyed b
+    ON a.pk = b.pk AND a.doc_id <> b.doc_id
+   AND a.n_tok > b.n_tok
+   AND starts_with(a.text, b.text || ' ')
+)
+SELECT full_id, trunc_id,
+       CAST(full_tok AS BIGINT) AS full_tok,
+       CAST(trunc_tok AS BIGINT) AS trunc_tok
+FROM pairs
+"""
+
+
+@register(
+    "d12_truncation_dedup",
+    oracle=_D12_ORACLE,
+    doc="Prefix/truncation dedup (the near-dup mode Jaccard misses when "
+    "lengths differ wildly): bucket on first-8-token hash, verify exact "
+    "startswith, longer doc survives; planted truncations at doc_id%40.",
+)
+def d12_truncation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    truncs = (
+        docs.filter((F.col("doc_id") % 40 == 0) & (F.size(toks) > 12))
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+        )
+    )
+    all_docs = docs.unionByName(truncs)
+    atoks = F.split("text", " ")
+    keyed = all_docs.filter(F.size(atoks) >= 8).select(
+        "doc_id",
+        "text",
+        F.md5(F.array_join(F.slice(atoks, 1, 8), " ")).alias("pk"),
+        F.size(atoks).alias("n_tok"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("full_id"),
+        F.col("text").alias("full_text"),
+        "pk",
+        F.col("n_tok").alias("full_tok"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("trunc_id"),
+        F.col("text").alias("trunc_text"),
+        "pk",
+        F.col("n_tok").alias("trunc_tok"),
+    )
+    return (
+        a.join(b, "pk")
+        .filter(
+            (F.col("full_id") != F.col("trunc_id"))
+            & (F.col("full_tok") > F.col("trunc_tok"))
+            & F.col("full_text").startswith(F.concat(F.col("trunc_text"), F.lit(" ")))
+        )
+        .select(
+            "full_id",
+            "trunc_id",
+            F.col("full_tok").cast("long").alias("full_tok"),
+            F.col("trunc_tok").cast("long").alias("trunc_tok"),
+        )
+    )

@@ -157,3 +157,80 @@ def test_recall_planted_e05_truncated_rerank(spark, planted):
     # cluster-mates stay near-identical in ANY prefix, so pass 1 keeps
     # them all and the exact rerank restores the full top-5
     assert _recall(truth, got) >= 0.95
+
+
+def test_recall_planted_e06_ivfpq(spark, planted):
+    """IVF routing + PQ codes compose: mates share both the coarse list
+    and the PQ codes, so the probed-list ADC ranking recovers them."""
+    import importlib
+
+    batch_mod = importlib.import_module(
+        "modelorecomendacion_analisisspark_streaming_mas_spark.plans.northstar2"
+    )
+    df, labels = planted
+    truth = _pairs(cosine_topk_bruteforce(df, df, k=5).collect())
+    # run the e06 pipeline shape over the planted frame via its pieces:
+    # reuse the registered callable against a temp view is not possible
+    # (it loads from sf_dir), so mirror the plan inline
+    from pyspark.sql import Window
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.similarity import (
+        _as_double,
+        _dot,
+    )
+
+    e = df.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+        "vn", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    cent = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("ccid"))
+    ranked = scored.withColumn("crn", F.row_number().over(wc))
+    lists = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "ccid"
+    )
+    probes = ranked.filter(F.col("crn") <= 2).select(
+        F.col("vec_id").alias("query_id"), "ccid"
+    )
+    cand = (
+        probes.join(lists, "ccid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e2 = df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    codes = batch_mod.pq_codes(e2).withColumnRenamed("vec_id", "neighbor_id")
+    sub_e = batch_mod.pq_subvectors(e2)
+    sub_cb = sub_e.filter(F.col("vec_id") % 53 == 0).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    qd = (
+        sub_e.join(F.broadcast(sub_cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cid",
+            batch_mod._pq_sub_l2(F.col("sv"), F.col("cv")).alias("pd"),
+        )
+    )
+    approx = (
+        cand.join(codes, "neighbor_id")
+        .join(qd, ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    got = _pairs(
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    # composition floor: IVF keeps mates in the probed lists and PQ code
+    # identity keeps ADC(q, mate) minimal -- below e04's solo floor only
+    # by coarse-routing boundary noise
+    assert _recall(truth, got) >= 0.75
