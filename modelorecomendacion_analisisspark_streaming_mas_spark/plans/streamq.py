@@ -761,13 +761,11 @@ _MEDIA_STAGED: dict[str, str] = {}
 
 def _staged_media(spark: SparkSession, sf_dir: str) -> str:
     from ..functions.multimodal import synth_png_table
+    from ..sources.readers import load_table
 
     if sf_dir not in _MEDIA_STAGED:
         d = tempfile.mkdtemp(prefix="mras_media_")
-        docs = __import__(
-            "modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers",
-            fromlist=["load_table"],
-        ).load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         synth_png_table(spark, docs, "doc_id", "text").write.mode(
             "overwrite"
         ).parquet(d)
