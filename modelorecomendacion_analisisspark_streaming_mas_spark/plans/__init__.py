@@ -54,36 +54,40 @@ _VERIFY_FIRST = [
     "s01_stream_tumbling_counts",
 ]
 
-# Last driver-checked in round 2 (the oldest official record).
+# Last driver-checked in round 2 (the oldest official record). The seven
+# entries the round-4 JUDGE independently re-verified (q21/q23/q29/q33/
+# q40/q45/q48 -- all hash-exact) sit at the tail: if the r5 window cuts
+# into this group, the entries that slip to r6 are the ones with the
+# freshest independent signal.
 _STALE_R2 = [
-    "q21_asof_click_attribution",
     "q22_salted_group_count",
-    "q23_salted_join_revenue",
     "q24_distinct_counts",
     "q25_pivot_status",
     "q26_rank_family",
     "q27_lag_lead_orders",
     "q28_hash_sample_stats",
-    "q29_semi_anti_customers",
     "q30_grouping_sets",
     "q31_small_qty_revenue",
     "q32_full_outer_nation_coverage",
-    "q33_group_regression",
     "q34_lateral_top_customers",
     "q35_unpivot_segment_metrics",
     "q36_listagg_region_nations",
     "q37_variant_event_props",
-    "q40_gap_fill_daily",
     "q41_range_frame_trailing_spend",
     "q42_try_arithmetic",
     "q43_bitmap_distinct",
-    "q45_recursive_month_spine",
     "q46_array_hof_top3",
     "q47_map_type_roundtrip",
-    "q48_training_data_pipeline",
     "q39_udtf_doc_chunks",
     "g01_part_in_degrees",
     "g02_pagerank_top100",
+    "q21_asof_click_attribution",
+    "q23_salted_join_revenue",
+    "q29_semi_anti_customers",
+    "q33_group_regression",
+    "q40_gap_fill_daily",
+    "q45_recursive_month_spine",
+    "q48_training_data_pipeline",
 ]
 
 # Last driver-checked in round 3 (oldest-first tail fills the window;

@@ -60,14 +60,23 @@ def test_driver_window_covers_unverified_queries():
     # pytest), (b) the stalest entries -- last driver-checked in r02 --
     # rotating forward per the freshness policy.
     must_be_early = {
-        # new / materially changed in r5:
+        # changed in r5 (plan or oracle edits):
         "g06_weighted_pagerank_top100", "e02_knn_lsh",
         "mm02_image_features", "mm04_audio_features",
         "mm06_image_phash_dedup", "q71_kmv_sketch_setops",
         "e04_knn_pq_adc", "s13_stream_file_sink",
         "s14_stream_left_outer_join", "s01_stream_tumbling_counts",
-        # oldest official record (last driver-checked in round 2):
-        "q21_asof_click_attribution", "q48_training_data_pipeline",
+        # brand-new in r5 (never driver-checked; auto-slotted early):
+        "s22_stream_timer_sessions", "e05_knn_truncated_rerank",
+        "d11_canonical_url_dedup", "q73_event_transition_bigrams",
+        "t09_bpe_pair_counts", "q74_cluster_aware_split",
+        "q75_token_budget_curriculum", "q76_json_roundtrip",
+        "e06_knn_ivfpq", "s23_stream_image_features",
+        "q77_merge_upsert_apply", "m06_cooccurrence_lift",
+        "q78_delete_propagation", "d12_truncation_dedup",
+        # oldest official record (last driver-checked in round 2); the
+        # judge-r4-re-verified tail (q45/q48) may slip to r6 by design
+        "q22_salted_group_count", "q21_asof_click_attribution",
         "g01_part_in_degrees", "g02_pagerank_top100",
     }
     missing = must_be_early - set(window)
