@@ -186,13 +186,17 @@ HEADLINE = (
     "q40_gap_fill_daily",
     "d02_minhash_near_dups",
     "e03_knn_ivf",
+    "e06_knn_ivfpq",
     "t04_tfidf_top_terms",
     "g02_pagerank_top100",
+    "g06_weighted_pagerank_top100",
     "m01_als_top5_recs",
     "s01_stream_tumbling_counts",
     "s07_stream_stream_join",
     "s09_stream_longest_run",
+    "s22_stream_timer_sessions",
     "mm02_image_features",
+    "q74_cluster_aware_split",
 )
 
 MAX_LINE = 1800  # hard budget, < the driver's 2000-char tail window

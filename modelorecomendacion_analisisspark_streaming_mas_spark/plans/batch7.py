@@ -833,3 +833,70 @@ def d12_truncation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("trunc_tok").cast("long").alias("trunc_tok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q79: table profiling (ANALYZE-style column statistics) -- the metadata
+# every optimizer and data-quality gate needs: per column min/max, null
+# fraction, exact NDV. One pass over the fact table computes every
+# column's stats simultaneously (a single aggregate, not one scan per
+# column -- at 100 TB, N scans for N columns is the difference between
+# minutes and hours); the unpivot to (column, stats) rows happens on the
+# 1-row aggregate.
+# --------------------------------------------------------------------------
+
+_Q79_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_Q79_ORACLE = """
+WITH s AS (
+  SELECT count(*) AS n,
+         min(l_quantity) AS min_q,  max(l_quantity) AS max_q,
+         count(DISTINCT l_quantity) AS ndv_q,
+         min(l_extendedprice) AS min_e, max(l_extendedprice) AS max_e,
+         count(DISTINCT l_extendedprice) AS ndv_e,
+         min(l_discount) AS min_d,  max(l_discount) AS max_d,
+         count(DISTINCT l_discount) AS ndv_d,
+         min(l_tax) AS min_t,  max(l_tax) AS max_t,
+         count(DISTINCT l_tax) AS ndv_t
+  FROM lineitem
+)
+SELECT col, round(mn, 2) AS min_val, round(mx, 2) AS max_val,
+       CAST(ndv AS BIGINT) AS ndv
+FROM (
+  SELECT 'l_quantity' AS col, min_q AS mn, max_q AS mx, ndv_q AS ndv FROM s
+  UNION ALL SELECT 'l_extendedprice', min_e, max_e, ndv_e FROM s
+  UNION ALL SELECT 'l_discount', min_d, max_d, ndv_d FROM s
+  UNION ALL SELECT 'l_tax', min_t, max_t, ndv_t FROM s
+) t
+"""
+
+
+@register(
+    "q79_table_profile",
+    oracle=_Q79_ORACLE,
+    doc="ANALYZE-style column stats (min/max/exact NDV) for four lineitem "
+    "measures in ONE aggregate pass (never a scan per column); unpivot "
+    "happens on the 1-row result.",
+)
+def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _Q79_COLS:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+        ]
+    s = li.agg(*aggs)
+    stacked = s.select(
+        F.expr(
+            "stack({}, {}) AS (col, min_val, max_val, ndv)".format(
+                len(_Q79_COLS),
+                ", ".join(
+                    f"'{c}', round(min_{c}, 2), round(max_{c}, 2), ndv_{c}"
+                    for c in _Q79_COLS
+                ),
+            )
+        )
+    )
+    return stacked
