@@ -831,3 +831,77 @@ def s23_stream_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
     return out
 
+
+
+# --------------------------------------------------------------------------
+# s24: streaming CDC upsert-apply -- q77's MERGE run INCREMENTALLY: the
+# event stream is a per-user changelog, an update-mode aggregation holds
+# each user's global latest event (max of (ts, event_id) -- state the
+# size of the KEY SPACE, not the stream), and the foreachBatch sink
+# merges changed keys into a bucket-partitioned parquet snapshot with
+# latest-wins semantics, rewriting ONLY the touched buckets (dynamic
+# partition overwrite -- s15's sink, reused verbatim with a hash bucket
+# as the partition column: manual bucket-level copy-on-write, the thing
+# table formats automate). maxFilesPerTrigger forces real multi-batch
+# merges, so the steady-state path is what the oracle certifies.
+# --------------------------------------------------------------------------
+
+_S24_BUCKETS = 16
+
+
+@register(
+    "s24_stream_upsert_snapshot",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       round(value, 2) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="Streaming CDC upsert: update-mode latest-per-user aggregation + "
+    "foreachBatch latest-wins merge into a bucket-partitioned parquet "
+    "snapshot (only touched buckets rewritten); final table = batch "
+    "last-event-per-user.",
+)
+def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import foreach_batch_incremental_rollup
+
+    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=8)
+    latest = (
+        stream.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % _S24_BUCKETS).alias("bucket"),
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )
+    table_dir = tempfile.mkdtemp(prefix="mras_upsert_")
+    _SINK_DIRS.append(table_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            latest.writeStream.foreachBatch(
+                foreach_batch_incremental_rollup(table_dir, "bucket", ["user_id"])
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{table_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(table_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.round("value", 2).alias("value"),
+    )
