@@ -900,3 +900,162 @@ def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked
+
+
+# --------------------------------------------------------------------------
+# e07: FILTERED ANN -- vector search under a metadata predicate ("top-k
+# neighbors with label = X"), the retrieval shape RAG stacks actually
+# run. The naive post-filter (search first, filter after) silently
+# under-fills k when the predicate is selective; the correct plan
+# pushes the predicate INTO the candidate scan (pre-filter). Built on
+# e03's IVF structure: probed lists are scanned with the label
+# predicate applied before scoring, so each query returns a FULL top-5
+# of matching candidates from its probed lists.
+# --------------------------------------------------------------------------
+
+_E07_LABEL = 3
+
+_E07_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, cent.cid,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS cc
+  FROM e, cent
+), ranked AS (
+  SELECT vec_id, label, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+), lists AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cid FROM ranked
+  WHERE crn = 1 AND label = {_E07_LABEL}
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM ranked WHERE crn <= 2 AND vec_id < 10
+), sim AS (
+  SELECT p.query_id, l.neighbor_id,
+         list_dot_product(p.qv, l.nv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.nv, l.nv))) AS cos_raw
+  FROM probes p JOIN lists l USING (cid)
+  WHERE p.query_id <> l.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rn
+FROM sim QUALIFY rn <= 5
+"""
+
+
+@register(
+    "e07_knn_filtered",
+    oracle=_E07_ORACLE,
+    doc="Filtered ANN (RAG retrieval shape): label predicate pushed INTO "
+    "the IVF list scan (pre-filter, not the k-starving post-filter); "
+    "top-5 label-matching neighbors from the probed lists.",
+)
+def e07_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cent = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
+        "vec_id", "label", "v", "vn", "cid", "crn"
+    )
+    # predicate applied BEFORE scoring: non-matching candidates never
+    # reach the dot product (the pre-filter plan)
+    lists = ranked.filter(
+        (F.col("crn") == 1) & (F.col("label") == _E07_LABEL)
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("vn").alias("nn"),
+        "cid",
+    )
+    probes = ranked.filter((F.col("crn") <= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        "cid",
+    )
+    sim = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_raw", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q80: per-source score CALIBRATION -- raw quality scores are not
+# comparable across sources (a web crawl and a books corpus have
+# different score distributions), so mixture sampling on raw scores
+# over-selects whichever source scores generously. Decile-normalize
+# within source (ntile over the per-source distribution), then the
+# cross-source gate selects "top 30% OF EACH SOURCE". Output: per-source
+# selected counts + mean raw score of the selected slice (shows the raw
+# thresholds differ across sources -- the point of calibrating).
+# --------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         round(n_chars * 1.0 / len(string_split(text, ' ')), 3) AS score
+  FROM documents
+), d AS (
+  SELECT doc_id, source, score,
+         ntile(10) OVER (PARTITION BY source ORDER BY score, doc_id) AS decile
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       round(avg(score), 4) AS mean_raw_score,
+       round(min(score), 3) AS min_raw_score
+FROM d WHERE decile > 7
+GROUP BY source
+"""
+
+
+@register(
+    "q80_source_score_calibration",
+    oracle=_Q80_ORACLE,
+    doc="Per-source decile normalization of quality scores (ntile within "
+    "source, deterministic (score, doc_id) order); top-30%-of-each-source "
+    "gate; per-source raw-score stats show why calibration matters.",
+)
+def q80_source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.round(F.col("n_chars") / F.size(F.split("text", " ")), 3).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    d = t.withColumn("decile", F.ntile(10).over(w))
+    return (
+        d.filter(F.col("decile") > 7)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.round(F.avg("score"), 4).alias("mean_raw_score"),
+            F.round(F.min("score"), 3).alias("min_raw_score"),
+        )
+    )
