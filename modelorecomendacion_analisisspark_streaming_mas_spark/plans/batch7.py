@@ -1013,6 +1013,12 @@ def e07_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-source gate selects "top 30% OF EACH SOURCE". Output: per-source
 # selected counts + mean raw score of the selected slice (shows the raw
 # thresholds differ across sources -- the point of calibrating).
+#
+# Scale note: ntile sorts each source inside ONE task -- exact-tie
+# semantics for the oracle, fine at bench SFs, but a 10 TB source would
+# bottleneck. The 100 TB variant is the q58/q75 technique: per-source
+# decile BOUNDARIES from the (bounded, 3dp-rounded) score histogram,
+# broadcast, assignment by comparison -- same gate, no per-source sort.
 # --------------------------------------------------------------------------
 
 _Q80_ORACLE = """
