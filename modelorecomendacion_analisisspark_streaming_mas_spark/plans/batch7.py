@@ -637,10 +637,12 @@ def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_c = bask.select("cust").distinct().count()
     pop = bask.groupBy("part").agg(F.count(F.lit(1)).alias("n_cust"))
-    wp = Window.orderBy(F.desc("n_cust"), F.asc("part"))
+    # TakeOrdered, not a global row_number window: the part table can be
+    # millions of rows at scale, and orderBy+limit keeps the top-50
+    # selection distributed (per-partition heaps + driver merge)
     top = (
-        pop.withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= _M06_TOP)
+        pop.orderBy(F.desc("n_cust"), F.asc("part"))
+        .limit(_M06_TOP)
         .select("part", "n_cust")
     )
     tb = bask.join(F.broadcast(top), "part")
