@@ -1,10 +1,21 @@
-"""Round-5 catalog additions: truncated-dim rerank ANN (e05), canonical-
-URL dedup (d11), event-transition bigrams (q73).
+"""Round-5 catalog additions. Each entry extends a north-star family
+with a shape 100 TB pipelines actually run:
 
-Each extends an existing north-star family with a shape 100 TB pipelines
-actually run: two-stage ANN that reads a quarter of the vector bytes in
-its scan phase, the web-crawl dedup mode that keys on canonicalized URLs
-rather than content, and per-user sequence mining without a global sort.
+* ANN: e05 truncated-dim rerank (quarter the scan bytes), e07 filtered
+  search (predicate pushed into the IVF list scan).
+* Dedup: d11 canonical-URL (provenance keying), d12 truncation/prefix
+  (the mode Jaccard misses at wildly different lengths).
+* Curation: q74 leakage-safe cluster-aware split, q75 token-budget
+  curriculum (threshold refinement, no global sort), q80 per-source
+  score calibration.
+* Lakehouse: q77 MERGE/upsert-apply, q78 delete-propagation cascade,
+  q79 ANALYZE-style table profiling.
+* Text/sequence: t09 BPE merge-candidate pair counts, q73 per-user
+  event-transition bigrams.
+* Recommendations: m06 co-occurrence with lift (popularity-corrected).
+
+(e06 IVFPQ lives beside its e03/e04 building blocks in northstar2.py;
+s22-s24 streaming additions live in streamq.py / stateful_probe.py.)
 """
 
 from __future__ import annotations
