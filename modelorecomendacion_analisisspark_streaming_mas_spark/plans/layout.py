@@ -25,6 +25,8 @@ unsorted original layout).
 from __future__ import annotations
 
 import atexit
+import glob
+import os
 import shutil
 import tempfile
 
@@ -385,4 +387,74 @@ def q76_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q81: the Spark-4 Python Data Source BATCH READER under the driver gate
+# -- the reference's `::`-separated .dat format (S1) written by Spark as
+# text and read back through `format("dat")` (one task per file,
+# permissive casts). Aggregate equals the parquet-sourced oracle, so the
+# custom source's split/convert path is hash-certified, not just
+# unit-tested.
+# --------------------------------------------------------------------------
+
+_DAT: dict[str, str] = {}
+
+
+def _dat_copy(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _DAT:
+        d = tempfile.mkdtemp(prefix="mras_dat_")
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.select(
+                F.concat_ws(
+                    "::",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_totalprice").cast("string"),
+                    F.col("o_orderstatus"),
+                ).alias("value")
+            ).write.mode("overwrite").text(d)
+        )
+        # drop Spark's _SUCCESS marker: the dat reader globs every file
+        for junk in glob.glob(os.path.join(d, "_*")):
+            os.remove(junk)
+        _DAT[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _DAT[sf_dir]
+
+
+@register(
+    "q81_dat_source_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Python DS batch reader (format('dat'), the reference's "
+    "::-separated S1 format) round-trip: Spark-written text read back "
+    "through the custom source; aggregate equals the parquet oracle.",
+)
+def q81_dat_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.python_datasource import register_dat_source
+
+    register_dat_source(spark)
+    d = _dat_copy(spark, sf_dir)
+    back = (
+        spark.read.format("dat")
+        .schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+        )
+        .option("sep", "::")
+        .option("encoding", "utf-8")
+        .load(d)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderkey").alias("max_key"),
     )

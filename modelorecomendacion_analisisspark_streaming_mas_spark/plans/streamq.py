@@ -905,3 +905,48 @@ def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         F.round("value", 2).alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# s25: Python Data Source STREAM WRITER under the driver gate -- the
+# manifest-committed JSONL sink (sources/python_datasource.py,
+# format("jsonl_dir")) driven end-to-end: multi-batch availableNow
+# replay writes through executor temp files + driver commit/manifest,
+# and the read-back goes THROUGH the manifest (uncommitted files are
+# invisible). Aggregate of the read-back must equal the batch oracle --
+# i.e. exactly-once across 4 real micro-batches, certified by hash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s25_stream_jsonl_sink",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="Spark 4 Python DataSource stream writer (jsonl_dir) end-to-end: "
+    "multi-batch replay -> manifest-committed JSONL -> manifest-gated "
+    "read-back; aggregate equals the batch oracle (exactly-once).",
+)
+def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.python_datasource import read_jsonl_sink, register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=8)
+    out_dir = tempfile.mkdtemp(prefix="mras_jsonl_sink_")
+    _SINK_DIRS.append(out_dir)
+    q = (
+        stream.select("event_type", "value")
+        .writeStream.format("jsonl_dir")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = read_jsonl_sink(spark, out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -76,6 +76,7 @@ def test_driver_window_covers_unverified_queries():
         "q78_delete_propagation", "d12_truncation_dedup",
         "q79_table_profile", "s24_stream_upsert_snapshot",
         "e07_knn_filtered", "q80_source_score_calibration",
+        "s25_stream_jsonl_sink", "q81_dat_source_roundtrip",
         # oldest official record (last driver-checked in round 2); the
         # judge-r4-re-verified tail (q45/q48) may slip to r6 by design
         "q22_salted_group_count", "q21_asof_click_attribution",
