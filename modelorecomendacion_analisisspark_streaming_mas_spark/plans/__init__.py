@@ -51,7 +51,6 @@ _VERIFY_FIRST = [
     "e04_knn_pq_adc",
     "s13_stream_file_sink",
     "s14_stream_left_outer_join",
-    "s01_stream_tumbling_counts",
 ]
 
 # Last driver-checked in round 2 (the oldest official record). The seven
@@ -93,6 +92,9 @@ _STALE_R2 = [
 # Last driver-checked in round 3 (oldest-first tail fills the window;
 # the rest re-greens in r6).
 _STALE_R3 = [
+    # s01 rides the same base staging s13/s14 re-verify; its own code is
+    # untouched in r5, so it rotates with its r3 cohort
+    "s01_stream_tumbling_counts",
     "d01_exact_dedup_docs",
     "d02_minhash_near_dups",
     "d03_simhash_docs",
