@@ -699,3 +699,47 @@ def test_transform_with_state_timer_sessionization(spark):
     }
     assert got == {(1, 3), (1, 2), (2, 1)}
     assert out.filter(F.col("user_id") >= 0).count() == 3  # exactly once each
+
+
+def test_incremental_merge_leaves_untouched_partitions_on_disk(spark, tmp_path):
+    """The PHYSICAL copy-on-write property behind s15/s24: a batch that
+    touches only one partition must not rewrite the others' files (at
+    100 TB that is the entire difference between a trigger costing one
+    bucket and costing the table)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.sinks import (
+        foreach_batch_incremental_rollup,
+    )
+
+    table = str(tmp_path / "snap")
+    cb = foreach_batch_incremental_rollup(table, "bucket", ["user_id"])
+    b0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 1, 20.0), (3, 2, 30.0)],
+        "user_id long, bucket int, value double",
+    )
+    cb(b0, 0)
+    before = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{table}/bucket=*/*.parquet")
+    }
+    assert before, "expected partition files after batch 0"
+    # batch 1 touches ONLY bucket 1
+    b1 = spark.createDataFrame(
+        [(2, 1, 25.0)], "user_id long, bucket int, value double"
+    )
+    cb(b1, 1)
+    after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{table}/bucket=*/*.parquet")
+    }
+    untouched_before = {p: t for p, t in before.items() if "/bucket=1/" not in p}
+    untouched_after = {p: t for p, t in after.items() if "/bucket=1/" not in p}
+    assert untouched_before == untouched_after  # same files, same mtimes
+    got = {
+        r["user_id"]: r["value"] for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
