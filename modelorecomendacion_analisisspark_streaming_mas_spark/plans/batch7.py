@@ -399,7 +399,11 @@ def q74_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = _near_dup_components(spark, sf_dir).select(
         F.col("id").alias("doc_id"), "component"
     )
-    assigned = docs.select("doc_id").join(F.broadcast(cc), "doc_id", "left").select(
+    # NO broadcast hint: the label frame is sized by the duplicate
+    # population (potentially corpus-scale); a plain key-partitioned
+    # left join is the shape that survives, and AQE may still broadcast
+    # it when it is actually small
+    assigned = docs.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("gid")
     )
     split = F.when(
