@@ -770,6 +770,11 @@ def q78_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # startswith, keep (survivor = longer, tie -> smaller id). The fixture
 # plants truncations by re-ingesting each doc_id % 40 == 0 doc cut to
 # its first 12 tokens under a new id.
+# Skew note: a viral boilerplate PREFIX is the same hot-bucket mode as
+# an LSH band -- at scale, apply operators/dedup.py's star-topology cap
+# to the pk bucket (representative subset per bucket) exactly as
+# lsh_candidate_pairs/lsh_probe_index do; uncapped here because the
+# oracle certifies the complete pair set.
 # --------------------------------------------------------------------------
 
 _D12_ORACLE = """
