@@ -1,0 +1,84 @@
+"""Regeneration robustness: the driver rebuilds the testdata between
+rounds, so no oracle may be tuned to the CURRENT tables. This suite
+re-runs the most fixture-sensitive queries against a PERTURBED variant
+(23% of rows dropped by key-hash -> different sizes, id gaps, shifted
+distributions) and requires the same hash-exact agreement. A full
+151-query sweep against the same variant passed in r5; this keeps the
+property enforced on the queries whose fixtures plant structure
+(duplicate slices, budget thresholds, pinned hyperplanes/pixels).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+# fixture-sensitive picks: planted duplicates (d12, mm06), driver-side
+# thresholds (q75), CC-derived groups (q74), pinned-hash structures
+# (e02, q71), replayed pixels (mm02)
+DRIFT_QUERIES = [
+    "d12_truncation_dedup",
+    "q74_cluster_aware_split",
+    "q75_token_budget_curriculum",
+    "e02_knn_lsh",
+    "q71_kmv_sketch_setops",
+    "mm02_image_features",
+    "mm06_image_phash_dedup",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def variant_dir(sf_dir):
+    d = tempfile.mkdtemp(prefix="mras_drift_")
+    con = duckdb.connect()
+    keys = {
+        "supplier": "s_suppkey", "part": "p_partkey", "customer": "c_custkey",
+        "orders": "o_orderkey", "lineitem": "l_orderkey", "events": "event_id",
+        "documents": "doc_id", "embeddings": "vec_id",
+    }
+    for t in TABLES:
+        k = keys.get(t)
+        pred = (
+            f"WHERE (('0x'||substr(md5('drift|'||{k}::VARCHAR),1,8))::UBIGINT)::BIGINT % 13 < 10"
+            if k
+            else ""
+        )
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet' {pred}) "
+            f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True).astype(str)
+
+
+@pytest.mark.parametrize("name", DRIFT_QUERIES)
+def test_oracle_agreement_survives_data_drift(spark, variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: drift variant disagrees with oracle"
