@@ -258,6 +258,22 @@ def main() -> None:
     for warm_q in ("q02_flagship_top_tokens", "e01_knn_bruteforce"):
         REGISTRY[warm_q].fn(spark, sf_dir).count()
 
+    # ALS JIT warm-up: the explicit and IMPLICIT solvers compile separate
+    # code paths on first fit; unwarmed, m05 absorbs 10-15s of one-time
+    # JIT that reads as query cost (observed 4-21s swings at identical
+    # code+data). A 60-row micro-fit per solver pays that off the clock.
+    from pyspark.ml.recommendation import ALS as _ALS
+
+    _warm_df = spark.createDataFrame(
+        [(i % 6, i % 10, float(i % 5) + 1.0) for i in range(60)],
+        "user int, item int, rating float",
+    )
+    for _implicit in (False, True):
+        _ALS(
+            rank=2, maxIter=1, seed=1, implicitPrefs=_implicit,
+            userCol="user", itemCol="item", ratingCol="rating",
+        ).fit(_warm_df)
+
     def drain_async(timeout: float = 60.0) -> None:
         """Wait (outside any timed window) for async job tails. MLlib's
         recommendForUserSubset returns from count() while broadcast-
