@@ -234,3 +234,24 @@ def test_recall_planted_e06_ivfpq(spark, planted):
     # identity keeps ADC(q, mate) minimal -- below e04's solo floor only
     # by coarse-routing boundary noise
     assert _recall(truth, got) >= 0.75
+
+
+def test_recall_real_corpus_e07_filtered(spark):
+    """Filtered ANN vs filtered brute force: ground truth is the top-5
+    among label-matching candidates only. e07 probes nprobe=2 lists, so
+    its recall floor mirrors e03's unfiltered level -- the predicate
+    must not degrade routing."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch7 import (
+        _E07_LABEL,
+        e07_knn_filtered,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = _pairs(
+        cosine_topk_bruteforce(
+            emb.filter(F.col("label") == _E07_LABEL), q, k=5
+        ).collect()
+    )
+    got = _pairs(e07_knn_filtered(spark, SF001).collect())
+    assert _recall(truth, got) >= 0.2  # e03's unfiltered measured level ~0.38
