@@ -50,7 +50,6 @@ _VERIFY_FIRST = [
     "q71_kmv_sketch_setops",
     "e04_knn_pq_adc",
     "s13_stream_file_sink",
-    "s14_stream_left_outer_join",
 ]
 
 # Last driver-checked in round 2 (the oldest official record). The seven
@@ -92,9 +91,11 @@ _STALE_R2 = [
 # Last driver-checked in round 3 (oldest-first tail fills the window;
 # the rest re-greens in r6).
 _STALE_R3 = [
-    # s01 rides the same base staging s13/s14 re-verify; its own code is
-    # untouched in r5, so it rotates with its r3 cohort
+    # s01/s14 ride the same staging change s13 re-verifies (s14 shares
+    # the sentinel variant dir); their own code is untouched in r5, so
+    # they rotate with their r3 cohort
     "s01_stream_tumbling_counts",
+    "s14_stream_left_outer_join",
     "d01_exact_dedup_docs",
     "d02_minhash_near_dups",
     "d03_simhash_docs",

@@ -400,3 +400,89 @@ def g06_weighted_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("id", F.round("pagerank", 6).alias("pagerank"))
     )
+
+
+# --------------------------------------------------------------------------
+# g07: k-CORE decomposition (k=20: a real 3-5-round cascade to a
+# NON-degenerate core at every test SF -- k=16 peels almost nothing,
+# k=24 collapses to empty) -- iterative peeling: delete every
+# vertex whose degree in the REMAINING subgraph is < k, until stable.
+# The densest-backbone extractor (spam/bot rings, co-purchase cores) the
+# degree query (g01) cannot express. Both sides peel SIMULTANEOUSLY per
+# round (degrees computed on the round's edge set, then both filters
+# applied), which is exactly the recurrence the oracle unrolls -- so
+# even if convergence needed more rounds, the two engines agree on the
+# identical prefix. 8 rounds converges at every test SF (asserted by
+# the fixpoint check in tests).
+# --------------------------------------------------------------------------
+
+_G07_K = 20
+_G07_ROUNDS = 8
+
+
+def _kcore_oracle(k: int = _G07_K, rounds: int = _G07_ROUNDS) -> str:
+    ctes = [_EDGES_SQL.strip().replace("edges AS", "e0 AS MATERIALIZED")]
+    for i in range(rounds):
+        ctes.append(
+            f"""ks{i} AS (
+  SELECT src FROM e{i} GROUP BY src HAVING count(*) >= {k}
+)"""
+        )
+        ctes.append(
+            f"""kd{i} AS (
+  SELECT dst FROM e{i} GROUP BY dst HAVING count(*) >= {k}
+)"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN ks{i} USING (src) JOIN kd{i} USING (dst)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT dst) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e{rounds}
+"""
+    )
+
+
+@register(
+    "g07_kcore_summary",
+    oracle=_kcore_oracle(),
+    doc="20-core of the bipartite purchase graph via simultaneous "
+    "iterative peeling (8 rounds, converged at test SFs); unrolled-SQL "
+    "oracle like g02/g03; surviving vertex/edge counts.",
+)
+def g07_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import BROADCAST_VERTEX_LIMIT, _maybe_broadcast
+
+    _, edges = bipartite_graph_encoded(spark, sf_dir)
+    small = edges.count() < BROADCAST_VERTEX_LIMIT  # edges already materialized
+    e = edges
+    for i in range(_G07_ROUNDS):
+        keep_src = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _G07_K)
+            .select("src")
+        )
+        keep_dst = (
+            e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _G07_K)
+            .select("dst")
+        )
+        e = (
+            e.join(_maybe_broadcast(keep_src, small), "src", "left_semi")
+            .join(_maybe_broadcast(keep_dst, small), "dst", "left_semi")
+        )
+        if (i + 1) % 2 == 0 or i == _G07_ROUNDS - 1:
+            e = e.localCheckpoint(eager=True)
+    return e.agg(
+        F.countDistinct("src").alias("n_customers"),
+        F.countDistinct("dst").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )

@@ -65,7 +65,6 @@ def test_driver_window_covers_unverified_queries():
         "mm02_image_features", "mm04_audio_features",
         "mm06_image_phash_dedup", "q71_kmv_sketch_setops",
         "e04_knn_pq_adc", "s13_stream_file_sink",
-        "s14_stream_left_outer_join",
         # brand-new in r5 (never driver-checked; auto-slotted early):
         "s22_stream_timer_sessions", "e05_knn_truncated_rerank",
         "d11_canonical_url_dedup", "q73_event_transition_bigrams",
@@ -77,6 +76,7 @@ def test_driver_window_covers_unverified_queries():
         "q79_table_profile", "s24_stream_upsert_snapshot",
         "e07_knn_filtered", "q80_source_score_calibration",
         "s25_stream_jsonl_sink", "q81_dat_source_roundtrip",
+        "g07_kcore_summary",
         # oldest official record (last driver-checked in round 2); the
         # judge-r4-re-verified tail (q21/q23/q29/q33/q40/q45/q48) may
         # slip to r6 by design -- they carry the freshest independent

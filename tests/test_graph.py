@@ -246,3 +246,48 @@ def test_weighted_pagerank_favors_heavy_edge(spark):
         for r in pagerank_weighted(vertices, edges, max_iter=5).collect()
     }
     assert pr[2] > pr[3] > 0
+
+
+def test_kcore_reaches_fixpoint_and_every_survivor_qualifies(spark, sf_dir):
+    """g07's 8 unrolled rounds must actually CONVERGE at test SFs (else
+    the result is a prefix, not the k-core), and every surviving vertex
+    must have degree >= k within the surviving subgraph."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        bipartite_graph_encoded,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.graphq import (
+        _G07_K,
+        _G07_ROUNDS,
+    )
+
+    _, edges = bipartite_graph_encoded(spark, sf_dir)
+    e = edges
+    for _ in range(_G07_ROUNDS):
+        ks = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _G07_K).select("src")
+        )
+        kd = (
+            e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _G07_K).select("dst")
+        )
+        e = (
+            e.join(ks, "src", "left_semi")
+            .join(kd, "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    n = e.count()
+    assert n > 0, "degenerate fixture: empty core proves nothing"
+    # one more round must change nothing (fixpoint reached)
+    ks = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).filter(F.col("d") >= _G07_K).select("src")
+    kd = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).filter(F.col("d") >= _G07_K).select("dst")
+    again = e.join(ks, "src", "left_semi").join(kd, "dst", "left_semi").count()
+    assert again == n
+    # survivor property
+    bad = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).filter(F.col("d") < _G07_K).count()
+        + e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).filter(F.col("d") < _G07_K).count()
+    )
+    assert bad == 0
