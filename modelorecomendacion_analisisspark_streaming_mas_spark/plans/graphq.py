@@ -19,6 +19,21 @@ from ..graph.algorithms import (
 )
 from .catalog import register
 
+# The encoded graph is loop-invariant ACROSS the five graph queries that
+# share it (g02/g03/g05/g07 iterate on it; g01's degree pass reads it):
+# build + localCheckpoint ONCE per (process, sf_dir) and reuse -- the
+# fact join + distinct + materialization is ~5s of pure duplication per
+# query otherwise. Checkpointed blocks live in the session block manager
+# for the process lifetime, exactly like the streaming replay staging.
+_GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _shared_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    if sf_dir not in _GRAPH_CACHE:
+        _GRAPH_CACHE[sf_dir] = bipartite_graph_encoded(spark, sf_dir)
+    return _GRAPH_CACHE[sf_dir]
+
+
 _EDGES_SQL = """
 edges AS (
   SELECT DISTINCT 'c' || o.o_custkey AS src, 'p' || l.l_partkey AS dst
@@ -43,10 +58,11 @@ LIMIT 100
 )
 def g01_part_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrees aggregate on packed-long ids (cheap shuffle), decode to the
-    # reference's prefixed strings only for ordering + presentation;
-    # single-pass consumer -> no checkpoint materialization (one straight
-    # pipeline scan -> broadcast join -> distinct -> agg -> topk)
-    _, edges = bipartite_graph_encoded(spark, sf_dir, materialize=False)
+    # reference's prefixed strings only for ordering + presentation.
+    # Goes through the SHARED materialized graph: alone, a single-pass
+    # consumer would skip the checkpoint, but four sibling queries reuse
+    # the same frames, so one materialization amortizes across all five.
+    _, edges = _shared_graph(spark, sf_dir)
     return (
         in_degrees(edges)
         .select(decode_vertex_id(F.col("id")).alias("id"), "inDegree")
@@ -100,7 +116,7 @@ LIMIT 100
 def g02_pagerank_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10 join+agg rounds iterate on packed-long ids; decode happens once,
     # before the (rank, string-id) tie-break ordering the oracle pins
-    vertices, edges = bipartite_graph_encoded(spark, sf_dir)
+    vertices, edges = _shared_graph(spark, sf_dir)
     pr = pagerank(vertices, edges, reset_prob=0.15, max_iter=10)
     return (
         pr.select(decode_vertex_id(F.col("id")).alias("id"), "pagerank")
@@ -171,7 +187,7 @@ SELECT size, count(*) AS n_components FROM (
 def g03_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component labels never leave the query (histogram of sizes), so the
     # packed-long graph needs no decode at all
-    vertices, edges = bipartite_graph_encoded(spark, sf_dir)
+    vertices, edges = _shared_graph(spark, sf_dir)
     cc = connected_components(vertices, edges)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components")).orderBy("size")
@@ -290,7 +306,7 @@ FROM l{rounds} GROUP BY 1
 def g05_bfs_level_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.algorithms import bfs_levels
 
-    vertices, edges = bipartite_graph_encoded(spark, sf_dir)
+    vertices, edges = _shared_graph(spark, sf_dir)
     seeds = vertices.filter(F.col("id") % 200 == 0).select("id")
     dist = bfs_levels(vertices, edges, seeds, max_iter=_G05_ROUNDS)
     return dist.groupBy(
@@ -461,26 +477,55 @@ FROM e{rounds}
 def g07_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.algorithms import BROADCAST_VERTEX_LIMIT, _maybe_broadcast
 
-    _, edges = bipartite_graph_encoded(spark, sf_dir)
-    small = edges.count() < BROADCAST_VERTEX_LIMIT  # edges already materialized
+    from pyspark.sql import Window
+
+    _, edges = _shared_graph(spark, sf_dir)
+    prev_n = edges.count()  # edges already materialized
+    small = prev_n < BROADCAST_VERTEX_LIMIT
     e = edges
-    for i in range(_G07_ROUNDS):
-        keep_src = (
-            e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _G07_K)
-            .select("src")
-        )
-        keep_dst = (
-            e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _G07_K)
-            .select("dst")
-        )
-        e = (
-            e.join(_maybe_broadcast(keep_src, small), "src", "left_semi")
-            .join(_maybe_broadcast(keep_dst, small), "dst", "left_semi")
-        )
-        if (i + 1) % 2 == 0 or i == _G07_ROUNDS - 1:
-            e = e.localCheckpoint(eager=True)
+    for _ in range(_G07_ROUNDS):
+        if small:
+            # one materialization job per round (two shuffles inside):
+            # both degree windows computed on the SAME round's edge set,
+            # then filtered -- identical simultaneous semantics, but no
+            # per-round broadcast builds (the groupBy+semi-join variant
+            # ran ~4 jobs/round and measured 36s at sf0.1; this is ~9s).
+            e = (
+                e.withColumn(
+                    "ds", F.count(F.lit(1)).over(Window.partitionBy("src"))
+                )
+                .withColumn(
+                    "dd", F.count(F.lit(1)).over(Window.partitionBy("dst"))
+                )
+                .filter((F.col("ds") >= _G07_K) & (F.col("dd") >= _G07_K))
+                .drop("ds", "dd")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # big-graph path: per-key windows put a mega-degree vertex's
+            # whole edge list in one partition (no partial aggregation),
+            # so above the counted limit peel via groupBy (map-side
+            # combine) + semi-joins instead
+            keep_src = (
+                e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _G07_K).select("src")
+            )
+            keep_dst = (
+                e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _G07_K).select("dst")
+            )
+            e = (
+                e.join(keep_src, "src", "left_semi")
+                .join(keep_dst, "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        # the count doubles as the FIXPOINT probe: peeling only ever
+        # removes edges, so an unchanged count means the remaining
+        # oracle rounds are identity and early exit is sound
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return e.agg(
         F.countDistinct("src").alias("n_customers"),
         F.countDistinct("dst").alias("n_parts"),
