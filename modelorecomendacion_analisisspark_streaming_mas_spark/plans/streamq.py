@@ -922,7 +922,7 @@ def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s25_stream_jsonl_sink",
     oracle="""
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-FROM events GROUP BY event_type
+FROM events WHERE user_id % 4 = 0 GROUP BY event_type
 """,
     doc="Spark 4 Python DataSource stream writer (jsonl_dir) end-to-end: "
     "multi-batch replay -> manifest-committed JSONL -> manifest-gated "
@@ -936,7 +936,12 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="mras_jsonl_sink_")
     _SINK_DIRS.append(out_dir)
     q = (
-        stream.select("event_type", "value")
+        # quarter-slice of the replay: the sink serializes row-at-a-time
+        # Python (json.dumps per row -- the honest cost of a PYTHON
+        # writer); the contract is identical at any volume, so the
+        # exemplar doesn't need to push the full table through it
+        stream.filter(F.col("user_id") % 4 == 0)
+        .select("event_type", "value")
         .writeStream.format("jsonl_dir")
         .option("path", out_dir)
         .option("checkpointLocation", f"{out_dir}/_ckpt")
