@@ -30,6 +30,8 @@ DRIFT_QUERIES = [
     "q71_kmv_sketch_setops",
     "mm02_image_features",
     "mm06_image_phash_dedup",
+    "g07_kcore_summary",  # fixpoint within the unrolled rounds must hold
+    "m06_cooccurrence_lift",  # top-50 cut + lift on a shifted graph
 ]
 
 TABLES = [
