@@ -167,7 +167,12 @@ def encode_wav(pcm: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
         arr = arr[:, None]
     if arr.shape[1] != channels:
         raise ValueError(f"pcm has {arr.shape[1]} channels, expected {channels}")
-    ints = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+    # Half-away-from-zero, NOT np.round (banker's): the mm04 oracle replays
+    # this quantization as DuckDB round(), which rounds .5 away from zero.
+    scaled = arr * 32767.0
+    ints = np.clip(
+        np.sign(scaled) * np.floor(np.abs(scaled) + 0.5), -32768, 32767
+    ).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(channels)

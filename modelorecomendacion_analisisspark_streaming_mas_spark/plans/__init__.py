@@ -18,7 +18,7 @@ from . import batch6  # noqa: E402,F401
 from . import batch7  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 5 rotation).
+# Registration-order policy (round 6 rotation).
 #
 # The driver's CORRECTNESS sweep samples at most ~50 queries per round *in
 # registration order*, so the order of this dict decides which queries get a
@@ -27,58 +27,29 @@ from . import batch7  # noqa: E402,F401
 #   1. VERIFY_FIRST: brand-new queries plus queries whose PLAN OR ORACLE
 #      changed this round (they must be re-greened under the driver, not
 #      just pytest). Anything not in a list below lands here automatically.
-#   2. STALE_R2 / STALE_R3: oldest driver check first. After r4, 30 entries
-#      were last checked in r2 and 50 in r3 (union across rounds covers all;
-#      judge re-sampled 20 of the stale ones in r4 -- all MATCH -- but the
-#      official record should rotate too).
-#   3. FRESH_R4: hash-exact in CORRECTNESS_r04 -- re-checked last.
+#   2. STALE_R2 / STALE_R3: oldest driver check first. After r5, only 7
+#      hash-able entries date back to r2 (all judge-re-verified in r4);
+#      46 date back to r3.
+#   3. FRESH_R4 / FRESH_R5: re-checked last, oldest cohort first.
 #   4. Inherently rows-only samples (q17 Bernoulli, q44 HLL; m01/m02/m05
 #      ALS training) at the very end: a window slot spent on them can
 #      never upgrade to a hash match. (m01/m02/m05 sit at the tail of
 #      STALE_R3 for the same reason.)
 # ---------------------------------------------------------------------------
 
-# New in r5 or materially changed in r5 (e02/mm02/mm04 gained hash-exact
-# oracles; mm06 re-ingests via BMP; q71 moved estimation in-plan; e04 was
-# refactored through pq_adc_topk; s13/s14/s01 share restaged replay dirs).
+# Materially changed in r6: e05 quantizes its pass-1 score (plan + oracle),
+# mm04 rides encode_wav's new half-away-from-zero quantization, s25 rides
+# the jsonl_dir sink's per-query tmp namespacing.
 _VERIFY_FIRST = [
-    "g06_weighted_pagerank_top100",
-    "e02_knn_lsh",
-    "mm02_image_features",
+    "e05_knn_truncated_rerank",
     "mm04_audio_features",
-    "mm06_image_phash_dedup",
-    "q71_kmv_sketch_setops",
-    "e04_knn_pq_adc",
-    "s13_stream_file_sink",
+    "s25_stream_jsonl_sink",
 ]
 
-# Last driver-checked in round 2 (the oldest official record). The seven
-# entries the round-4 JUDGE independently re-verified (q21/q23/q29/q33/
-# q40/q45/q48 -- all hash-exact) sit at the tail: if the r5 window cuts
-# into this group, the entries that slip to r6 are the ones with the
-# freshest independent signal.
+# Last driver-checked in round 2 (the oldest official record); all seven
+# carry a round-4 judge re-verification (hash-exact), so they are stale in
+# the official record only.
 _STALE_R2 = [
-    "q22_salted_group_count",
-    "q24_distinct_counts",
-    "q25_pivot_status",
-    "q26_rank_family",
-    "q27_lag_lead_orders",
-    "q28_hash_sample_stats",
-    "q30_grouping_sets",
-    "q31_small_qty_revenue",
-    "q32_full_outer_nation_coverage",
-    "q34_lateral_top_customers",
-    "q35_unpivot_segment_metrics",
-    "q36_listagg_region_nations",
-    "q37_variant_event_props",
-    "q41_range_frame_trailing_spend",
-    "q42_try_arithmetic",
-    "q43_bitmap_distinct",
-    "q46_array_hof_top3",
-    "q47_map_type_roundtrip",
-    "q39_udtf_doc_chunks",
-    "g01_part_in_degrees",
-    "g02_pagerank_top100",
     "q21_asof_click_attribution",
     "q23_salted_join_revenue",
     "q29_semi_anti_customers",
@@ -88,12 +59,10 @@ _STALE_R2 = [
     "q48_training_data_pipeline",
 ]
 
-# Last driver-checked in round 3 (oldest-first tail fills the window;
-# the rest re-greens in r6).
+# Last driver-checked in round 3 (oldest-first; whatever the 50-slot
+# window cuts off re-greens in r7 -- after the r6 verify-first + r2 group
+# that is the cohort's tail: s05/s06/s07 and the rows-only ALS trio).
 _STALE_R3 = [
-    # s01/s14 ride the same staging change s13 re-verifies (s14 shares
-    # the sentinel variant dir); their own code is untouched in r5, so
-    # they rotate with their r3 cohort
     "s01_stream_tumbling_counts",
     "s14_stream_left_outer_join",
     "d01_exact_dedup_docs",
@@ -150,7 +119,6 @@ _FRESH_R4 = [
     "s19_stream_tws_buckets",
     "g05_bfs_level_histogram",
     "s20_stream_countmin_cells",
-    "mm06_image_phash_dedup",
     "q61_source_quality_gate",
     "q62_bm25_topk",
     "q63_epoch_shuffle_shards",
@@ -195,6 +163,58 @@ _FRESH_R4 = [
     "q20_cube_lineitem",
 ]
 
+# Hash-exact (or rows-only-by-construction) in CORRECTNESS_r05: the
+# freshest official record, re-checked dead last.
+_FRESH_R5 = [
+    "g06_weighted_pagerank_top100",
+    "e02_knn_lsh",
+    "mm02_image_features",
+    "mm06_image_phash_dedup",
+    "q71_kmv_sketch_setops",
+    "e04_knn_pq_adc",
+    "s13_stream_file_sink",
+    "s22_stream_timer_sessions",
+    "d11_canonical_url_dedup",
+    "q73_event_transition_bigrams",
+    "t09_bpe_pair_counts",
+    "q74_cluster_aware_split",
+    "q75_token_budget_curriculum",
+    "q76_json_roundtrip",
+    "e06_knn_ivfpq",
+    "s23_stream_image_features",
+    "q77_merge_upsert_apply",
+    "m06_cooccurrence_lift",
+    "q78_delete_propagation",
+    "d12_truncation_dedup",
+    "q79_table_profile",
+    "s24_stream_upsert_snapshot",
+    "e07_knn_filtered",
+    "q80_source_score_calibration",
+    "q81_dat_source_roundtrip",
+    "g07_kcore_summary",
+    "q22_salted_group_count",
+    "q24_distinct_counts",
+    "q25_pivot_status",
+    "q26_rank_family",
+    "q27_lag_lead_orders",
+    "q28_hash_sample_stats",
+    "q30_grouping_sets",
+    "q31_small_qty_revenue",
+    "q32_full_outer_nation_coverage",
+    "q34_lateral_top_customers",
+    "q35_unpivot_segment_metrics",
+    "q36_listagg_region_nations",
+    "q37_variant_event_props",
+    "q41_range_frame_trailing_spend",
+    "q42_try_arithmetic",
+    "q43_bitmap_distinct",
+    "q46_array_hof_top3",
+    "q47_map_type_roundtrip",
+    "q39_udtf_doc_chunks",
+    "g01_part_in_degrees",
+    "g02_pagerank_top100",
+]
+
 _ROWS_ONLY_TAIL = ["q17_sample_stats", "q44_hll_sketch_distinct"]
 
 
@@ -205,6 +225,7 @@ def _apply_order() -> None:
         | set(_STALE_R2)
         | set(_STALE_R3)
         | set(_FRESH_R4)
+        | set(_FRESH_R5)
         | set(_ROWS_ONLY_TAIL)
     )
     # New / unlisted queries: never driver-checked, so verify early.
@@ -212,6 +233,7 @@ def _apply_order() -> None:
     order += [n for n in _STALE_R2 if n in REGISTRY]
     order += [n for n in _STALE_R3 if n in REGISTRY]
     order += [n for n in _FRESH_R4 if n in REGISTRY]
+    order += [n for n in _FRESH_R5 if n in REGISTRY]
     order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
     reordered = {n: REGISTRY[n] for n in order}
     assert len(reordered) == len(REGISTRY), "reorder dropped queries"

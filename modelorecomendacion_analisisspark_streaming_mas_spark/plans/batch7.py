@@ -50,8 +50,8 @@ pass1 AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv, q.v AS qv,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_dot_product(q.p, c.p)
-                    / (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p))) DESC,
+           ORDER BY round(list_dot_product(q.p, c.p)
+                    / (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p))), 12) DESC,
                     c.vec_id
          ) AS prn
   FROM q JOIN e c ON q.vec_id <> c.vec_id
@@ -95,11 +95,19 @@ def truncated_rerank_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
+            # Quantized to 12dp BEFORE ranking (same on the oracle side):
+            # raw doubles can diverge from DuckDB in the last ulp, and an
+            # unquantized rank-20 boundary tie would change the survivor
+            # set; at 12dp both engines agree and ties fall to the
+            # deterministic c_id tie-break.
             "cos_p",
-            _dot(F.col("qp"), F.col("cp"))
-            / (
-                F.sqrt(_dot(F.col("qp"), F.col("qp")))
-                * F.sqrt(_dot(F.col("cp"), F.col("cp")))
+            F.round(
+                _dot(F.col("qp"), F.col("cp"))
+                / (
+                    F.sqrt(_dot(F.col("qp"), F.col("qp")))
+                    * F.sqrt(_dot(F.col("cp"), F.col("cp")))
+                ),
+                12,
             ),
         )
     )

@@ -25,13 +25,20 @@ from .catalog import register
 # fact join + distinct + materialization is ~5s of pure duplication per
 # query otherwise. Checkpointed blocks live in the session block manager
 # for the process lifetime, exactly like the streaming replay staging.
-_GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_GRAPH_CACHE: dict[str, tuple[SparkSession, tuple[DataFrame, DataFrame]]] = {}
 
 
 def _shared_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    if sf_dir not in _GRAPH_CACHE:
-        _GRAPH_CACHE[sf_dir] = bipartite_graph_encoded(spark, sf_dir)
-    return _GRAPH_CACHE[sf_dir]
+    # The cached frames reference localCheckpoint blocks in a SPECIFIC
+    # session's block manager, so the cache records which session built
+    # them and rebuilds on mismatch -- a path-only key would hand a frame
+    # bound to a dead session to callers that recreated their SparkSession
+    # (harness restart, fresh test session on the same sf_dir).  Holding
+    # the session object in the value also pins its identity (no id() reuse).
+    hit = _GRAPH_CACHE.get(sf_dir)
+    if hit is None or hit[0] is not spark:
+        _GRAPH_CACHE[sf_dir] = (spark, bipartite_graph_encoded(spark, sf_dir))
+    return _GRAPH_CACHE[sf_dir][1]
 
 
 _EDGES_SQL = """

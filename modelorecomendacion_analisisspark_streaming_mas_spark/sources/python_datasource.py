@@ -199,11 +199,17 @@ class _JsonlFileMessage(WriterCommitMessage):
 class JsonlDirStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
+        # Per-query namespace token: the writer instance is created once per
+        # streaming query and shipped to executors, so every tmp file this
+        # query writes carries the token.  The commit-time orphan sweep
+        # matches ONLY this prefix -- two queries sharing an output path can
+        # no longer delete each other's not-yet-renamed tmp files.
+        self.query_token = options.get("queryToken") or _uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlFileMessage:
         tmp_dir = _os.path.join(self.path, "_tmp")
         _os.makedirs(tmp_dir, exist_ok=True)
-        tmp = _os.path.join(tmp_dir, f"{_uuid.uuid4().hex}.jsonl")
+        tmp = _os.path.join(tmp_dir, f"{self.query_token}-{_uuid.uuid4().hex}.jsonl")
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
@@ -226,11 +232,14 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
         with open(manifest_tmp, "w") as f:
             json.dump({"batchId": batchId, "files": files}, f)
         _os.replace(manifest_tmp, _os.path.join(commits, f"{batchId}.json"))
-        # Any file still under _tmp/ after the batch committed is by
-        # construction uncommitted garbage (a retried/speculative task's
-        # orphan that never made it into a commit message) -- sweep it so
-        # _tmp/ doesn't accumulate forever.
-        for orphan in _glob.glob(_os.path.join(self.path, "_tmp", "*.jsonl")):
+        # Any file with THIS query's token still under _tmp/ after the batch
+        # committed is by construction uncommitted garbage (a retried/
+        # speculative task's orphan that never made it into a commit
+        # message) -- sweep only our own prefix so a second query writing to
+        # the same path keeps its in-flight tmp files.
+        for orphan in _glob.glob(
+            _os.path.join(self.path, "_tmp", f"{self.query_token}-*.jsonl")
+        ):
             try:
                 _os.remove(orphan)
             except OSError:

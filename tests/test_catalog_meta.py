@@ -54,38 +54,30 @@ def test_driver_window_covers_unverified_queries():
     order; plans/__init__._apply_order must keep every query that has
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
+        _STALE_R2,
+        _STALE_R3,
+        _VERIFY_FIRST,
+    )
+
     window = list(REGISTRY)[:50]
-    # r5: front of the window is (a) anything brand-new or changed this
+    # r6: front of the window is (a) anything brand-new or changed this
     # round (plan/oracle edits must re-green under the driver, not just
-    # pytest), (b) the stalest entries -- last driver-checked in r02 --
-    # rotating forward per the freshness policy.
-    must_be_early = {
-        # changed in r5 (plan or oracle edits):
-        "g06_weighted_pagerank_top100", "e02_knn_lsh",
-        "mm02_image_features", "mm04_audio_features",
-        "mm06_image_phash_dedup", "q71_kmv_sketch_setops",
-        "e04_knn_pq_adc", "s13_stream_file_sink",
-        # brand-new in r5 (never driver-checked; auto-slotted early):
-        "s22_stream_timer_sessions", "e05_knn_truncated_rerank",
-        "d11_canonical_url_dedup", "q73_event_transition_bigrams",
-        "t09_bpe_pair_counts", "q74_cluster_aware_split",
-        "q75_token_budget_curriculum", "q76_json_roundtrip",
-        "e06_knn_ivfpq", "s23_stream_image_features",
-        "q77_merge_upsert_apply", "m06_cooccurrence_lift",
-        "q78_delete_propagation", "d12_truncation_dedup",
-        "q79_table_profile", "s24_stream_upsert_snapshot",
-        "e07_knn_filtered", "q80_source_score_calibration",
-        "s25_stream_jsonl_sink", "q81_dat_source_roundtrip",
-        "g07_kcore_summary",
-        # oldest official record (last driver-checked in round 2); the
-        # judge-r4-re-verified tail (q21/q23/q29/q33/q40/q45/q48) may
-        # slip to r6 by design -- they carry the freshest independent
-        # signal
-        "q22_salted_group_count", "q39_udtf_doc_chunks",
-        "g01_part_in_degrees", "g02_pagerank_top100",
-    }
+    # pytest), (b) the stalest entries (last checked r2, then r3),
+    # rotating forward per the freshness policy. Membership is asserted
+    # only for names actually REGISTERED -- some registrations are
+    # conditional on host capabilities (e.g. transformWithStateInPandas),
+    # and an absent query must skip the slot, not fail the test.
+    must_be_early = {n for n in (*_VERIFY_FIRST, *_STALE_R2) if n in REGISTRY}
     missing = must_be_early - set(window)
     assert not missing, f"stale/unverified queries outside driver window: {missing}"
+    # The remaining window slots drain the r3-stale cohort strictly
+    # oldest-first: the r3 entries inside the window must form a prefix
+    # of the policy list, so adding new queries this round pushes out the
+    # TAIL of the cohort, never skips its head.
+    r3_in_window = [n for n in window if n in set(_STALE_R3)]
+    r3_registered = [n for n in _STALE_R3 if n in REGISTRY]
+    assert r3_in_window == r3_registered[: len(r3_in_window)]
     # Inherently rows-only samples can never upgrade to hash matches --
     # they must not consume early window slots.
     tail = list(REGISTRY)[-2:]
