@@ -239,6 +239,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="mras-bench")
+    # ERROR, not WARN: residual WARNs (bounded-window notices, streaming
+    # state-store chatter) otherwise drown the one-line JSON contract in
+    # the driver-captured tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     calibration = calibrate(spark)

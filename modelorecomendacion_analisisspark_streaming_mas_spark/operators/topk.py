@@ -51,3 +51,64 @@ def global_rank(
     bounded = df.orderBy(*order).limit(limit)
     w = Window.orderBy(*order)
     return bounded.withColumn(rank_col, F.row_number().over(w))
+
+
+def striped_global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    stripe: Column,
+    rank_col: str = "rn",
+    total_col: str | None = None,
+    max_stripes: int = 4096,
+) -> DataFrame:
+    """Exact global ``row_number`` over an UNBOUNDED input without the
+    single-partition window funnel (two-level rank).
+
+    ``stripe`` must COARSEN the total order: for any two rows a, b,
+    ``stripe(a) < stripe(b)`` implies a sorts before b under ``order``,
+    and stripe values must be plain str/int/float so the driver-side
+    ascending sort agrees with Spark's. Typical stripes: a fixed hex
+    prefix of an md5 sort key (uniform by construction), or a
+    ``width_bucket`` over the leading numeric sort column.
+
+    Plan shape at scale: ONE hash shuffle of the data keyed on the
+    stripe (the partitioned ranking window -- per-stripe state only),
+    plus a stripe-count aggregate whose result is collected -- bounded
+    by ``max_stripes`` rows, enforced with a loud failure, never
+    O(input). The per-stripe offsets come back as a broadcast join.
+
+    If ``total_col`` is given, the total row count (already known from
+    the stripe counts -- no extra scan) is attached as a literal column.
+    """
+    s = df.withColumn("_stripe", stripe)
+    counts = (
+        s.groupBy("_stripe").agg(F.count(F.lit(1)).alias("_n")).take(max_stripes + 1)
+    )
+    if len(counts) > max_stripes:
+        raise ValueError(
+            f"striped_global_row_number: >{max_stripes} stripes; widen the "
+            "stripe (coarser prefix / fewer buckets) so offsets stay "
+            "driver-bounded"
+        )
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_stripe"]):
+        offsets.append((row["_stripe"], acc))
+        acc += row["_n"]
+    out_empty = s.drop("_stripe")
+    if not offsets:  # empty input: schema-stable empty result
+        out_empty = out_empty.withColumn(rank_col, F.lit(0).cast("long"))
+        if total_col is not None:
+            out_empty = out_empty.withColumn(total_col, F.lit(0).cast("long"))
+        return out_empty
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["_stripe", "_offset"])
+    w = Window.partitionBy("_stripe").orderBy(*order)
+    out = (
+        s.join(F.broadcast(off_df), "_stripe")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("_offset")).cast("long"))
+        .drop("_stripe", "_offset")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

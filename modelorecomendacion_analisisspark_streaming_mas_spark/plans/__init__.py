@@ -16,6 +16,7 @@ from . import layout  # noqa: E402,F401
 from . import batch5  # noqa: E402,F401
 from . import batch6  # noqa: E402,F401
 from . import batch7  # noqa: E402,F401
+from . import batch8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration-order policy (round 6 rotation).

@@ -477,14 +477,36 @@ FROM t GROUP BY bucket
     "statistics shape); deterministic ntile tie-break; exact oracle.",
 )
 def q58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.topk import striped_global_row_number
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    w = Window.orderBy("v", "l_orderkey", "l_linenumber")
+    # ntile(16) over an unpartitioned window funnels the whole fact table
+    # through ONE task (the r5 shape). Equivalent scale shape: exact
+    # two-level global rank striped by 256 equal-width value ranges of v
+    # (bounds from a one-pass min/max agg; any stripe boundaries that
+    # respect the v-order are CORRECT, the quantile-ish balance is only a
+    # load-leveling concern), then ntile's deterministic bucket-size
+    # arithmetic on (rank, total).
+    lo, hi = li.agg(F.min("v"), F.max("v")).first()
+    stripe = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(256))
+    ranked = striped_global_row_number(
+        li,
+        [F.asc("v"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        stripe,
+        rank_col="_grn",
+        total_col="_tot",
+    )
+    k = F.lit(16)
+    base = (F.col("_tot") / k).cast("long")
+    rem = F.col("_tot") % k
+    pivot = rem * (base + 1)
+    bucket = F.when(
+        F.col("_grn") <= pivot, F.ceil(F.col("_grn") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("_grn") - pivot) / base))
     return (
-        li.withColumn("bucket", F.ntile(16).over(w).cast("long"))
+        ranked.withColumn("bucket", bucket.cast("long"))
         .groupBy("bucket")
         .agg(
             F.round(F.min("v"), 2).alias("lo"),

@@ -235,7 +235,7 @@ FROM striped GROUP BY shard_id
     "round-robin into 16 shards; per-shard manifest with order witness.",
 )
 def q63_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.topk import striped_global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
@@ -243,9 +243,15 @@ def q63_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.concat(F.lit(_Q63_SALT), F.col("doc_id").cast("string"))).alias("ord"),
     )
-    w = Window.orderBy("ord", "doc_id")
-    striped = h.withColumn(
-        "shard_id", ((F.row_number().over(w) - 1) % _Q63_SHARDS).cast("long")
+    # Two-level exact global rank: md5 sort keys are uniform, so a fixed
+    # 2-hex-char prefix gives 256 balanced stripes -- no single-partition
+    # window over the corpus (the r5 shape funneled every doc through one
+    # task; this one's only global state is 256 collected stripe counts).
+    ranked = striped_global_row_number(
+        h, [F.asc("ord"), F.asc("doc_id")], F.substring("ord", 1, 2), rank_col="_grn"
+    )
+    striped = ranked.withColumn(
+        "shard_id", ((F.col("_grn") - 1) % _Q63_SHARDS).cast("long")
     )
     return striped.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -300,18 +306,21 @@ def q64_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = freq.agg(F.sum("cnt")).first()[0]
+    # Rank + prefix-sum only need the top-k rows (a prefix sum at rank r
+    # depends solely on rows ranked <= r), so bound to TakeOrdered(k)
+    # FIRST; the windows then see 20 rows, not the whole vocabulary.
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(_Q64_TOPK)
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
     cum = Window.orderBy(F.desc("cnt"), F.asc("term")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn(
             "cum_frac",
             F.round(F.sum("cnt").over(cum).cast("double") / F.lit(float(total)), 8),
         )
         .orderBy("rank")
-        .limit(_Q64_TOPK)
     )
 
 
@@ -900,13 +909,9 @@ def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_purchase"
         ),
     )
-    su = (
-        sk.select("h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("rn") <= k)
-        .select("h")
-    )
+    # Bottom-k of the distinct union hashes: TakeOrdered (per-task k-heap,
+    # driver merges k per partition) -- no single-partition ranking window.
+    su = sk.select("h").distinct().orderBy("h").limit(k)
     in_click = sk.filter(F.col("event_type") == "click").select("h")
     in_purch = sk.filter(F.col("event_type") == "purchase").select("h")
     # Union/intersection estimates stay IN-PLAN: F.round is half-away-from-

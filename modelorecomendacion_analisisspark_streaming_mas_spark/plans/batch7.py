@@ -286,10 +286,13 @@ def q73_event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    wr = Window.orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
+    # TakeOrdered bound first: the ranking window sees 20 rows, not the
+    # full |types|^2 transition space.
+    order = [F.desc("n"), F.asc("prev_type"), F.asc("next_type")]
     return (
-        pairs.withColumn("rn", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rn") <= 20)
+        pairs.orderBy(*order)
+        .limit(20)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
         .select("prev_type", "next_type", "n", "rn")
     )
 
@@ -349,10 +352,13 @@ def t09_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     )
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    # TakeOrdered bound first: the ranking window sees 30 rows, not the
+    # full byte-pair space.
+    order = [F.desc("n"), F.asc("pair")]
     return (
-        agg.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 30)
+        agg.orderBy(*order)
+        .limit(30)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
         .select("pair", "n", "rn")
     )
 
@@ -684,11 +690,14 @@ def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (F.col("nab") * 1.0 * F.lit(n_c) / (F.col("na") * 1.0 * F.col("nb"))).alias(
         "lift_raw"
     )
-    wr = Window.orderBy(F.desc("lift_raw"), F.asc("part_a"), F.asc("part_b"))
+    # TakeOrdered bound first: the ranking window sees K rows, not the
+    # whole co-occurrence pair space.
+    order = [F.desc("lift_raw"), F.asc("part_a"), F.asc("part_b")]
     return (
         pairs.withColumn("lift_raw", lift)
-        .withColumn("rn", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rn") <= _M06_K)
+        .orderBy(*order)
+        .limit(_M06_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
         .select(
             "part_a",
             "part_b",

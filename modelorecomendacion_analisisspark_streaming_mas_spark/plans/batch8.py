@@ -1,0 +1,458 @@
+"""Round-6 catalog additions -- four LLM-data-pipeline operator families
+the catalog did not cover yet, each Spark-first and oracle-paired:
+
+* d13: CROSS-DOCUMENT exact substring-span detection -- the shape of
+  suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+  Training Data Makes Language Models Better"), re-expressed as a
+  position-carrying shingle join + run-length compression. d04/d02 score
+  whole-document similarity; d13 finds the duplicated SPANS inside
+  otherwise-distinct documents.
+* q82: DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+  for Language Models via Importance Resampling"): hashed-unigram bucket
+  LM of a target slice vs the raw corpus, per-document log-likelihood
+  ratio, per-source selection summary.
+* m07: offline ranking-metric evaluation (hit-rate / precision / NDCG @5)
+  of a popularity recommender under a leave-last-order-out split -- the
+  eval harness every recommender pipeline needs beside ALS training
+  (reference trains ALS in ModeloRecomendacion/ModeloRecomendacion.ipynb
+  but publishes RMSE only; ranking metrics are the production measure).
+* t10: per-document token Shannon entropy + type-token ratio, aggregated
+  per source -- the low-entropy/gibberish axis of quality filtering that
+  t01 (lengths), t06 (repetition), and t08 (LM cross-entropy) do not
+  capture.
+
+Scale notes are inline per query; every window is partitioned, every
+global top-N is TakeOrdered-bounded, and the only broadcast sides are
+O(buckets) or O(k) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_hash32, tokenize
+from ..sources.readers import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# d13: duplicated-span statistics. Every k-token window (k=5) of every
+# document is a position-stamped shingle; a position is DUPLICATED when
+# its shingle occurs in >= 2 distinct documents; consecutive duplicated
+# positions compress into spans (run-length via the pos - row_number
+# trick). Per doc: position counts, duplicated fraction, longest span.
+#
+# Scale shape: one explode (corpus token count rows), one partial-agg'd
+# groupBy(shingle) for the duplicate set, one shuffle join keyed on the
+# shingle (AQE handles hot stop-phrase skew), then per-DOC windows only.
+# The suffix-array construction this replaces is inherently sequential;
+# the shingle join is embarrassingly parallel at the cost of fixing k.
+# --------------------------------------------------------------------------
+
+_D13_K = 5
+_D13_TOPN = 50
+
+_D13_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {_D13_K}
+), pos AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'sh': array_to_string(t[i:i+{_D13_K - 1}], ' ')}}
+                 for i in generate_series(1, len(t) - {_D13_K - 1})],
+                recursive := true)
+  FROM tok
+), dup AS (
+  SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (sh)
+), runs AS (
+  SELECT doc_id, grp, count(*) AS run_len
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dp)
+  GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_dup_pos,
+         CAST(max(run_len) AS BIGINT) AS longest_span
+  FROM runs GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) - {_D13_K - 1} AS BIGINT) AS n_pos,
+       coalesce(a.n_dup_pos, 0) AS n_dup_pos,
+       round(coalesce(a.n_dup_pos, 0)
+             / CAST(len(t.t) - {_D13_K - 1} AS DOUBLE), 4) AS dup_frac,
+       coalesce(a.longest_span, 0) AS longest_span
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY dup_frac DESC, longest_span DESC, doc_id
+LIMIT {_D13_TOPN}
+"""
+
+
+def duplicated_span_stats(docs: DataFrame, k: int = _D13_K) -> DataFrame:
+    """Per-document duplicated-span statistics over k-token shingles.
+    Returns one row per document with >= k tokens: total shingle
+    positions, duplicated positions, duplicated fraction, and the
+    longest consecutive duplicated span (in positions; add k-1 for its
+    token length)."""
+    tok = docs.select("doc_id", tokenize("text").alias("t")).filter(
+        F.size("t") >= k
+    )
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("t", i, k)),
+    )
+    pos = tok.select(
+        "doc_id", F.posexplode(sh_arr).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    dp = pos.join(dup, "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dp.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    agg = runs.groupBy("doc_id").agg(
+        F.sum("run_len").cast("long").alias("n_dup_pos"),
+        F.max("run_len").cast("long").alias("longest_span"),
+    )
+    base = tok.select("doc_id", (F.size("t") - (k - 1)).cast("long").alias("n_pos"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce("n_dup_pos", F.lit(0)).cast("long").alias("n_dup_pos"),
+            F.round(
+                F.coalesce("n_dup_pos", F.lit(0)) / F.col("n_pos").cast("double"), 4
+            ).alias("dup_frac"),
+            F.coalesce("longest_span", F.lit(0)).cast("long").alias("longest_span"),
+        )
+    )
+
+
+@register(
+    "d13_duplicated_spans",
+    oracle=_D13_ORACLE,
+    doc="Cross-document exact substring-span detection (suffix-array dedup "
+    "shape, Lee et al. 2021): position-stamped 5-gram shingle join + "
+    "run-length compression; top-50 most-duplicated documents.",
+)
+def d13_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = duplicated_span_stats(docs)
+    order = [F.desc("dup_frac"), F.desc("longest_span"), F.asc("doc_id")]
+    # dup_frac is a ratio of two small ints -- the same IEEE division in
+    # both engines -- so ordering on it is cross-engine deterministic.
+    return stats.orderBy(*order).limit(_D13_TOPN)
+
+
+# --------------------------------------------------------------------------
+# q82: DSIR importance weights. Target distribution = English documents
+# (lang = 'en'); raw distribution = whole corpus. Features are hashed
+# unigram buckets (md5 -> 256 buckets, bit-identical in DuckDB); both
+# LMs are Laplace-smoothed bucket unigram models. Per document:
+# w(doc) = sum_tokens [ln p_target(bucket) - ln p_raw(bucket)], i.e. the
+# log importance ratio DSIR resamples by. Published per SOURCE (mean
+# weight, selected count at a fixed threshold) so the result set's
+# membership is fixed -- no float rank boundary.
+#
+# Scale shape: one explode + groupBy(bucket) builds BOTH 256-row LMs in
+# a single pass (conditional aggregation); the per-token scoring join is
+# a broadcast of the 256-row ratio table; per-doc and per-source aggs
+# are partial-agg friendly. Nothing driver-side beyond the 256-row table.
+# --------------------------------------------------------------------------
+
+_Q82_BUCKETS = 256
+_Q82_THRESHOLD = 0.05
+
+_Q82_ORACLE = f"""
+WITH tokens AS (
+  SELECT doc_id, source, lang = 'en' AS is_target,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, is_target,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT % {_Q82_BUCKETS} AS b
+  FROM tokens
+), lm AS (
+  SELECT b,
+         count(*) FILTER (WHERE is_target) AS tc,
+         count(*) AS rc
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT sum(tc) AS tt, sum(rc) AS rt FROM lm
+), ratio AS (
+  SELECT b,
+         ln((tc + 1) / CAST(tt + {_Q82_BUCKETS} AS DOUBLE))
+         - ln((rc + 1) / CAST(rt + {_Q82_BUCKETS} AS DOUBLE)) AS lr
+  FROM lm CROSS JOIN tot
+), doc_w AS (
+  SELECT t.doc_id, t.source, sum(r.lr) / count(*) AS w_mean
+  FROM toks t JOIN ratio r USING (b)
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(w_mean), 6) AS avg_weight,
+       CAST(count(*) FILTER (WHERE round(w_mean, 6) >= {_Q82_THRESHOLD})
+            AS BIGINT) AS n_selected
+FROM doc_w GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q82_dsir_importance_weights",
+    oracle=_Q82_ORACLE,
+    doc="DSIR importance resampling weights (Xie et al. 2023): hashed-"
+    "unigram bucket LMs (target=en vs raw), per-doc mean log ratio, "
+    "per-source selection summary at a fixed threshold.",
+)
+def q82_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(tokenize("text")).alias("w"),
+    ).select(
+        "doc_id", "source", "is_target",
+        (md5_hash32(F.col("w")) % _Q82_BUCKETS).alias("b"),
+    )
+    lm = toks.groupBy("b").agg(
+        F.count(F.when(F.col("is_target"), 1)).alias("tc"),
+        F.count(F.lit(1)).alias("rc"),
+    )
+    tt, rt = lm.agg(F.sum("tc"), F.sum("rc")).first()
+    ratio = lm.select(
+        "b",
+        (
+            F.log((F.col("tc") + 1) / F.lit(float(tt + _Q82_BUCKETS)))
+            - F.log((F.col("rc") + 1) / F.lit(float(rt + _Q82_BUCKETS)))
+        ).alias("lr"),
+    )
+    doc_w = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg((F.sum("lr") / F.count(F.lit(1))).alias("w_mean"))
+    )
+    return (
+        doc_w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("w_mean"), 6).alias("avg_weight"),
+            F.count(F.when(F.round("w_mean", 6) >= _Q82_THRESHOLD, 1))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# m07: ranking-metric evaluation of a popularity recommender under
+# leave-last-order-out. Train = every order except each customer's last
+# (latest o_orderdate, o_orderkey tie-break); test = that last order's
+# part set. Recommend the train-global top-5 parts to every customer and
+# score hit-rate@5, precision@5, NDCG@5 averaged over customers with a
+# non-empty test basket.
+#
+# Scale shape: the split is one per-customer window on orders (shuffle
+# keyed on custkey); popularity is a partial-agg count + TakeOrdered(5);
+# the rec list is a 5-row broadcast; scoring joins test baskets to it.
+# --------------------------------------------------------------------------
+
+_M07_K = 5
+
+_M07_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+), test_orders AS (
+  SELECT o_orderkey, o_custkey FROM ranked WHERE rn = 1
+), train_orders AS (
+  SELECT o_orderkey FROM ranked WHERE rn > 1
+), pop AS (
+  SELECT l_partkey, count(*) AS cnt
+  FROM lineitem JOIN train_orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey
+), recs AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY cnt DESC, l_partkey) AS pos
+  FROM pop ORDER BY cnt DESC, l_partkey LIMIT {_M07_K}
+), test_basket AS (
+  SELECT t.o_custkey, l.l_partkey
+  FROM test_orders t JOIN lineitem l ON l.l_orderkey = t.o_orderkey
+  GROUP BY t.o_custkey, l.l_partkey
+), basket_size AS (
+  SELECT o_custkey, count(*) AS n_rel FROM test_basket GROUP BY o_custkey
+), hits AS (
+  SELECT b.o_custkey,
+         count(r.pos) AS n_hits,
+         coalesce(sum(1.0 / log2(r.pos + 1)), 0.0) AS dcg
+  FROM test_basket b LEFT JOIN recs r ON b.l_partkey = r.l_partkey
+  GROUP BY b.o_custkey
+), per_user AS (
+  SELECT h.o_custkey,
+         CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END AS hit,
+         h.n_hits / {_M07_K}.0 AS prec,
+         h.dcg / list_sum([1.0 / log2(i + 1)
+                           for i in generate_series(1, least({_M07_K}, s.n_rel))])
+           AS ndcg
+  FROM hits h JOIN basket_size s USING (o_custkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(hit), 6) AS hit_rate,
+       round(avg(prec), 6) AS precision_at_5,
+       round(avg(ndcg), 6) AS ndcg_at_5
+FROM per_user
+"""
+
+
+@register(
+    "m07_ranking_metrics",
+    oracle=_M07_ORACLE,
+    doc="Offline recommender evaluation: leave-last-order-out split, "
+    "popularity top-5 recommendations, hit-rate / precision / NDCG @5 "
+    "averaged over customers.",
+)
+def m07_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    )
+    test_orders = ranked.filter(F.col("rn") == 1).select("o_orderkey", "o_custkey")
+    train_orders = ranked.filter(F.col("rn") > 1).select("o_orderkey")
+    pop = (
+        li.join(train_orders, li["l_orderkey"] == train_orders["o_orderkey"])
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # top-5 recs: TakeOrdered bound, then a 5-row window for positions
+    recs = (
+        pop.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(_M07_K)
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))),
+        )
+        .select("l_partkey", "pos")
+    )
+    test_basket = (
+        test_orders.join(li, li["l_orderkey"] == test_orders["o_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    basket_size = test_basket.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    hits = (
+        test_basket.join(F.broadcast(recs), "l_partkey", "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("pos").alias("n_hits"),
+            F.coalesce(F.sum(1.0 / F.log2(F.col("pos") + 1)), F.lit(0.0)).alias(
+                "dcg"
+            ),
+        )
+    )
+    # ideal DCG depends only on min(k, n_rel) -- a k-case expression, no join
+    idcg_vals = [sum(1.0 / __import__("math").log2(i + 1) for i in range(1, m + 1))
+                 for m in range(1, _M07_K + 1)]
+    m = F.least(F.lit(_M07_K), F.col("n_rel")).cast("int")
+    idcg = F.element_at(F.array(*[F.lit(v) for v in idcg_vals]), m)
+    per_user = hits.join(basket_size, "o_custkey").select(
+        F.when(F.col("n_hits") > 0, 1).otherwise(0).alias("hit"),
+        (F.col("n_hits") / float(_M07_K)).alias("prec"),
+        (F.col("dcg") / idcg).alias("ndcg"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("hit"), 6).alias("hit_rate"),
+        F.round(F.avg("prec"), 6).alias("precision_at_5"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg_at_5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t10: token-entropy quality signals. Shannon entropy of each document's
+# token distribution via the one-pass identity
+#   H = log2(n) - (1/n) * sum_w c_w * log2(c_w)
+# (no per-token probability division), plus type-token ratio; aggregated
+# per source with a low-entropy count at a fixed threshold, so result
+# membership is fixed (no float rank boundary).
+#
+# Scale shape: one explode + two-level groupBy (doc,token -> doc), then a
+# source-level partial agg. Everything JVM-side.
+# --------------------------------------------------------------------------
+
+_T10_LOW_ENTROPY = 4.0
+
+_T10_ORACLE = f"""
+WITH cnt AS (
+  SELECT doc_id, source, w, count(*) AS c
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY doc_id, source, w
+), ent AS (
+  SELECT doc_id, source,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy,
+         count(*) / CAST(sum(c) AS DOUBLE) AS ttr
+  FROM cnt GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(entropy), 6) AS avg_entropy,
+       round(avg(ttr), 6) AS avg_ttr,
+       CAST(count(*) FILTER (WHERE round(entropy, 6) < {_T10_LOW_ENTROPY})
+            AS BIGINT) AS n_low_entropy
+FROM ent GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "t10_token_entropy",
+    oracle=_T10_ORACLE,
+    doc="Per-document token Shannon entropy (one-pass c*log2(c) identity) "
+    "+ type-token ratio, per-source quality summary with low-entropy "
+    "count at a fixed threshold.",
+)
+def t10_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", "source", F.explode(tokenize("text")).alias("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = cnt.groupBy("doc_id", "source").agg(
+        (
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy"),
+        (F.count(F.lit(1)) / F.sum("c").cast("double")).alias("ttr"),
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+            F.count(F.when(F.round("entropy", 6) < _T10_LOW_ENTROPY, 1))
+            .cast("long")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -560,6 +560,8 @@ FROM striped GROUP BY shard_id"""
 def q70_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators.topk import striped_global_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize("text")
     doc_q = docs.select(
@@ -607,9 +609,14 @@ def q70_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.concat(F.lit(_Q70_SALT), F.col("doc_id").cast("string"))).alias("ord"),
     )
-    stripe_w = Window.orderBy("ord", "doc_id")
-    striped = kept.withColumn(
-        "shard_id", ((F.row_number().over(stripe_w) - 1) % _Q70_SHARDS).cast("long")
+    # Two-level exact global rank (same construction as q63): md5 'ord' is
+    # uniform, so a 2-hex-char prefix stripes the corpus into 256 balanced
+    # ranking partitions instead of one global single-partition window.
+    ranked = striped_global_row_number(
+        kept, [F.asc("ord"), F.asc("doc_id")], F.substring("ord", 1, 2), rank_col="_grn"
+    )
+    striped = ranked.withColumn(
+        "shard_id", ((F.col("_grn") - 1) % _Q70_SHARDS).cast("long")
     )
     return striped.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

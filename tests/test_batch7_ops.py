@@ -115,3 +115,51 @@ def test_token_budget_matches_global_sort_semantics(spark, sf_dir):
             .collect()
         }
     assert got == naive
+
+
+def test_striped_global_row_number_matches_global_window(spark):
+    """The two-level striped rank must equal the single-partition global
+    row_number bit-for-bit, including duplicate order keys that straddle
+    stripe boundaries. (The stripe must COARSEN the order -- e.g. v//8;
+    a non-monotone stripe like v%8 would interleave ranks.)"""
+    from pyspark.sql import Window
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.topk import (
+        striped_global_row_number,
+    )
+
+    rows = [(i % 37, i) for i in range(500)]  # heavy ties on v
+    df = spark.createDataFrame(rows, "v int, id int")
+    got = striped_global_row_number(
+        df, [F.asc("v"), F.asc("id")], (F.col("v") / F.lit(8)).cast("int"), rank_col="rn"
+    )
+    w = Window.orderBy("v", "id")
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert sorted(got.collect()) == sorted(want.collect())
+    # total_col carries the exact input size without an extra scan
+    tot = striped_global_row_number(
+        df, [F.asc("v"), F.asc("id")], (F.col("v") / F.lit(8)).cast("int"), total_col="n"
+    )
+    assert tot.select("n").distinct().collect()[0]["n"] == 500
+
+
+def test_striped_global_row_number_guards(spark):
+    """Empty input stays schema-stable; an unbounded stripe domain fails
+    loudly instead of collecting O(input) offsets."""
+    import pytest as _pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.topk import (
+        striped_global_row_number,
+    )
+
+    empty = spark.createDataFrame([], "v int, id int")
+    out = striped_global_row_number(
+        empty, [F.asc("v")], (F.col("v") / F.lit(8)).cast("int"), rank_col="rn", total_col="n"
+    )
+    assert out.columns == ["v", "id", "rn", "n"] and out.count() == 0
+
+    wide = spark.createDataFrame([(i,) for i in range(50)], "v int")
+    with _pytest.raises(ValueError, match="stripes"):
+        striped_global_row_number(
+            wide, [F.asc("v")], F.col("v"), max_stripes=10
+        )

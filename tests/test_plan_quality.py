@@ -264,3 +264,34 @@ def test_q68_funnel_has_single_data_shuffle_and_no_python(spark):
     assert "collect_list(struct" in p  # one per-user collect, partial-agg'd
     # funnel-type filter reaches the scan's data filters (pre-collect prune)
     assert "DataFilters: [CASE WHEN (event_type" in p
+
+
+def test_unbounded_ranks_avoid_single_partition_window(spark):
+    """q58/q63/q70 rank over UNBOUNDED inputs (fact table / corpus): the
+    r6 two-level striped rank must keep every window partitioned -- an
+    'Exchange SinglePartition' feeding a Window means the whole input is
+    funneling through one task again."""
+    for name in (
+        "q58_equidepth_histogram",
+        "q63_epoch_shuffle_shards",
+        "q70_curation_pipeline_v2",
+    ):
+        p = _plan(spark, name)
+        for frag in p.split("Window ")[1:]:
+            # the exchange feeding each window appears just below it
+            head = frag[:600]
+            assert "SinglePartition" not in head, (name, head[:200])
+
+
+def test_topn_rank_windows_are_take_ordered_bounded(spark):
+    """q64/q71/q73/t09/m06 publish a top-N of an aggregated space: the
+    plan must bound via TakeOrderedAndProject BEFORE any ranking window
+    so the single-partition stage only ever sees N rows."""
+    for name in (
+        "q64_vocab_coverage",
+        "q73_event_transition_bigrams",
+        "t09_bpe_pair_counts",
+        "m06_cooccurrence_lift",
+        "q71_kmv_sketch_setops",
+    ):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
