@@ -197,6 +197,8 @@ HEADLINE = (
     "s22_stream_timer_sessions",
     "mm02_image_features",
     "q74_cluster_aware_split",
+    "d13_duplicated_spans",
+    "q82_dsir_importance_weights",
 )
 
 MAX_LINE = 1800  # hard budget, < the driver's 2000-char tail window

@@ -20,6 +20,9 @@ the catalog did not cover yet, each Spark-first and oracle-paired:
   per source -- the low-entropy/gibberish axis of quality filtering that
   t01 (lengths), t06 (repetition), and t08 (LM cross-entropy) do not
   capture.
+* e08: MMR-diversified retrieval (Carbonell & Goldstein 1998) -- greedy
+  maximal-marginal-relevance selection over each query's ANN pool, with
+  the sequential greedy recurrence unrolled into oracle CTEs.
 
 Scale notes are inline per query; every window is partitioned, every
 global top-N is TakeOrdered-bounded, and the only broadcast sides are
@@ -230,12 +233,15 @@ def q82_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_target"), 1)).alias("tc"),
         F.count(F.lit(1)).alias("rc"),
     )
-    tt, rt = lm.agg(F.sum("tc"), F.sum("rc")).first()
-    ratio = lm.select(
+    # Totals stay IN-PLAN (1-row agg cross-joined onto the 256-row LM):
+    # a driver-side .first() here would add a third corpus scan -- DSIR
+    # inherently needs two (LM build + scoring), not three.
+    tot = lm.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    ratio = lm.crossJoin(F.broadcast(tot)).select(
         "b",
         (
-            F.log((F.col("tc") + 1) / F.lit(float(tt + _Q82_BUCKETS)))
-            - F.log((F.col("rc") + 1) / F.lit(float(rt + _Q82_BUCKETS)))
+            F.log((F.col("tc") + 1) / (F.col("tt") + _Q82_BUCKETS).cast("double"))
+            - F.log((F.col("rc") + 1) / (F.col("rt") + _Q82_BUCKETS).cast("double"))
         ).alias("lr"),
     )
     doc_w = (
@@ -456,3 +462,197 @@ def t10_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# e08: MMR-diversified retrieval (Carbonell & Goldstein 1998) -- the RAG /
+# eval-retrieval step after ANN: from each query's top-20 relevant
+# candidates, greedily select 5 maximizing
+#   mmr(d) = lambda * rel(q,d) - (1 - lambda) * max_{s in selected} sim(d, s)
+# so the result set trades raw relevance for coverage.
+#
+# Scale shape: stage 1 is e01's broadcast-query candidate scan (the only
+# corpus-sized work) bounded to 20 per query by a query-partitioned
+# window; stage 2 (pairwise sims + 4 greedy rounds) touches only
+# 20-row-per-query frames -- the greedy loop's joins are all
+# O(queries * 20^2). The greedy recurrence is UNROLLED in the oracle
+# (the g02/g05 technique), so even this sequential algorithm gets a
+# hash-exact twin. Scores quantized to 12dp on both sides before every
+# argmax (e05's device) to kill float rank boundaries.
+# --------------------------------------------------------------------------
+
+_E08_LAMBDA = 0.7
+_E08_POOL = 20
+_E08_K = 5
+
+
+def _e08_oracle() -> str:
+    head = f"""
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), q AS (SELECT * FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id, c.v AS cv, c.nrm AS cn,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 12) AS rel
+  FROM q JOIN n c ON q.vec_id <> c.vec_id
+), cand AS (
+  SELECT query_id, id, cv, cn, rel
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, id) AS crn
+        FROM scored)
+  WHERE crn <= {_E08_POOL}
+), pairs AS (
+  SELECT a.query_id, a.id AS a_id, b.id AS b_id,
+         round(list_dot_product(a.cv, b.cv) / (a.cn * b.cn), 12) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.id <> b.id
+), sel1 AS (
+  SELECT query_id, id, 1 AS step, rel
+  FROM (SELECT query_id, id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, id) AS rn
+        FROM cand)
+  WHERE rn = 1
+)"""
+    ctes = [head.strip()]
+    for t in range(2, _E08_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, t))
+        ctes.append(f"""sel{t} AS (
+  SELECT query_id, id, {t} AS step, rel FROM (
+    SELECT c.query_id, c.id, c.rel,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round({_E08_LAMBDA} * c.rel - {1 - _E08_LAMBDA:.1f} * ms.maxsim, 12) DESC,
+                      c.id
+           ) AS rn
+    FROM cand c
+    JOIN (SELECT p.query_id, p.a_id, max(p.sim) AS maxsim
+          FROM pairs p JOIN ({prev}) s
+            ON p.query_id = s.query_id AND p.b_id = s.id
+          GROUP BY p.query_id, p.a_id) ms
+      ON ms.query_id = c.query_id AND ms.a_id = c.id
+    WHERE NOT EXISTS (SELECT 1 FROM ({prev}) s2
+                      WHERE s2.query_id = c.query_id AND s2.id = c.id)
+  ) WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, _E08_K + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, id AS neighbor_id, CAST(step AS BIGINT) AS step,
+       round(rel, 4) AS relevance
+FROM ({union})
+ORDER BY query_id, step
+"""
+    )
+
+
+@register(
+    "e08_mmr_diversified",
+    oracle=_e08_oracle(),
+    doc="MMR-diversified retrieval: top-20 relevance pool per query (e01 "
+    "shape), then 5 greedy maximal-marginal-relevance picks (lambda=0.7); "
+    "greedy recurrence unrolled into the oracle CTEs.",
+)
+def e08_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, _dot
+    from ..sources.readers import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = spread(emb).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 12
+            ).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("id"))
+    cand = (
+        scored.withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= _E08_POOL)
+        .drop("crn")
+        # the pool is queries x 20 rows; everything below iterates on it,
+        # so materialize once instead of re-running the corpus scan per
+        # greedy round
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select("query_id", F.col("id").alias("a_id"), "cv", "cn")
+    b = cand.select(
+        "query_id", F.col("id").alias("b_id"),
+        F.col("cv").alias("bv"), F.col("cn").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id", "a_id", "b_id",
+            F.round(
+                _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 12
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = cand.select("query_id", "id", "rel")
+    sel = (
+        slim.withColumn("rn", F.row_number().over(wq.orderBy(F.desc("rel"), F.asc("id"))))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "id", F.lit(1).alias("step"), "rel")
+    )
+    lam = _E08_LAMBDA
+    for t in range(2, _E08_K + 1):
+        maxsim = (
+            pairs.join(
+                sel.select("query_id", F.col("id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        rem = slim.join(
+            sel.select("query_id", "id"), ["query_id", "id"], "left_anti"
+        )
+        pick = (
+            rem.join(
+                maxsim,
+                (rem["query_id"] == maxsim["query_id"])
+                & (rem["id"] == maxsim["a_id"]),
+            )
+            .select(rem["query_id"], "id", "rel", "maxsim")
+            .withColumn(
+                "mmr", F.round(lam * F.col("rel") - (1 - lam) * F.col("maxsim"), 12)
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("mmr"), F.asc("id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("query_id", "id", F.lit(t).alias("step"), "rel")
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.col("step").cast("long").alias("step"),
+        F.round("rel", 4).alias("relevance"),
+    ).orderBy("query_id", "step")

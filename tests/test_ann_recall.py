@@ -255,3 +255,41 @@ def test_recall_real_corpus_e07_filtered(spark):
     )
     got = _pairs(e07_knn_filtered(spark, SF001).collect())
     assert _recall(truth, got) >= 0.2  # e03's unfiltered measured level ~0.38
+
+
+def test_e08_mmr_actually_diversifies(spark):
+    """e08's CORRECTNESS oracle proves the greedy recurrence; this proves
+    the PROPERTY: the MMR-selected 5 must have strictly lower mean
+    pairwise similarity than the pure relevance top-5 for at least one
+    query, and never higher on average across queries (otherwise the
+    diversification term did nothing)."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+
+    def mean_pair_sim(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        sims = [float(vs[i] @ vs[j]) for i in range(len(vs)) for j in range(i + 1, len(vs))]
+        return sum(sims) / len(sims)
+
+    mmr_rows = REGISTRY["e08_mmr_diversified"].fn(spark, sf).collect()
+    top_rows = cosine_topk_bruteforce(
+        load_table(spark, sf, "embeddings"),
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+        k=5,
+    ).collect()
+    mmr_sel, top_sel = {}, {}
+    for r in mmr_rows:
+        mmr_sel.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for r in top_rows:
+        top_sel.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(mmr_sel) == set(top_sel) and all(len(v) == 5 for v in mmr_sel.values())
+    deltas = [mean_pair_sim(top_sel[q]) - mean_pair_sim(mmr_sel[q]) for q in mmr_sel]
+    assert sum(deltas) / len(deltas) >= 0  # no net de-diversification
+    assert max(deltas) > 0  # at least one query got measurably more diverse

@@ -32,6 +32,11 @@ DRIFT_QUERIES = [
     "mm06_image_phash_dedup",
     "g07_kcore_summary",  # fixpoint within the unrolled rounds must hold
     "m06_cooccurrence_lift",  # top-50 cut + lift on a shifted graph
+    # r6 additions: d13's dup_frac ordering and m07's split/rec list are
+    # pure data artifacts -- exactly the kind of structure a regenerated
+    # table reshuffles
+    "d13_duplicated_spans",
+    "m07_ranking_metrics",
 ]
 
 TABLES = [
