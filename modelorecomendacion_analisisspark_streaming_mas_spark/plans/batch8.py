@@ -656,3 +656,108 @@ def e08_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("long").alias("step"),
         F.round("rel", 4).alias("relevance"),
     ).orderBy("query_id", "step")
+
+
+# --------------------------------------------------------------------------
+# d14: SemDeDup -- semantic deduplication via cluster-then-pairwise
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): assign every embedding to its
+# nearest pinned centroid (e03's deterministic coarse quantizer -- the
+# device that makes the clustering SQL-oracle-checkable, unlike seeded
+# k-means), then compare pairs ONLY within a cluster; a document is
+# dropped when an earlier-id cluster-mate sits above the cosine
+# threshold (keep-first rule). The whole point at 100 TB: pairwise cost
+# is quadratic in LIST size, never corpus size -- the inverted list is
+# the unit of comparison.
+#
+# Scale shape: centroid table broadcast (|corpus|/37 rows at test SF; a
+# fixed k at scale); assignment is a per-vector argmax window keyed on
+# vec_id (perfectly spread); the pair join is an equi-join on cid.
+# Assignment rank quantized to 12dp on both sides (e05's device).
+# --------------------------------------------------------------------------
+
+_D14_STRIDE = 37
+_D14_TAU = 0.30
+
+_D14_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn
+         FROM n WHERE vec_id % {_D14_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 12) AS cc
+  FROM n, cent
+), ranked AS (
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+), lists AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE crn = 1),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT b_id AS dropped_id,
+       CAST(min(a_id) AS BIGINT) AS kept_id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM pairs WHERE cos >= {_D14_TAU}
+GROUP BY b_id
+ORDER BY dropped_id
+"""
+
+
+@register(
+    "d14_semantic_dedup",
+    oracle=_D14_ORACLE,
+    doc="SemDeDup (Abbas et al. 2023): nearest-pinned-centroid clustering "
+    "(e03's deterministic quantizer), within-cluster pairwise cosine, "
+    "keep-first drop list at tau=0.30; pairwise cost bounded by list "
+    "size, never corpus size.",
+)
+def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, _dot
+    from ..sources.readers import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = spread(emb).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cent = n.filter(F.col("vec_id") % _D14_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.crossJoin(F.broadcast(cent)).withColumn(
+        "cc",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 12),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    lists = (
+        scored.withColumn("crn", F.row_number().over(wv))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    a = lists.select(
+        "cid", F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"), F.col("nrm").alias("an"),
+    )
+    b = lists.select(
+        "cid", F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")))
+    )
+    return (
+        pairs.filter(F.col("cos") >= _D14_TAU)
+        .groupBy("b_id")
+        .agg(
+            F.min("a_id").cast("long").alias("kept_id"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+        )
+        .select(F.col("b_id").alias("dropped_id"), "kept_id", "n_matches")
+        .orderBy("dropped_id")
+    )

@@ -955,3 +955,124 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# s26: STREAMING incremental LSH dedup -- d10's ingestion-time shape run
+# on an actual stream: the existing corpus (even doc_ids) is minhashed
+# and banded ONCE into a static index; new documents (odd doc_ids)
+# arrive as a file-replayed stream in 4 micro-batches, and each batch is
+# banded, probed against the index, exact-Jaccard verified (>= 0.8) and
+# its per-doc best match appended to a parquet sink.
+#
+# Per-doc best-match ranking inside foreachBatch is GLOBALLY correct by
+# construction: a doc's candidate set depends only on its own bands vs
+# the static index -- never on other streamed docs -- and each doc
+# arrives in exactly one micro-batch, so batch-local rank == global
+# rank and the union of batch outputs == d10's batch answer (the
+# oracle). This is the property that makes LSH dedup incrementally
+# maintainable at 100 TB: per-batch cost tracks the batch.
+# --------------------------------------------------------------------------
+
+_DOC_STAGED: dict[str, str] = {}
+
+
+@atexit.register
+def _cleanup_doc_staged() -> None:
+    for d in _DOC_STAGED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _DOC_STAGED.clear()
+
+
+def _staged_new_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Odd-doc_id documents split across 4 parquet files for replay."""
+    from ..sources.readers import load_table
+
+    if sf_dir not in _DOC_STAGED:
+        d = tempfile.mkdtemp(prefix="mras_docstream_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text")
+            .repartition(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _DOC_STAGED[sf_dir] = d
+    return _DOC_STAGED[sf_dir]
+
+
+def _s26_oracle() -> str:
+    from .curation import _d10_oracle
+
+    return _d10_oracle()
+
+
+@register(
+    "s26_stream_lsh_dedup_probe",
+    oracle=_s26_oracle(),
+    doc="Streaming incremental LSH dedup: static band index of the "
+    "existing corpus, new docs replayed in 4 micro-batches, per-batch "
+    "band-probe + Jaccard verify + per-doc best match appended; union "
+    "of batches == d10's batch answer (oracle).",
+)
+def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import lsh_probe_index, minhash_signatures
+    from ..sources.readers import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    idx_sigs = (
+        minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+        # the persistent index: banded/minhashed ONCE, reused by every
+        # micro-batch (at scale this is the bucketed table you maintain)
+        .localCheckpoint(eager=True)
+    )
+    sets_i = idx_sigs.select(
+        F.col("doc_id").alias("dup_of"), F.col("shingle_set").alias("set_i")
+    )
+    staged = _staged_new_docs(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="mras_s26_out_")
+    _SINK_DIRS.append(out_dir)
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def probe(batch_df, epoch_id):
+        batch = batch_df.localCheckpoint(eager=True)
+        probe_sigs = minhash_signatures(batch, "doc_id", "text")
+        cands = lsh_probe_index(idx_sigs, probe_sigs)
+        sets_p = probe_sigs.select("doc_id", F.col("shingle_set").alias("set_p"))
+        verified = (
+            cands.join(sets_p, "doc_id")
+            .join(sets_i, "dup_of")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("set_p", "set_i"))
+                    / F.size(F.array_union("set_p", "set_i")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.8)
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+        best = (
+            verified.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "dup_of", "jaccard")
+        )
+        best.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
