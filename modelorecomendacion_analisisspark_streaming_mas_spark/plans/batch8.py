@@ -649,7 +649,10 @@ def e08_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("query_id", "id", F.lit(t).alias("step"), "rel")
         )
-        sel = sel.unionByName(pick)
+        # truncate lineage each round: the greedy chain otherwise nests 4
+        # levels of join+window plans over a <=25-row frame and planning
+        # time dwarfs execution
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
@@ -760,4 +763,210 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b_id").alias("dropped_id"), "kept_id", "n_matches")
         .orderBy("dropped_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# d15: content-defined chunking (CDC) dedup -- the storage-dedup trick
+# (LBFS, Muthitacharoen et al. 2001; rsync/Venti lineage) applied to
+# training text: chunk boundaries fall where the rolling 5-gram hash
+# hits 0 mod 16, so boundaries are a function of CONTENT, not position
+# -- insert one token at a document's head and, unlike fixed-size
+# chunking, every later chunk identity survives. Duplicate chunks are
+# then exact-hash matches across documents (cf. d13, which finds spans
+# at fixed k but is oblivious to chunk identity reuse).
+#
+# Scale shape: boundary detection and chunk assembly are pure JVM array
+# HOFs inside the row (no explode until chunks exist -- corpus rows,
+# then ~n/16-token chunk rows); cross-doc duplicate detection is one
+# partial-agg'd groupBy(chunk_hash). Every window is absent; ordering
+# is an exact integer-ratio sort.
+# --------------------------------------------------------------------------
+
+_D15_W = 5  # rolling window (tokens)
+_D15_MOD = 16  # expected chunk length = MOD tokens
+_D15_TOPN = 50
+
+_D15_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {_D15_W}
+), b AS (
+  SELECT doc_id, t, len(t) AS n,
+         [i for i in generate_series({_D15_W}, len(t))
+          if ('0x' || substr(md5(array_to_string(t[i-{_D15_W - 1}:i], ' ')), 1, 8))::UBIGINT
+             % {_D15_MOD} = 0] AS bounds
+  FROM tok
+), b2 AS (
+  SELECT doc_id, t, n,
+         list_prepend(0, [x for x in bounds if x < n] || [n]) AS bs
+  FROM b
+), spans AS (
+  SELECT doc_id,
+         unnest([{{'s': bs[j] + 1, 'e': bs[j + 1]}}
+                 for j in generate_series(1, len(bs) - 1)], recursive := true)
+  FROM b2
+), ch AS (
+  SELECT s.doc_id, s.e - s.s + 1 AS clen,
+         md5(array_to_string(b2.t[s.s:s.e], ' ')) AS chash
+  FROM spans s JOIN b2 USING (doc_id)
+), dup AS (
+  SELECT chash FROM ch GROUP BY chash HAVING count(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT c.doc_id,
+         count(*) AS n_chunks,
+         count(d.chash) AS n_dup_chunks,
+         coalesce(sum(c.clen) FILTER (WHERE d.chash IS NOT NULL), 0) AS dup_tokens
+  FROM ch c LEFT JOIN dup d USING (chash)
+  GROUP BY c.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       CAST(p.n_dup_chunks AS BIGINT) AS n_dup_chunks,
+       CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
+       round(p.dup_tokens / CAST(b2.n AS DOUBLE), 4) AS dup_token_frac
+FROM per_doc p JOIN b2 USING (doc_id)
+ORDER BY dup_token_frac DESC, doc_id
+LIMIT {_D15_TOPN}
+"""
+
+
+@register(
+    "d15_cdc_chunk_dedup",
+    oracle=_D15_ORACLE,
+    doc="Content-defined chunking dedup (LBFS/rsync lineage): rolling "
+    "5-gram hash boundaries (mod 16), exact chunk-hash duplicates across "
+    "documents, per-doc duplicated-token fraction; boundary detection is "
+    "in-row JVM array HOFs, cross-doc detection one groupBy.",
+)
+def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, mod = _D15_W, _D15_MOD
+    tok = docs.select("doc_id", tokenize("text").alias("t")).filter(
+        F.size("t") >= w
+    )
+    n = F.size("t")
+    bounds = F.filter(
+        F.sequence(F.lit(w), n),
+        lambda i: md5_hash32(F.concat_ws(" ", F.slice("t", i - (w - 1), w)))
+        % mod
+        == 0,
+    )
+    bs = F.concat(
+        F.array(F.lit(0)),
+        F.filter(bounds, lambda x: x < n),
+        F.array(n),
+    )
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(bs) - 1),
+        lambda j: F.struct(
+            (F.element_at(bs, j) + 1).alias("s"), F.element_at(bs, j + 1).alias("e")
+        ),
+    )
+    ch = (
+        tok.select("doc_id", "t", n.alias("n"), F.explode(spans).alias("sp"))
+        .select(
+            "doc_id",
+            "n",
+            (F.col("sp.e") - F.col("sp.s") + 1).alias("clen"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("t", F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1)
+                )
+            ).alias("chash"),
+        )
+    )
+    dup = (
+        ch.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chash")
+        .withColumn("is_dup", F.lit(1))
+    )
+    per_doc = (
+        ch.join(dup, "chash", "left")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count("is_dup").cast("long").alias("n_dup_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup").isNotNull(), F.col("clen"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n").cast("double"), 4).alias(
+                "dup_token_frac"
+            ),
+        )
+        .orderBy(F.desc("dup_token_frac"), F.asc("doc_id"))
+        .limit(_D15_TOPN)
+    )
+
+
+# --------------------------------------------------------------------------
+# t11: Zipf-law fit of the corpus term distribution -- tokenizer/corpus
+# planning signal (a healthy natural-language corpus fits ln f ~ -s ln r
+# with s near 1; synthetic or templated text bends the curve). OLS over
+# (ln rank, ln freq) of the top-100 terms via Spark's built-in
+# regr_slope/regr_intercept/regr_r2 JVM aggregates (q33 is the
+# applyInPandas OLS exemplar; this is the built-in-aggregate one).
+# The rank table is TakeOrdered-bounded to 100 rows before the window,
+# same as q64.
+# --------------------------------------------------------------------------
+
+_T11_TOPK = 100
+
+_T11_ORACLE = f"""
+WITH freq AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+), top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM freq ORDER BY cnt DESC, term LIMIT {_T11_TOPK}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+       round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+FROM top
+"""
+
+
+@register(
+    "t11_zipf_fit",
+    oracle=_T11_ORACLE,
+    doc="Zipf-law OLS fit over the top-100 term frequencies (ln f ~ s ln "
+    "r) via built-in regr_slope/regr_intercept/regr_r2 aggregates; "
+    "TakeOrdered-bounded rank table.",
+)
+def t11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        freq.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_T11_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+        )
+    )
+    lf, lr = F.log(F.col("cnt").cast("double")), F.log(F.col("rank").cast("double"))
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )

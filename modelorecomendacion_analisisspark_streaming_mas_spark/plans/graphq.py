@@ -538,3 +538,101 @@ def g07_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("dst").alias("n_parts"),
         F.count(F.lit(1)).alias("n_edges"),
     )
+
+
+# --------------------------------------------------------------------------
+# g08: local clustering coefficient -- lcc(v) = 2*tri(v) / (deg(v) *
+# (deg(v)-1)) over the undirected nation trade graph (g04's edges). The
+# triangle side reuses the degree-ordered wedge join (degeneracy-bounded
+# fan-out); degrees are one partial agg; the division is exact-int-
+# derived, rounded at 6dp identically in the oracle.
+# --------------------------------------------------------------------------
+
+_G08_ORACLE = """
+WITH und AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey
+), deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tric AS (
+  SELECT v, count(*) AS n_triangles FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+)
+SELECT d.v, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.deg >= 2
+                  THEN 2.0 * coalesce(t.n_triangles, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN tric t USING (v)
+ORDER BY d.v
+"""
+
+
+@register(
+    "g08_clustering_coefficient",
+    oracle=_G08_ORACLE,
+    doc="Local clustering coefficient per vertex of the nation trade "
+    "graph: degree-ordered triangle counts (g04 engine) + degree agg, "
+    "lcc = 2*tri/(deg*(deg-1)).",
+)
+def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import triangle_count
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges)
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            "v",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            lcc.alias("lcc"),
+        )
+        .orderBy("v")
+    )

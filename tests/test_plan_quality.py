@@ -295,3 +295,11 @@ def test_topn_rank_windows_are_take_ordered_bounded(spark):
         "q71_kmv_sketch_setops",
     ):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_d14_broadcasts_centroids_no_cartesian(spark):
+    """SemDeDup's only corpus-sized joins: broadcast centroid assignment
+    and the cid equi-join -- never an unbroadcast cartesian."""
+    p = _plan(spark, "d14_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
