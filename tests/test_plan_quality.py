@@ -266,21 +266,24 @@ def test_q68_funnel_has_single_data_shuffle_and_no_python(spark):
     assert "DataFilters: [CASE WHEN (event_type" in p
 
 
-def test_unbounded_ranks_avoid_single_partition_window(spark):
-    """q58/q63/q70 rank over UNBOUNDED inputs (fact table / corpus): the
-    r6 two-level striped rank must keep every window partitioned -- an
-    'Exchange SinglePartition' feeding a Window means the whole input is
-    funneling through one task again."""
-    for name in (
-        "q58_equidepth_histogram",
-        "q63_epoch_shuffle_shards",
-        "q70_curation_pipeline_v2",
-    ):
+def test_catalog_wide_no_cartesian_no_single_partition_window(spark):
+    """CATALOG-WIDE mechanical gate (zero allowlist as of r6): no batch
+    query's physical plan may contain a CartesianProduct, and no Window
+    may be fed by an 'Exchange SinglePartition' -- the two shapes that
+    categorically cannot survive 100 TB. The r6 two-level striped rank
+    (q58/q63/q70) and the TakeOrdered bounds on every top-N rank are
+    what make this hold with no exceptions."""
+    bad = []
+    for name in PLANNABLE + [n for n in sorted(REGISTRY) if n.startswith("g")]:
         p = _plan(spark, name)
+        if "CartesianProduct" in p:
+            bad.append((name, "CartesianProduct"))
         for frag in p.split("Window ")[1:]:
             # the exchange feeding each window appears just below it
-            head = frag[:600]
-            assert "SinglePartition" not in head, (name, head[:200])
+            if "SinglePartition" in frag[:600]:
+                bad.append((name, "single-partition window"))
+                break
+    assert not bad, bad
 
 
 def test_topn_rank_windows_are_take_ordered_bounded(spark):

@@ -157,3 +157,34 @@ def test_canonical_url_idempotent(spark):
     once = df.select(canonical_url(F.col("url")).alias("c"))
     twice = once.select(canonical_url(F.col("c")).alias("c2"))
     assert [r["c"] for r in once.collect()] == [r["c2"] for r in twice.collect()]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-1000, max_value=1000),
+                  st.integers(min_value=0, max_value=10_000)),
+        min_size=1, max_size=120, unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+def test_striped_rank_equals_sorted_position(spark, rows, width):
+    """striped_global_row_number == the Python-sorted position, for ANY
+    data and ANY stripe width (v // width coarsens the (v, id) order by
+    construction), including duplicate v values straddling stripes."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.topk import (
+        striped_global_row_number,
+    )
+
+    df = spark.createDataFrame(rows, "v int, id int")
+    got = {
+        (r["v"], r["id"]): r["rn"]
+        for r in striped_global_row_number(
+            df,
+            [F.asc("v"), F.asc("id")],
+            F.floor(F.col("v") / width).cast("long"),
+            rank_col="rn",
+        ).collect()
+    }
+    want = {t: i + 1 for i, t in enumerate(sorted(rows))}
+    assert got == want
