@@ -970,3 +970,132 @@ def t11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# t12: BPE tokenizer APPLICATION -- the step after t09's merge-candidate
+# counting: apply a trained merge table to encode the corpus. The merge
+# table is a PINNED model artifact (like e03's pinned centroids -- what
+# makes the sequential encode oracle-checkable); each merge is one
+# greedy left-to-right fold over the token array (non-overlapping: a
+# just-merged token is never the left side of the same merge's next
+# application, exactly BPE's pair-replacement semantics), and the 8
+# merges chain as 8 nested folds -- all in-row JVM expressions, no
+# explode until the per-source aggregate.
+#
+# Scale shape: one pass over (word, freq) -- encoding cost rides the
+# DISTINCT-word table, not corpus occurrences (the classic BPE-training
+# optimization, same as t09); per-source stats weight back by frequency.
+# --------------------------------------------------------------------------
+
+_T12_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("s", "t"),
+    ("o", "r"), ("a", "n"), ("i", "n"), ("st", "r"),
+]
+
+
+def _t12_oracle() -> str:
+    # one merge per CTE layer: DuckDB's binder rejects NESTED list_reduce
+    # lambdas, but a column reference between layers binds fine
+    layers = []
+    for i, (a, b) in enumerate(_T12_MERGES):
+        # each layer re-wraps tokens as single-element lists: the fold's
+        # accumulator is a FLAT token list, and list_reduce seeds from the
+        # first element, which must therefore be a list itself
+        layers.append(f"""m{i} AS (
+  SELECT * REPLACE (list_reduce([[t] for t in chars], (acc, x) ->
+      CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' AND x[1] = '{b}'
+           THEN acc[:len(acc)-1] || ['{a}{b}'] ELSE acc || x END) AS chars)
+  FROM {'words_ch' if i == 0 else f'm{i - 1}'}
+)""")
+    chain = ",\n".join(layers)
+    last = f"m{len(_T12_MERGES) - 1}"
+    return f"""
+WITH words AS (
+  SELECT source, w AS word, count(*) AS freq
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY source, w
+), words_ch AS (
+  SELECT source, word, freq,
+         [word[i] for i in generate_series(1, length(word))] AS chars
+  FROM words
+),
+{chain},
+enc AS (
+  SELECT source, freq, length(word) AS n_chars, len(chars) AS n_tokens
+  FROM {last}
+)
+SELECT source,
+       CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(sum(n_chars * freq) AS BIGINT) AS chars_total,
+       CAST(sum(n_tokens * freq) AS BIGINT) AS tokens_total,
+       round(sum(n_tokens * freq) / CAST(sum(n_chars * freq) AS DOUBLE), 6)
+         AS compression
+FROM enc GROUP BY source
+ORDER BY source
+"""
+
+
+def bpe_encode_tokens(word_col, merges=None):
+    """Token array after applying the pinned BPE merge table to a word:
+    chars -> N greedy left-to-right pair-merge folds (JVM expressions)."""
+    merges = merges if merges is not None else _T12_MERGES
+    toks = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(word_col, i, 1),
+    )
+    empty = F.expr("cast(array() as array<string>)")
+
+    def one_merge(a: str, b: str):
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    for a, b in merges:
+        toks = F.aggregate(toks, empty, one_merge(a, b))
+    return toks
+
+
+@register(
+    "t12_bpe_encode",
+    oracle=_t12_oracle(),
+    doc="BPE tokenizer application: pinned 8-merge table encoded as 8 "
+    "greedy left-to-right folds over the distinct-word table, per-source "
+    "token/char compression stats weighted back by word frequency.",
+)
+def t12_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("source", F.explode(tokenize("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc = words.select(
+        "source",
+        "freq",
+        F.length("word").alias("n_chars"),
+        F.size(bpe_encode_tokens(F.col("word"))).alias("n_tokens"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("n_chars") * F.col("freq")).cast("long").alias("chars_total"),
+            F.sum(F.col("n_tokens") * F.col("freq")).cast("long").alias("tokens_total"),
+            F.round(
+                F.sum(F.col("n_tokens") * F.col("freq"))
+                / F.sum(F.col("n_chars") * F.col("freq")).cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )

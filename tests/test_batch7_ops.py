@@ -163,3 +163,30 @@ def test_striped_global_row_number_guards(spark):
         striped_global_row_number(
             wide, [F.asc("v")], F.col("v"), max_stripes=10
         )
+
+
+def test_bpe_encode_greedy_semantics(spark):
+    """Pinned-merge BPE encode: greedy left-to-right, non-overlapping
+    within a merge ('tth' -> t,th not tt,h-less), merged tokens feed
+    LATER merges ('the' via t,h->th then th,e->the), and 'aaa' under an
+    (a,a) merge yields [aa, a] -- the canonical overlap case."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        bpe_encode_tokens,
+    )
+
+    cases = [
+        ("tthe", ["t", "the"]),
+        ("thester", ["the", "st", "er"]),
+        ("minor", ["m", "in", "or"]),
+        ("x", ["x"]),
+    ]
+    df = spark.createDataFrame([(w,) for w, _ in cases], "word string")
+    got = [
+        r["toks"]
+        for r in df.select(bpe_encode_tokens(F.col("word")).alias("toks")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    aaa = spark.createDataFrame([("aaa",)], "word string").select(
+        bpe_encode_tokens(F.col("word"), merges=[("a", "a")]).alias("toks")
+    )
+    assert aaa.collect()[0]["toks"] == ["aa", "a"]
