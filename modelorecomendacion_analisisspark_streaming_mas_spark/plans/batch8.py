@@ -1099,3 +1099,98 @@ def t12_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q83: PSI drift monitor -- the training-data drift primitive: compare
+# the value distribution of two snapshots of the same feed (here: the
+# events table split by md5(event_id) into "baseline" vs "candidate",
+# the deterministic stand-in for yesterday/today) with the Population
+# Stability Index per feature bucket:
+#   PSI = sum_b (p_cand(b) - p_base(b)) * ln(p_cand(b) / p_base(b))
+# over 10 fixed-width value buckets per event_type, Laplace-smoothed so
+# empty buckets stay finite. PSI >= 0.2 is the conventional "investigate"
+# flag, evaluated on the 6dp-rounded value so the boolean cannot flip on
+# a ulp.
+#
+# Scale shape: one scan, one groupBy (type, bucket, side) partial agg;
+# everything after runs on |types| x 10 rows.
+# --------------------------------------------------------------------------
+
+_Q83_BUCKETS = 10
+_Q83_VLO, _Q83_VHI = 0.0, 1.0  # events.value domain
+
+_Q83_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type,
+         ('0x' || substr(md5('snap|' || event_id::VARCHAR), 1, 8))::UBIGINT % 2 AS side,
+         least(greatest(floor((value - {_Q83_VLO}) / (({_Q83_VHI} - {_Q83_VLO}) / {_Q83_BUCKETS})),
+                        0), {_Q83_BUCKETS - 1}) AS bucket
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT event_type, bucket,
+         count(*) FILTER (WHERE side = 0) AS n_base,
+         count(*) FILTER (WHERE side = 1) AS n_cand
+  FROM tagged GROUP BY event_type, bucket
+), tot AS (
+  SELECT event_type, sum(n_base) AS t_base, sum(n_cand) AS t_cand
+  FROM cells GROUP BY event_type
+), p AS (
+  SELECT c.event_type,
+         (c.n_base + 1) / CAST(t.t_base + {_Q83_BUCKETS} AS DOUBLE) AS pb,
+         (c.n_cand + 1) / CAST(t.t_cand + {_Q83_BUCKETS} AS DOUBLE) AS pc
+  FROM cells c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       round(sum((pc - pb) * ln(pc / pb)), 6) AS psi,
+       round(sum((pc - pb) * ln(pc / pb)), 6) >= 0.2 AS drift_flag
+FROM p GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q83_psi_drift",
+    oracle=_Q83_ORACLE,
+    doc="PSI drift monitor: deterministic snapshot split of events, "
+    "10-bucket Laplace-smoothed value histograms per event_type, "
+    "Population Stability Index + conventional 0.2 flag on the rounded "
+    "value.",
+)
+def q83_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    width = (_Q83_VHI - _Q83_VLO) / _Q83_BUCKETS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - _Q83_VLO) / width), F.lit(0)),
+        F.lit(_Q83_BUCKETS - 1),
+    )
+    side = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("snap|"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    cells = (
+        ev.select("event_type", side.alias("side"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.when(F.col("side") == 0, 1)).alias("n_base"),
+            F.count(F.when(F.col("side") == 1, 1)).alias("n_cand"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cand").alias("t_cand")
+    )
+    p = cells.join(tot, "event_type").select(
+        "event_type",
+        ((F.col("n_base") + 1) / (F.col("t_base") + _Q83_BUCKETS).cast("double")).alias("pb"),
+        ((F.col("n_cand") + 1) / (F.col("t_cand") + _Q83_BUCKETS).cast("double")).alias("pc"),
+    )
+    psi = F.round(F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))), 6)
+    return (
+        p.groupBy("event_type")
+        .agg(psi.alias("psi"))
+        .select("event_type", "psi", (F.col("psi") >= 0.2).alias("drift_flag"))
+        .orderBy("event_type")
+    )
