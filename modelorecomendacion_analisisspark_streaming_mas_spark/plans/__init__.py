@@ -40,7 +40,9 @@ from . import batch8  # noqa: E402,F401
 
 # Materially changed in r6: e05 quantizes its pass-1 score (plan + oracle),
 # mm04 rides encode_wav's new half-away-from-zero quantization, s25 rides
-# the jsonl_dir sink's per-query tmp namespacing.
+# the jsonl_dir sink's per-query tmp namespacing. The twelve BRAND-NEW r6
+# queries (s26, d13-d15, e08, g08, m07, t10-t12, q82, q83) are not listed
+# anywhere, so _apply_order auto-slots them directly after this group.
 _VERIFY_FIRST = [
     "e05_knn_truncated_rerank",
     "mm04_audio_features",

@@ -791,12 +791,16 @@ _D15_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= {_D15_W}
-), b AS (
+), hsrc AS (
   SELECT doc_id, t, len(t) AS n,
-         [i for i in generate_series({_D15_W}, len(t))
-          if ('0x' || substr(md5(array_to_string(t[i-{_D15_W - 1}:i], ' ')), 1, 8))::UBIGINT
-             % {_D15_MOD} = 0] AS bounds
+         [('0x' || substr(md5(x), 1, 8))::UBIGINT % 2147483647 for x in t] AS hs
   FROM tok
+), b AS (
+  SELECT doc_id, t, n,
+         [i for i in generate_series({_D15_W}, n)
+          if (hs[i-4] * 923521 + hs[i-3] * 29791 + hs[i-2] * 961
+              + hs[i-1] * 31 + hs[i]) % 2147483647 % {_D15_MOD} = 0] AS bounds
+  FROM hsrc
 ), b2 AS (
   SELECT doc_id, t, n,
          list_prepend(0, [x for x in bounds if x < n] || [n]) AS bs
@@ -834,10 +838,11 @@ LIMIT {_D15_TOPN}
 @register(
     "d15_cdc_chunk_dedup",
     oracle=_D15_ORACLE,
-    doc="Content-defined chunking dedup (LBFS/rsync lineage): rolling "
-    "5-gram hash boundaries (mod 16), exact chunk-hash duplicates across "
-    "documents, per-doc duplicated-token fraction; boundary detection is "
-    "in-row JVM array HOFs, cross-doc detection one groupBy.",
+    doc="Content-defined chunking dedup (LBFS/rsync lineage): 5-token "
+    "window hash boundaries (per-token md5 + degree-4 polynomial, mod "
+    "16), exact chunk-hash duplicates across documents, per-doc "
+    "duplicated-token fraction; boundary detection is in-row JVM array "
+    "HOFs, cross-doc detection one groupBy.",
 )
 def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -846,11 +851,26 @@ def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= w
     )
     n = F.size("t")
+    # Boundary hash = per-token md5 reduced once, combined per window by a
+    # degree-4 polynomial (exact int64, same constants as rolling_hash):
+    # one md5 per TOKEN instead of one md5 of a rebuilt 5-gram string per
+    # POSITION -- 5x fewer hashes, zero string concatenation, identical
+    # content-definition (window function of the same 5 tokens).
+    M = 2_147_483_647
+    tok = tok.withColumn(
+        "hs", F.transform("t", lambda x: md5_hash32(x) % F.lit(M))
+    )
+    pows = [923521, 29791, 961, 31, 1]
+
+    def _window_hash(i):
+        total = None
+        for j, p in enumerate(pows):
+            term = F.element_at("hs", i - (w - 1 - j)) * F.lit(p)
+            total = term if total is None else total + term
+        return total % F.lit(M)
+
     bounds = F.filter(
-        F.sequence(F.lit(w), n),
-        lambda i: md5_hash32(F.concat_ws(" ", F.slice("t", i - (w - 1), w)))
-        % mod
-        == 0,
+        F.sequence(F.lit(w), n), lambda i: _window_hash(i) % mod == 0
     )
     bs = F.concat(
         F.array(F.lit(0)),
