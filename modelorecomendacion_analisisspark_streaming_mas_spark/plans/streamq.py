@@ -1076,3 +1076,94 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# --------------------------------------------------------------------------
+# s27: STREAMING PSI drift monitor -- q83's Population Stability Index
+# maintained incrementally: the per-(type, side, bucket) counts are a
+# streaming aggregate whose state is bounded at |types| x 2 x 10 rows
+# FOREVER (the s20 Count-Min argument: sketch-shaped state, not
+# per-key), and the PSI arithmetic runs on the final tiny state. Final
+# answer == q83's batch answer (shared oracle).
+# --------------------------------------------------------------------------
+
+
+from .batch8 import _Q83_ORACLE  # noqa: E402  (no circularity: batch8
+# imports only catalog/sources/functions; importing it here just runs its
+# registrations a few lines earlier than plans/__init__ would)
+
+
+@register(
+    "s27_stream_psi_cells",
+    oracle=_Q83_ORACLE,
+    doc="Streaming PSI drift monitor: q83's histogram cells as an "
+    "incremental streaming aggregate (state bounded at |types|x2x10 "
+    "rows), PSI computed on the final state; oracle = q83's batch SQL.",
+)
+def s27_stream_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .batch8 import _Q83_BUCKETS, _Q83_VHI, _Q83_VLO
+
+    stream = _replayed(spark, sf_dir).filter(F.col("value").isNotNull())
+    width = (_Q83_VHI - _Q83_VLO) / _Q83_BUCKETS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - _Q83_VLO) / width), F.lit(0)),
+        F.lit(_Q83_BUCKETS - 1),
+    )
+    side = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("snap|"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells_stream = (
+        stream.select(
+            "event_type", side.alias("side"), bucket.alias("bucket")
+        )
+        .groupBy("event_type", "side", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _, state = run_to_memory_sink(cells_stream, "complete", shuffle_partitions=8)
+    cells = (
+        state.groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, F.col("n"))).alias("n_base"),
+            F.sum(F.when(F.col("side") == 1, F.col("n"))).alias("n_cand"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+        # |types| x 10 rows; materializing sidesteps the memory-sink
+        # view's self-join attribute conflict (cells joins its own total)
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cand").alias("t_cand")
+    )
+    p = cells.join(tot, "event_type").select(
+        "event_type",
+        ((F.col("n_base") + 1) / (F.col("t_base") + _Q83_BUCKETS).cast("double")).alias(
+            "pb"
+        ),
+        ((F.col("n_cand") + 1) / (F.col("t_cand") + _Q83_BUCKETS).cast("double")).alias(
+            "pc"
+        ),
+    )
+    psi = F.round(
+        F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))), 6
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(psi.alias("psi"))
+        .select("event_type", "psi", (F.col("psi") >= 0.2).alias("drift_flag"))
+        .orderBy("event_type")
+    )
+
