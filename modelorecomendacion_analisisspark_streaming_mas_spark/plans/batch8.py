@@ -740,7 +740,29 @@ def d14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("crn", F.row_number().over(wv))
         .filter(F.col("crn") == 1)
         .select("vec_id", "v", "nrm", "cid")
+        # a real SemDeDup pipeline persists the cluster assignment (it is
+        # reused downstream); materializing here also feeds the blowup
+        # guard below without a second corpus scan
+        .localCheckpoint(eager=True)
     )
+    # The failure mode pairwise-within-cluster cannot survive: a
+    # degenerate quantizer that routes everything to one centroid turns
+    # the pair join quadratic in CORPUS size. Fail loudly at a counted
+    # cap instead of OOMing (the paper's answer is re-clustering with
+    # more centroids).
+    max_list = 50_000
+    hot = (
+        lists.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_list)
+        .take(1)
+    )
+    if hot:
+        raise ValueError(
+            f"d14: cluster {hot[0]['cid']} holds {hot[0]['sz']} vectors "
+            f"(cap {max_list}); pairwise within it would be quadratic -- "
+            "increase centroid count (lower stride) and re-cluster"
+        )
     a = lists.select(
         "cid", F.col("vec_id").alias("a_id"),
         F.col("v").alias("av"), F.col("nrm").alias("an"),
