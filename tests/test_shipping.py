@@ -48,3 +48,25 @@ def test_pandas_udf_catalog_query_runs_from_foreign_cwd(tmp_path):
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "SHIPPED_OK" in r.stdout
+
+
+def test_cli_list_and_run_verify():
+    """__main__ CLI: list filters by prefix; run --verify reproduces the
+    driver's oracle compare from the shell (exit 0 on MATCH)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "modelorecomendacion_analisisspark_streaming_mas_spark",
+         "list", "q01"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0 and "q01_pricing_summary" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "modelorecomendacion_analisisspark_streaming_mas_spark",
+         "run", "q01_pricing_summary", "--verify"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "verify: MATCH" in out.stdout
