@@ -1236,3 +1236,131 @@ def q83_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "psi", (F.col("psi") >= 0.2).alias("drift_flag"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q84: training-mix allocation -- temperature-based source sampling
+# (alpha = 0.5, the multilingual-LM exponent of Conneau & Lample 2019)
+# under per-source AVAILABILITY CAPS, solved by water-filling: allocate
+# the token budget proportionally to c_s^alpha, clamp saturated sources
+# at their capacity, redistribute the excess among the unsaturated --
+# three rounds unrolled (enough to reach the fixpoint for any source
+# count at these SFs; the oracle unrolls the identical recurrence, the
+# g02 technique applied to an optimization loop).
+#
+# Scale shape: ONE corpus aggregate (tokens per source); every
+# water-filling round runs on the |sources|-row frame. Floors are taken
+# on 9dp-quantized products so an engine ulp cannot flip an integer
+# boundary.
+# --------------------------------------------------------------------------
+
+_Q84_ALPHA = 0.5
+_Q84_BUDGET_FRAC = 0.4
+_Q84_ROUNDS = 3
+
+
+def _q84_round_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+d{k} AS (
+  SELECT sum(CASE WHEN NOT sat THEN w END) AS denom,
+         sum(CASE WHEN sat THEN cap END) AS used
+  FROM {prev}
+),
+r{k} AS (
+  SELECT p.source, p.cap, p.w,
+         p.sat OR (NOT p.sat AND
+           floor(round(p.w / d.denom * (b.budget - coalesce(d.used, 0)), 9))
+             >= p.cap) AS sat,
+         CASE WHEN p.sat THEN p.alloc
+              WHEN floor(round(p.w / d.denom * (b.budget - coalesce(d.used, 0)), 9))
+                   >= p.cap THEN p.cap
+              ELSE CAST(floor(round(p.w / d.denom
+                   * (b.budget - coalesce(d.used, 0)), 9)) AS BIGINT) END AS alloc
+  FROM {prev} p CROSS JOIN d{k} d CROSS JOIN b
+)"""
+
+
+def _q84_oracle() -> str:
+    rounds = ",".join(_q84_round_sql(k) for k in range(1, _Q84_ROUNDS + 1))
+    return f"""
+WITH avail AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+  FROM documents GROUP BY source
+), b AS (
+  SELECT CAST(floor(sum(cap) * {_Q84_BUDGET_FRAC}) AS BIGINT) AS budget FROM avail
+), r0 AS (
+  SELECT source, cap, pow(cap, {_Q84_ALPHA}) AS w,
+         false AS sat, CAST(0 AS BIGINT) AS alloc
+  FROM avail
+),{rounds}
+SELECT source, cap, sat AS saturated, alloc AS tokens_allocated
+FROM r{_Q84_ROUNDS}
+ORDER BY source
+"""
+
+
+def waterfill_allocation(
+    avail: DataFrame,
+    budget_frame: DataFrame,
+    alpha: float = _Q84_ALPHA,
+    rounds: int = _Q84_ROUNDS,
+) -> DataFrame:
+    """Water-filling temperature allocation over an (source, cap) frame
+    and a 1-row (budget) frame: proportional to cap^alpha, saturated
+    sources clamp at cap and their excess redistributes among the rest.
+    Returns (source, cap, saturated, tokens_allocated)."""
+    state = (
+        avail.crossJoin(F.broadcast(budget_frame))
+        .withColumn("w", F.pow("cap", alpha))
+        .withColumn("sat", F.lit(False))
+        .withColumn("alloc", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        d = state.agg(
+            F.sum(F.when(~F.col("sat"), F.col("w"))).alias("denom"),
+            F.coalesce(F.sum(F.when(F.col("sat"), F.col("cap"))), F.lit(0)).alias(
+                "used"
+            ),
+        )
+        share = F.floor(
+            F.round(
+                F.col("w") / F.col("denom") * (F.col("budget") - F.col("used")), 9
+            )
+        ).cast("long")
+        state = (
+            state.crossJoin(F.broadcast(d))
+            .withColumn(
+                "alloc",
+                F.when(F.col("sat"), F.col("alloc"))
+                .when(share >= F.col("cap"), F.col("cap"))
+                .otherwise(share),
+            )
+            .withColumn("sat", F.col("sat") | (share >= F.col("cap")))
+            .drop("denom", "used")
+        )
+    return state.select(
+        "source",
+        "cap",
+        F.col("sat").alias("saturated"),
+        F.col("alloc").alias("tokens_allocated"),
+    ).orderBy("source")
+
+
+@register(
+    "q84_token_budget_waterfill",
+    oracle=_q84_oracle(),
+    doc="Training-mix allocation: alpha=0.5 temperature sampling over "
+    "source availability with water-filling redistribution of saturated "
+    "sources' excess (3 unrolled rounds); one corpus aggregate, then "
+    "|sources|-row arithmetic.",
+)
+def q84_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(tokenize("text"))).cast("long").alias("cap")
+    )
+    budget_frame = avail.agg(
+        F.floor(F.sum("cap") * _Q84_BUDGET_FRAC).cast("long").alias("budget")
+    )
+    return waterfill_allocation(avail, budget_frame)

@@ -190,3 +190,33 @@ def test_bpe_encode_greedy_semantics(spark):
         bpe_encode_tokens(F.col("word"), merges=[("a", "a")]).alias("toks")
     )
     assert aaa.collect()[0]["toks"] == ["aa", "a"]
+
+
+def test_waterfill_saturates_and_redistributes(spark):
+    """Skewed availability: a tiny source must SATURATE at its cap and
+    its excess must flow to the others; total allocation stays within
+    budget and every allocation within capacity."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        waterfill_allocation,
+    )
+
+    avail = spark.createDataFrame(
+        [("big", 1_000_000), ("mid", 200_000), ("tiny", 1_000)],
+        "source string, cap long",
+    )
+    budget = spark.createDataFrame([(600_000,)], "budget long")
+    rows = {r["source"]: r for r in waterfill_allocation(avail, budget).collect()}
+    assert rows["tiny"]["saturated"] and rows["tiny"]["tokens_allocated"] == 1_000
+    assert not rows["big"]["saturated"] and not rows["mid"]["saturated"]
+    total = sum(r["tokens_allocated"] for r in rows.values())
+    assert total <= 600_000
+    # redistribution really happened: big+mid together get more than
+    # their round-1 proportional share of the ORIGINAL budget
+    import math
+
+    w = {s: math.sqrt(c) for s, c in [("big", 1_000_000), ("mid", 200_000)]}
+    denom_all = sum(w.values()) + math.sqrt(1_000)
+    round1 = sum(math.floor(w[s] / denom_all * 600_000) for s in w)
+    assert sum(rows[s]["tokens_allocated"] for s in ("big", "mid")) > round1
+    for r in rows.values():
+        assert r["tokens_allocated"] <= r["cap"]
