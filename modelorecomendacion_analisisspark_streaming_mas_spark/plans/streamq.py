@@ -539,7 +539,7 @@ FROM events GROUP BY day, event_type
 def s15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import foreach_batch_incremental_rollup
 
-    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=8)
+    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=4)
     agg = (
         stream.groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
@@ -866,7 +866,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import foreach_batch_incremental_rollup
 
-    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=8)
+    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=4)
     latest = (
         stream.groupBy("user_id")
         .agg(
@@ -914,7 +914,8 @@ def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay writes through executor temp files + driver commit/manifest,
 # and the read-back goes THROUGH the manifest (uncommitted files are
 # invisible). Aggregate of the read-back must equal the batch oracle --
-# i.e. exactly-once across 4 real micro-batches, certified by hash.
+# i.e. exactly-once across multiple real micro-batches (2: the initial
+# commit plus a manifest-append commit), certified by hash.
 # --------------------------------------------------------------------------
 
 
@@ -932,7 +933,7 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.python_datasource import read_jsonl_sink, register_jsonl_sink
 
     register_jsonl_sink(spark)
-    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=8)
+    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=4)
     out_dir = tempfile.mkdtemp(prefix="mras_jsonl_sink_")
     _SINK_DIRS.append(out_dir)
     q = (
