@@ -1364,3 +1364,95 @@ def q84_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("cap") * _Q84_BUDGET_FRAC).cast("long").alias("budget")
     )
     return waterfill_allocation(avail, budget_frame)
+
+
+# --------------------------------------------------------------------------
+# q85: FROZEN-CLASSIFIER quality filtering -- the model-based curation
+# stage (FineWeb-Edu / DCLM style): a trained quality classifier is
+# FROZEN and swept over the corpus as a pure scoring pass. At 100 TB the
+# model is a broadcast constant and the sweep is scan-shaped -- per-doc
+# feature extraction + a dot product + sigmoid, all JVM expressions, no
+# Python in the hot path, ONE shuffle (the per-source report agg).
+# The reference scores docs only with hand heuristics; this is the
+# production upgrade: the heuristic features become MODEL INPUTS and the
+# decision boundary is learned (weights pinned here so the catalog query
+# is deterministic; tests/test_batch7_ops.py trains an MLlib
+# LogisticRegression on the same features to show the pinned scorer is
+# the deployment half of a real train/deploy split).
+# --------------------------------------------------------------------------
+
+_Q85_STOPS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+_Q85_W = {"bias": -5.5, "len": 0.6, "div": 3.0, "toklen": 0.4, "stop": -2.0}
+_Q85_CUT = 0.5
+
+_Q85_ORACLE = f"""
+WITH feat AS (
+  SELECT source, string_split(text, ' ') AS toks, text
+  FROM documents
+), sc AS (
+  SELECT source, len(toks) AS n_tokens,
+         round(1.0 / (1.0 + exp(-(
+             {_Q85_W['bias']}
+           + {_Q85_W['len']} * ln(1 + len(toks))
+           + {_Q85_W['div']} * (len(list_distinct(toks))::DOUBLE / len(toks))
+           + {_Q85_W['toklen']} * (length(replace(text, ' ', ''))::DOUBLE / len(toks))
+           + {_Q85_W['stop']} * (len(list_filter(toks,
+                 t -> list_contains({_Q85_STOPS!r}, t)))::DOUBLE / len(toks))
+         ))), 6) AS score
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score >= {_Q85_CUT} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(score), 6) AS avg_score,
+       CAST(sum(CASE WHEN score >= {_Q85_CUT} THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM sc GROUP BY source
+"""
+
+
+def classifier_quality_score(text_col):
+    """Frozen logistic quality score as a single JVM expression tree:
+    sigmoid(w . [ln(1+len), distinct-ratio, mean-token-len, stop-frac]),
+    rounded to 6dp. Whole-stage-codegen friendly; broadcastable weights
+    are plain literals."""
+    toks = F.split(text_col, " ")
+    n_tok = F.size(toks)
+    f_len = F.log(F.lit(1.0) + n_tok)
+    f_div = F.size(F.array_distinct(toks)) / n_tok
+    f_tok = F.length(F.regexp_replace(text_col, " ", "")) / n_tok
+    stops = F.array(*[F.lit(s) for s in _Q85_STOPS])
+    f_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / n_tok
+    z = (
+        F.lit(_Q85_W["bias"])
+        + F.lit(_Q85_W["len"]) * f_len
+        + F.lit(_Q85_W["div"]) * f_div
+        + F.lit(_Q85_W["toklen"]) * f_tok
+        + F.lit(_Q85_W["stop"]) * f_stop
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6), n_tok
+
+
+@register(
+    "q85_classifier_quality_filter",
+    oracle=_Q85_ORACLE,
+    doc="Model-based quality filtering with a frozen logistic classifier "
+    "(FineWeb-Edu shape): per-doc feature extraction + sigmoid scoring as "
+    "one codegen'd projection, threshold gate, per-source keep report. "
+    "Scan-shaped; one shuffle.",
+)
+def q85_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score, n_tok = classifier_quality_score(F.col("text"))
+    scored = docs.select(
+        "source", n_tok.alias("n_tokens"), score.alias("score")
+    )
+    kept = F.col("score") >= _Q85_CUT
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

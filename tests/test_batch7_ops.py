@@ -220,3 +220,72 @@ def test_waterfill_saturates_and_redistributes(spark):
     assert sum(rows[s]["tokens_allocated"] for s in ("big", "mid")) > round1
     for r in rows.values():
         assert r["tokens_allocated"] <= r["cap"]
+
+
+def test_q85_classifier_is_deployment_half_of_real_train_split(spark, sf_dir):
+    """q85 scores with PINNED weights (a frozen classifier). Prove the
+    frozen scorer is the deployment half of a genuine train/deploy
+    split: train an MLlib LogisticRegression on the SAME features
+    against the pinned decision labels -- the boundary is linear in
+    this feature space, so a real trainer must recover it (>=0.9
+    held-out accuracy). This is the FineWeb-Edu loop: train offline,
+    freeze, sweep the corpus with the frozen model."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        _Q85_CUT,
+        _Q85_STOPS,
+        classifier_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    score, n_tok = classifier_quality_score(F.col("text"))
+    toks = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in _Q85_STOPS])
+    feats = docs.select(
+        F.log(F.lit(1.0) + F.size(toks)).alias("f_len"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_div"),
+        (F.length(F.regexp_replace("text", " ", "")) / F.size(toks)).alias(
+            "f_tok"
+        ),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+            / F.size(toks)
+        ).alias("f_stop"),
+        (score >= _Q85_CUT).cast("double").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["f_len", "f_div", "f_tok", "f_stop"], outputCol="features"
+    ).transform(feats)
+    train, test = assembled.randomSplit([0.7, 0.3], seed=7)
+    model = LogisticRegression(maxIter=50, regParam=1e-4).fit(train)
+    pred = model.transform(test)
+    acc = pred.filter(F.col("prediction") == F.col("label")).count() / max(
+        pred.count(), 1
+    )
+    assert acc >= 0.9, acc
+    # trained weight SIGNS must agree with the pinned model -- the
+    # heuristic axes mean what the frozen weights claim they mean
+    w = model.coefficients.toArray()
+    assert w[1] > 0 and w[3] < 0, list(w)  # diversity up, stopwords down
+
+
+def test_q85_score_monotone_in_designed_directions(spark):
+    """Feature semantics: more lexical diversity raises the score, more
+    stopword mass lowers it (same length/token shape otherwise)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        classifier_quality_score,
+    )
+
+    rows = [
+        ("base", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("repeats", "alpha alpha alpha alpha alpha alpha alpha alpha"),
+        ("stoppy", "the of and to in is for on alpha beta gamma delta"),
+        ("diverse", "the of and zz yy xx ww vv uu tt ss rr"),
+    ]
+    df = spark.createDataFrame(rows, "name string, text string")
+    score, _ = classifier_quality_score(F.col("text"))
+    got = {r["name"]: r["s"] for r in df.select("name", score.alias("s")).collect()}
+    assert got["base"] > got["repeats"]  # diversity axis
+    assert got["diverse"] > got["stoppy"]  # stopword axis (same length)
