@@ -1456,3 +1456,157 @@ def q85_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# t13: BPE tokenizer TRAINING -- the iterative half that t09 (one round
+# of pair counts) and t12 (applying pinned merges) bracket. Classic
+# Sennrich et al. 2016 training loop, Spark-first:
+#   corpus -> distinct-word histogram (ONE corpus pass, the only big
+#   shuffle; persisted), then per round: pair counts over the histogram
+#   (explode + sum agg -- shuffle sized by |alphabet U merges|^2, tiny),
+#   argmax to the driver (O(1) rows -- the learned merge IS driver
+#   state, exactly like a trained model), greedy left-to-right
+#   non-overlapping merge as a pure JVM F.aggregate fold.
+# At 100 TB the histogram is |distinct words| << corpus, the iteration
+# cost never touches the corpus again, and every merge round is a
+# codegen'd projection over the persisted histogram. Integer-only
+# arithmetic: the oracle (unrolled per-round recursive CTEs replaying
+# the same greedy fold) is exact with zero float risk.
+# --------------------------------------------------------------------------
+
+_T13_ROUNDS = 4
+
+
+def _t13_round_sql(r: int) -> str:
+    return f"""
+p{r} AS (
+  SELECT pr.lhs AS lhs, pr.rhs AS rhs, CAST(sum(freq) AS BIGINT) AS n
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                  i -> struct_pack(lhs := syms[i], rhs := syms[i+1]))) AS pr
+    FROM w{r-1}
+  )
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT lhs, rhs, n FROM p{r} ORDER BY n DESC, lhs, rhs LIMIT 1),
+m{r} AS (
+  SELECT w.word, w.freq, w.syms, b.lhs AS mA, b.rhs AS mB, 1 AS i,
+         CAST([] AS VARCHAR[]) AS acc
+  FROM w{r-1} w CROSS JOIN b{r} b
+  UNION ALL
+  SELECT word, freq, syms, mA, mB,
+         CASE WHEN i < len(syms) AND syms[i] = mA AND syms[i+1] = mB
+              THEN i + 2 ELSE i + 1 END AS i,
+         CASE WHEN i < len(syms) AND syms[i] = mA AND syms[i+1] = mB
+              THEN list_append(acc, mA || mB)
+              ELSE list_append(acc, syms[i]) END AS acc
+  FROM m{r} WHERE i <= len(syms)
+),
+w{r} AS (SELECT word, freq, acc AS syms FROM m{r} WHERE i > len(syms))"""
+
+
+def _t13_oracle() -> str:
+    rounds = ",".join(_t13_round_sql(r) for r in range(1, _T13_ROUNDS + 1))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, n"
+        f" FROM b{r}"
+        for r in range(1, _T13_ROUNDS + 1)
+    )
+    return f"""
+WITH RECURSIVE w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+),{rounds}
+{finals}
+"""
+
+
+def bpe_greedy_merge(syms_col, lhs: str, rhs: str):
+    """One BPE merge round over a symbol array: greedy left-to-right
+    non-overlapping replacement of adjacent (lhs, rhs) with lhs||rhs,
+    as a pure JVM fold (F.aggregate). A just-merged element equals
+    lhs||rhs != lhs, so `last(acc) == lhs` marks exactly the positions
+    the classic trainer merges -- no overlap double-merge."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (s == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@register(
+    "t13_bpe_train_merges",
+    oracle=_t13_oracle(),
+    doc="BPE tokenizer training (Sennrich 2016), 4 merge rounds: one "
+    "corpus pass builds the persisted word histogram; each round counts "
+    "adjacent symbol pairs, takes the argmax merge (n DESC, pair ASC), "
+    "and applies it as a greedy JVM fold. Integer-exact oracle via "
+    "unrolled recursive CTEs.",
+)
+def t13_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    cur = words.persist()
+    persisted = [cur]
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for r in range(1, _T13_ROUNDS + 1):
+            pairs = (
+                cur.filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2),"
+                            " i -> struct(syms[i] AS lhs, syms[i+1] AS rhs))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("n"))
+            )
+            # O(1) driver rows: the argmax merge is the model being learned
+            best = pairs.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()[0]
+            merges.append(
+                (r, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], int(best["n"]))
+            )
+            if r < _T13_ROUNDS:
+                cur = cur.select(
+                    "word",
+                    "freq",
+                    bpe_greedy_merge(
+                        F.col("syms"), best["lhs"], best["rhs"]
+                    ).alias("syms"),
+                ).persist()
+                persisted.append(cur)
+        return spark.createDataFrame(
+            merges, "rank long, lhs string, rhs string, merged string, n long"
+        )
+    finally:
+        for df in persisted:
+            df.unpersist()

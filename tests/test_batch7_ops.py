@@ -289,3 +289,112 @@ def test_q85_score_monotone_in_designed_directions(spark):
     got = {r["name"]: r["s"] for r in df.select("name", score.alias("s")).collect()}
     assert got["base"] > got["repeats"]  # diversity axis
     assert got["diverse"] > got["stoppy"]  # stopword axis (same length)
+
+
+def test_bpe_greedy_merge_nonoverlapping_runs(spark):
+    """Greedy left-to-right semantics on the one ambiguous case: a run
+    of identical symbols merges at odd offsets only ('aaa' with (a,a)
+    -> ['aa','a'], never ['a','aa'] or a double-merge)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        bpe_greedy_merge,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (["a", "a", "a"],),
+            (["a", "a", "a", "a"],),
+            (["b", "a", "a"],),
+            (["a", "b", "a", "b"],),
+        ],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            bpe_greedy_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got[0] == ["aa", "a"]
+    assert got[1] == ["aa", "aa"]
+    assert got[2] == ["b", "aa"]
+    assert got[3] == ["a", "b", "a", "b"]
+
+
+def test_t13_matches_classic_bpe_trainer(spark):
+    """Full-loop parity: the distributed trainer must learn the same
+    merge table (same order, same counts) as the textbook single-node
+    BPE trainer on a corpus with ties and run-merges."""
+    import collections
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        _T13_ROUNDS,
+        bpe_greedy_merge,
+    )
+
+    corpus = ["aab aab abab zz", "aab zz zz qq", "abab aab banana"]
+    # classic trainer
+    vocab: dict[tuple, int] = collections.Counter()
+    for line in corpus:
+        for w in line.split(" "):
+            if len(w) >= 2:
+                vocab[tuple(w)] += 1
+    expect = []
+    for r in range(1, _T13_ROUNDS + 1):
+        counts: collections.Counter = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        (a, b), n = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        expect.append((r, a, b, a + b, n))
+        new: collections.Counter = collections.Counter()
+        for syms, f in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[tuple(out)] += f
+        vocab = new
+    # distributed trainer over the same corpus
+    words = (
+        spark.createDataFrame([(t,) for t in corpus], "text string")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    got = []
+    cur = words
+    for r in range(1, _T13_ROUNDS + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS lhs, syms[i+1] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()[0]
+        got.append(
+            (r, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], int(best["n"]))
+        )
+        cur = cur.select(
+            "freq",
+            bpe_greedy_merge(F.col("syms"), best["lhs"], best["rhs"]).alias("syms"),
+        )
+    assert got == expect, (got, expect)
