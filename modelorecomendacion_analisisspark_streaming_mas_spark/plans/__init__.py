@@ -47,6 +47,11 @@ _VERIFY_FIRST = [
     "e05_knn_truncated_rerank",
     "mm04_audio_features",
     "s25_stream_jsonl_sink",
+    # replay batching changed late in r6 (8 staged files -> 4, i.e. 4
+    # micro-batches -> 2): result-identical by construction, but the
+    # merge-sink execution path must re-green under the driver. s15 and
+    # s25 already sit in the window; s24 needs the explicit slot.
+    "s24_stream_upsert_snapshot",
 ]
 
 # Last driver-checked in round 2 (the oldest official record); all seven
