@@ -1168,3 +1168,153 @@ def s27_stream_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+
+
+# --------------------------------------------------------------------------
+# s28: STREAMING ANN-INDEX INGEST -- the maintenance half of e03's IVF
+# index (operators/similarity.py::ivf_cosine_topk): embeddings arrive as
+# a stream and are docked into their inverted lists incrementally. Per
+# micro-batch: assign each vector to its nearest pinned centroid (same
+# deterministic quantizer and tie-break as e03 -- broadcast centroid
+# table, batch-local argmax window keyed by vec_id), then append ONE
+# O(#centroids) partial-counts row-group per batch. The published view
+# aggregates partials -- list sizes + load fractions, the imbalance
+# signal an index operator watches to decide re-clustering. At 100 TB
+# ingest cost per batch is batch-sized (assignment) + O(#centroids)
+# (partials); the corpus is never rescanned. Final state must equal
+# e03's batch assignment exactly (integer counts; fractions derived
+# from exact integers -- zero float-accumulation risk).
+# --------------------------------------------------------------------------
+
+_S28_STRIDE = 37
+
+_S28_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_S28_STRIDE} = 0),
+scored AS (
+  SELECT e.vec_id, cent.cid,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS cc
+  FROM e, cent
+), assigned AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+), counts AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM assigned WHERE crn = 1 GROUP BY cid
+)
+SELECT cid, n_vectors,
+       round(n_vectors::DOUBLE / (SELECT sum(n_vectors) FROM counts), 6) AS frac
+FROM counts
+"""
+
+_EMB_STAGED: dict[str, str] = {}
+
+
+@atexit.register
+def _cleanup_emb_staged() -> None:
+    for d in _EMB_STAGED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _EMB_STAGED.clear()
+
+
+def _staged_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """Full embeddings table split across 4 parquet files for replay."""
+    from ..sources.readers import load_table
+
+    if sf_dir not in _EMB_STAGED:
+        d = tempfile.mkdtemp(prefix="mras_embstream_")
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .repartition(4, "vec_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _EMB_STAGED[sf_dir] = d
+    return _EMB_STAGED[sf_dir]
+
+
+@register(
+    "s28_stream_ivf_ingest",
+    oracle=_S28_ORACLE,
+    doc="Streaming IVF index ingest: embeddings replayed in 4 "
+    "micro-batches, each assigned to e03's pinned centroids (broadcast "
+    "quantizer, batch-local argmax) and folded into per-list partial "
+    "counts; final list sizes + load fractions equal the batch "
+    "assignment exactly.",
+)
+def s28_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, _dot
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.col("vec_id") % _S28_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            _as_double(F.col("embedding")).alias("cv"),
+        )
+        .withColumn("cvn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        # the static quantizer: built once, broadcast to every batch
+        .localCheckpoint(eager=True)
+    )
+    staged = _staged_embeddings(spark, sf_dir)
+    parts_dir = tempfile.mkdtemp(prefix="mras_s28_parts_")
+    _SINK_DIRS.append(parts_dir)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def ingest(batch_df, epoch_id):
+        batch = batch_df.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        scored = batch.crossJoin(F.broadcast(cent)).withColumn(
+            "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+        assigned = (
+            scored.withColumn("crn", F.row_number().over(wc))
+            .filter(F.col("crn") == 1)
+            .select("vec_id", "cid")
+        )
+        (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(parts_dir)
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="mras_s28_ckpt_")
+    _SINK_DIRS.append(ckpt)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    counts = (
+        spark.read.parquet(parts_dir)
+        .groupBy("cid")
+        .agg(F.sum("n").cast("long").alias("n_vectors"))
+    )
+    total = counts.agg(F.sum("n_vectors").cast("long").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cid",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("t"), 6).alias("frac"),
+    )

@@ -743,3 +743,24 @@ def test_incremental_merge_leaves_untouched_partitions_on_disk(spark, tmp_path):
         r["user_id"]: r["value"] for r in spark.read.parquet(table).collect()
     }
     assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+
+
+def test_s28_ingest_partials_are_centroid_bounded(spark, sf_dir):
+    """The incremental property behind s28: each micro-batch appends
+    O(#centroids) partial rows (4 epochs here), never a per-vector
+    table -- and the published counts cover every vector exactly once."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        load_table,
+    )
+
+    out = REGISTRY["s28_stream_ivf_ingest"].fn(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    n_cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 37 == 0)
+        .count()
+    )
+    assert sum(r["n_vectors"] for r in out) == n_emb
+    assert len(out) <= n_cent
+    assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-4
