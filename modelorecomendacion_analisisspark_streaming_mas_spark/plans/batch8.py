@@ -1610,3 +1610,100 @@ def t13_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for df in persisted:
             df.unpersist()
+
+
+# --------------------------------------------------------------------------
+# e09: EMBEDDING-QUALITY PROBE EVAL -- the standard "probe suite" check
+# an embedding pipeline runs after (re)training: a fixed, counted probe
+# set is classified by 5-NN majority vote over the corpus and scored
+# against gold labels per class. Uses e01's exact brute-force search
+# (probe side broadcast: the suite is O(50) BY DESIGN -- eval cost
+# scales with the corpus scan, not with corpus x corpus) and integer
+# majority voting (n DESC, label ASC tie-break), so the only float
+# surface is the same raw-cosine rank boundary e01 has certified for
+# rounds. At 100 TB you swap the brute-force search for e03's IVF probe
+# and keep every line of the voting/scoring unchanged.
+# --------------------------------------------------------------------------
+
+_E09_PROBES = 50
+_E09_K = 5
+
+_E09_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label
+  FROM embeddings WHERE vec_id < {_E09_PROBES}
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS nb_label,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM q, c WHERE q.vec_id <> c.vec_id
+), top AS (
+  SELECT query_id, true_label, nb_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored QUALIFY rn <= {_E09_K}
+), votes AS (
+  SELECT query_id, true_label, nb_label, count(*) AS n
+  FROM top GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, nb_label AS pred_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY n DESC, nb_label) AS vr
+  FROM votes QUALIFY vr = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS accuracy
+FROM pred GROUP BY true_label
+"""
+
+
+@register(
+    "e09_knn_label_eval",
+    oracle=_E09_ORACLE,
+    doc="Embedding probe-suite eval: counted 50-probe set classified by "
+    "5-NN cosine majority vote (n DESC, label ASC tie-break) against "
+    "gold labels; per-class accuracy from exact integer votes. Probe "
+    "side broadcast; scan-shaped over the corpus.",
+)
+def e09_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    probes = emb.filter(F.col("vec_id") < _E09_PROBES)
+    top = cosine_topk_bruteforce(emb, probes, k=_E09_K)
+    votes = (
+        top.join(
+            F.broadcast(labels.withColumnRenamed("label", "nb_label")),
+            top.neighbor_id == labels.vec_id,
+        )
+        .drop("vec_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vw = W.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("true_label"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    correct = (F.col("nb_label") == F.col("true_label")).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
+    )
