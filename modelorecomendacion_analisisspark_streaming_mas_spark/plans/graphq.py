@@ -636,3 +636,115 @@ def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("v")
     )
+
+
+# --------------------------------------------------------------------------
+# g09: label propagation (community detection) -- the last GraphFrames
+# surface the catalog lacked (pageRank g02/g06, connectedComponents g03,
+# triangleCount g04/g08, bfs g05, degrees g01 already have twins).
+# Synchronous LPA over the undirected nation trade graph: every vertex
+# starts as its own label; each round it adopts the most frequent label
+# among its neighbors (count DESC, label ASC tie-break -- GraphFrames
+# breaks ties by hash partition order, which is nondeterministic; the
+# pinned tie-break is what makes an exact oracle possible). 4 unrolled
+# rounds. Integer-only arithmetic: zero float surface. At scale each
+# round is ONE shuffle of (vertex, label) keyed by vertex -- the edge
+# table is built once from the facts and reused (localCheckpoint), and
+# label frames are vertex-sized, not edge-sized.
+# --------------------------------------------------------------------------
+
+_G09_ROUNDS = 4
+
+_G09_UND_SQL = """
+und AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey
+)"""
+
+
+def _g09_round_sql(r: int) -> str:
+    return f"""
+nb{r} AS (
+  SELECT e.a AS v, l.lab FROM und e JOIN l{r-1} l ON l.v = e.b
+  UNION ALL
+  SELECT e.b AS v, l.lab FROM und e JOIN l{r-1} l ON l.v = e.a
+),
+c{r} AS (SELECT v, lab, count(*) AS n FROM nb{r} GROUP BY v, lab),
+l{r} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY n DESC, lab) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+
+
+def _g09_oracle() -> str:
+    rounds = ",".join(_g09_round_sql(r) for r in range(1, _G09_ROUNDS + 1))
+    return f"""
+WITH {_G09_UND_SQL},
+verts AS (SELECT a AS v FROM und UNION SELECT b FROM und),
+l0 AS (SELECT v, v AS lab FROM verts),{rounds}
+SELECT CAST(v AS BIGINT) AS v, CAST(lab AS BIGINT) AS community
+FROM l{_G09_ROUNDS}
+"""
+
+
+@register(
+    "g09_label_propagation",
+    oracle=_g09_oracle(),
+    doc="Synchronous label propagation (4 rounds) over the undirected "
+    "nation trade graph with a pinned deterministic tie-break "
+    "(count DESC, label ASC); integer-exact unrolled-CTE oracle. "
+    "Each round shuffles vertex-sized label frames only.",
+)
+def g09_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.least(cust.c_nationkey, supp.s_nationkey).alias("a"),
+            F.greatest(cust.c_nationkey, supp.s_nationkey).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # loop-invariant: the fact join runs ONCE; rounds reuse the frame
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    labels = verts.select("v", F.col("v").alias("lab"))
+    vw = W.partitionBy("v").orderBy(F.desc("n"), F.asc("lab"))
+    for _ in range(_G09_ROUNDS):
+        nb = und.join(labels, und.b == labels.v).select(
+            und.a.alias("v"), "lab"
+        ).unionAll(
+            und.join(labels, und.a == labels.v).select(und.b.alias("v"), "lab")
+        )
+        labels = (
+            nb.groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(vw))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return labels.select(
+        F.col("v").cast("long").alias("v"),
+        F.col("lab").cast("long").alias("community"),
+    )
