@@ -1707,3 +1707,124 @@ def e09_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).alias("n_correct"),
         F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# q86: EWMA VOLUME-ANOMALY detection -- the monitoring twin of q83 (PSI
+# watches the value DISTRIBUTION drift; q86 watches event VOLUME): per
+# event type, the daily count series is smoothed by an exponential
+# moving average (alpha=0.25) and each type publishes its top-3 most anomalous
+# days (|count/EWMA - 1|, the relative jump against the running mean --
+# a rank, not a fixed threshold, so the report stays meaningful at any
+# volume: relative day-to-day noise shrinks as 1/sqrt(n)). The corpus-sized work is ONE partial+final
+# count aggregate; the recurrence then runs per type over a
+# horizon-bounded daily series (365 rows/type/year -- safe inside a
+# single row), as a JVM struct-accumulator fold (q68's technique).
+# Exactness: the recurrence is the same IEEE double ops in the same
+# fixed (chronological) order on both engines -- alpha/1-alpha are
+# exact binary fractions and NO libm is involved, so the fold is
+# bit-identical, not merely close; the oracle replays it as a
+# per-type recursive CTE (double literals written 0.25e0 etc. to keep
+# DuckDB out of DECIMAL arithmetic).
+# --------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+), rec AS (
+  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS ewma,
+         CAST(NULL AS DOUBLE) AS prev
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.n, s.i,
+         0.25e0 * s.n + 0.75e0 * r.ewma, r.ewma
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+)
+SELECT event_type, day, n,
+       round(prev, 6) AS ewma_prev, round(n / prev, 6) AS ratio,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT event_type, day, n, prev,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(n / prev - 1e0) DESC, day
+         ) AS rn
+  FROM rec WHERE prev IS NOT NULL
+) WHERE rn <= 3
+"""
+
+
+@register(
+    "q86_ewma_anomaly",
+    oracle=_Q86_ORACLE,
+    doc="EWMA volume-anomaly monitor (alpha=0.25, top-3 relative jumps "
+    "per type against the running mean): one corpus count aggregate, "
+    "then a bit-identical JVM fold over each type's horizon-bounded "
+    "daily series; oracle replays the recurrence as a recursive CTE. "
+    "Rank boundaries are safe because the fold involves no libm: both "
+    "engines produce bit-identical doubles.",
+)
+def q86_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    row_t = (
+        "struct<day:string,n:bigint,prev:double,ratio:double>"
+    )
+    acc_t = f"struct<prev:double,rows:array<{row_t}>>"
+    init = F.struct(
+        F.lit(None).cast("double").alias("prev"),
+        F.array().cast(f"array<{row_t}>").alias("rows"),
+    ).cast(acc_t)
+
+    def step(acc, x):
+        prev = acc["prev"]
+        nd = x["n"].cast("double")
+        new_prev = F.when(
+            prev.isNull(), nd
+        ).otherwise(F.lit(0.25) * nd + F.lit(0.75) * prev)
+        row = F.struct(
+            x["day"].alias("day"),
+            x["n"].alias("n"),
+            prev.alias("prev"),
+            (nd / prev).alias("ratio"),
+        )
+        rows = F.when(prev.isNull(), acc["rows"]).otherwise(
+            F.concat(acc["rows"], F.array(row))
+        )
+        return F.struct(new_prev.alias("prev"), rows.alias("rows"))
+
+    folded = series.select(
+        "event_type",
+        F.aggregate(F.col("xs"), init, step, lambda a: a["rows"]).alias("rows"),
+    )
+    out = folded.select("event_type", F.explode("rows").alias("r"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("r.ratio") - F.lit(1.0))), F.asc(F.col("r.day"))
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.n").alias("n"),
+            F.round("r.prev", 6).alias("ewma_prev"),
+            F.round("r.ratio", 6).alias("ratio"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
