@@ -398,3 +398,41 @@ def test_t13_matches_classic_bpe_trainer(spark):
             bpe_greedy_merge(F.col("syms"), best["lhs"], best["rhs"]).alias("syms"),
         )
     assert got == expect, (got, expect)
+
+
+def test_q86_fold_is_bit_identical_to_sequential_reference(spark, sf_dir):
+    """q86's determinism argument is stronger than the e-series
+    accepted-risk class: the EWMA recurrence uses dyadic coefficients
+    and no libm, so the distributed fold must equal a sequential NumPy
+    replay BIT-FOR-BIT (==, not approx) -- including the unrounded
+    ratio that decides the rank."""
+    from collections import defaultdict
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        load_events,
+    )
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["n"]))
+    expect = {}
+    for t, xs in series.items():
+        xs.sort()
+        prev = None
+        for day, n in xs:
+            if prev is not None:
+                expect[(t, day)] = (prev, float(n) / prev)
+            prev = float(n) if prev is None else 0.25 * float(n) + 0.75 * prev
+    got = REGISTRY["q86_ewma_anomaly"].fn(spark, sf_dir).collect()
+    assert len(got) == 15  # 5 types x top 3
+    for r in got:
+        prev, ratio = expect[(r["event_type"], r["day"])]
+        assert r["ewma_prev"] == round(prev, 6), (r, prev)
+        assert r["ratio"] == round(ratio, 6), (r, ratio)
