@@ -153,13 +153,12 @@ ORDER BY sum(c) DESC, doc_id LIMIT {_Q62_TOPK}
 """
 
 
-@register(
-    "q62_bm25_topk",
-    oracle=_Q62_ORACLE,
-    doc="Okapi BM25 top-50 for a fixed 3-term query; arrays_overlap "
-    "pre-filter before explode, broadcast df table, TakeOrdered top-k.",
-)
-def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Okapi BM25 per-doc score (column ``_s``) for the pinned
+    3-term query -- q62's scoring stage, shared with e10's hybrid
+    fusion. Same plan shape: arrays_overlap pre-filter before the
+    explode, broadcast df table; contributions 9dp-rounded before the
+    per-doc sum so partial-agg order cannot flip downstream hashes."""
     from ..functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -187,9 +186,18 @@ def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(idf * (F.col("tf") * (_Q62_K1 + 1.0)) / denom, 9).alias("c"),
     )
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("_s"))
+
+
+@register(
+    "q62_bm25_topk",
+    oracle=_Q62_ORACLE,
+    doc="Okapi BM25 top-50 for a fixed 3-term query; arrays_overlap "
+    "pre-filter before explode, broadcast df table, TakeOrdered top-k.",
+)
+def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c").alias("_s"))
+        bm25_doc_scores(spark, sf_dir)
         .orderBy(F.desc("_s"), "doc_id")
         .limit(_Q62_TOPK)
         .select("doc_id", F.round("_s", 6).alias("bm25"))

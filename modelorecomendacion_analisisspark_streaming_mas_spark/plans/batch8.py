@@ -1828,3 +1828,122 @@ def q86_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e10: HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al.
+# 2009) -- the standard RAG pattern the catalog's two retrieval stacks
+# feed: q62's lexical BM25 list and an e01-shaped semantic cosine list
+# are fused on RANKS, rrf = sum 1/(60+rank). Fusing ranks rather than
+# scores is WHY the method works across incomparable scorers -- and why
+# the fusion stage here is float-safe: both engines compute
+# 1/(60+int) and one fixed-order addition, bit-identical; the only
+# float surfaces are the two upstream rank boundaries q62 and e01
+# already certify. Both lists are TakeOrdered-bounded (50) before any
+# ranking window (the t09 idiom), the fusion join is 50x50-row, and at
+# scale each list generator keeps its own plan (BM25's inverted-index
+# probe, ANN's IVF probe) untouched.
+# --------------------------------------------------------------------------
+
+_E10_K = 60  # RRF damping constant (Cormack et al. default)
+_E10_TOPK = 20
+_E10_LIST = 50
+_E10_QVEC = 0  # pinned query: document/embedding id 0
+
+_E10_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM base
+), tok AS (
+  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+  FROM base WHERE list_has_any(ws, ['spark', 'window', 'sort'])
+), tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM tok WHERE term IN ('spark', 'window', 'sort')
+  GROUP BY doc_id, term, dl
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)),
+           9) AS c
+  FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats
+), lexs AS (
+  SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_lex
+  FROM lexs QUALIFY rank_lex <= {_E10_LIST}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qv AS (SELECT v FROM e WHERE vec_id = {_E10_QVEC}
+), sems AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(qv.v, e.v)
+           / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM e, qv WHERE e.vec_id <> {_E10_QVEC}
+), sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_sem
+  FROM sems QUALIFY rank_sem <= {_E10_LIST}
+), fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.rank_lex, s.rank_sem,
+         coalesce(1e0 / ({_E10_K} + l.rank_lex), 0e0)
+           + coalesce(1e0 / ({_E10_K} + s.rank_sem), 0e0) AS rrf
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_sem AS BIGINT) AS rank_sem,
+       round(rrf, 9) AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+FROM fused QUALIFY rn <= {_E10_TOPK}
+"""
+
+
+@register(
+    "e10_rrf_hybrid",
+    oracle=_E10_ORACLE,
+    doc="Hybrid retrieval, reciprocal-rank fusion of q62's BM25 list and "
+    "an e01-shaped cosine list (k=60): rank-based fusion is bit-exact by "
+    "construction; both lists TakeOrdered-bounded before ranking, fusion "
+    "join is 50x50 rows.",
+)
+def e10_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_topk_bruteforce
+    from .batch6 import bm25_doc_scores
+
+    lex_order = [F.desc("_s"), F.asc("doc_id")]
+    lex = (
+        bm25_doc_scores(spark, sf_dir)
+        .orderBy(*lex_order)
+        .limit(_E10_LIST)
+        .withColumn(
+            "rank_lex", F.row_number().over(W.orderBy(*lex_order)).cast("long")
+        )
+        .select("doc_id", "rank_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == _E10_QVEC), k=_E10_LIST
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank_sem"))
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_E10_K) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_E10_K) + F.col("rank_sem")), F.lit(0.0))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "rank_lex", "rank_sem", rrf.alias("rrf_raw")
+    )
+    out_order = [F.desc("rrf_raw"), F.asc("doc_id")]
+    return (
+        fused.orderBy(*out_order)
+        .limit(_E10_TOPK)
+        .withColumn("rn", F.row_number().over(W.orderBy(*out_order)).cast("long"))
+        .select(
+            "doc_id", "rank_lex", "rank_sem",
+            F.round("rrf_raw", 9).alias("rrf"), "rn",
+        )
+    )
