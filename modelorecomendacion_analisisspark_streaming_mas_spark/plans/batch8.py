@@ -1947,3 +1947,69 @@ def e10_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 9).alias("rrf"), "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q87: K-ANONYMOUS RELEASE aggregation -- the governance step before a
+# corpus statistics table leaves the pipeline: publish per-(source,
+# lang) doc counts and char totals, but any cell with fewer than k=5
+# docs is PRIMARY-SUPPRESSED and rolled into a per-source
+# '__suppressed__' remainder row, so small cells never leak and source
+# totals are preserved exactly. Two-level aggregation: one corpus-sized
+# partial+final agg to the cell table, then cell-table-sized regroup --
+# the suppression decision never touches row data. Integer-only.
+# (The remainder row is retained even when it is itself small --
+# standard primary suppression; complementary-suppression audits are a
+# release-review concern, not a query concern.)
+# --------------------------------------------------------------------------
+
+_Q87_K = 5
+
+_Q87_ORACLE = f"""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source,
+       CASE WHEN n < {_Q87_K} THEN '__suppressed__' ELSE lang END AS lang_out,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN n < {_Q87_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_suppressed
+FROM cells
+GROUP BY source, CASE WHEN n < {_Q87_K} THEN '__suppressed__' ELSE lang END
+"""
+
+
+@register(
+    "q87_kanon_release",
+    oracle=_Q87_ORACLE,
+    doc="k-anonymous release aggregation (k=5): per-(source,lang) cells "
+    "with <k docs are primary-suppressed into a per-source remainder row "
+    "preserving exact totals; corpus agg + cell-table regroup, "
+    "integer-only.",
+)
+def q87_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+    lang_out = F.when(
+        F.col("n") < _Q87_K, F.lit("__suppressed__")
+    ).otherwise(F.col("lang"))
+    return (
+        cells.select(
+            "source",
+            lang_out.alias("lang_out"),
+            "n",
+            "chars",
+            (F.col("n") < _Q87_K).cast("long").alias("supp"),
+        )
+        .groupBy("source", "lang_out")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("sum_chars"),
+            F.sum("supp").cast("long").alias("n_cells_suppressed"),
+        )
+    )
