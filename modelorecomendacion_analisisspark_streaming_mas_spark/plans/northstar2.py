@@ -778,3 +778,115 @@ def e06_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mm07: VIDEO SCENE-CUT detection -- the step that turns mm03's frame
+# PLAN into clip boundaries (training-clip extraction segments video at
+# scene cuts, not fixed offsets). A 10% sampled video QA pass: each
+# planned frame is synthesized as a REAL PNG (frame-seeded pixels,
+# same md5-block scheme as mm02) and goes through the genuine
+# encode -> decode -> feature path (mapInPandas, Arrow batches); a cut
+# fires where consecutive frames' mean luminance jumps >= 8 levels.
+# Exactness rides mm02's certified machinery: f_mean is half-up-6
+# quantized from exact integer sums on BOTH engines, the per-video lag
+# compares identical doubles, so the threshold decision cannot
+# diverge. Scale: the decode pass is frame-count-sized (sampled), the
+# lag window is partitioned by video, and each video's frame list is
+# horizon-bounded by its duration.
+# --------------------------------------------------------------------------
+
+_MM07_TH = 8.0
+
+_MM07_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id AS vid, text AS dtext,
+         (length(text) % 2 * 6 + 24)::DOUBLE AS fps,
+         (length(text) % 20 + 1)::DOUBLE AS duration_s
+  FROM documents WHERE doc_id % 10 = 0
+), fr AS (
+  SELECT vid, i, CAST(floor(i * 2.0 * fps) AS BIGINT) AS frame_idx,
+         dtext || '#f' || CAST(floor(i * 2.0 * fps) AS BIGINT)::VARCHAR AS text
+  FROM d0, unnest(generate_series(0, CAST(floor(duration_s / 2.0) AS INT))) AS t(i)
+), dd AS (
+  SELECT vid, i, frame_idx, text,
+         octet_length(encode(text)) % 16 + 8 AS height,
+         octet_length(encode(text)) % 24 + 8 AS width
+  FROM fr
+), px AS (
+  SELECT vid, i, frame_idx, height * width AS npx, {_MM02_PX} AS p FROM dd
+), fm AS (
+  SELECT vid, i, frame_idx,
+         floor(list_sum(p)::DOUBLE / npx * 1000000.0 + 0.5) / 1000000.0 AS f_mean
+  FROM px
+), lagd AS (
+  SELECT vid, i, frame_idx,
+         f_mean - lag(f_mean) OVER (PARTITION BY vid ORDER BY i) AS delta
+  FROM fm
+)
+SELECT vid, CAST(i AS BIGINT) AS i, frame_idx, round(delta, 6) AS delta
+FROM lagd WHERE abs(delta) >= {_MM07_TH}
+"""
+
+
+@register(
+    "mm07_scene_cuts",
+    oracle=_MM07_ORACLE,
+    doc="Video scene-cut detection over mm03's frame plan: sampled "
+    "videos' frames synthesized as real PNGs (frame-seeded md5 pixels), "
+    "decoded through the mm02 feature path, cut where consecutive "
+    "f_mean jumps >= 8; per-video lag window, frame-count-sized decode "
+    "pass.",
+)
+def mm07_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.multimodal import (
+        decode_image,
+        extract_image_features,
+        synth_png_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    meta = docs.select(
+        F.col("doc_id").alias("vid"),
+        F.col("text").alias("dtext"),
+        ((F.length("text") % 2) * 6 + 24).cast("double").alias("fps"),
+        ((F.length("text") % 20) + 1).cast("double").alias("duration_s"),
+    )
+    frames = (
+        meta.select(
+            "vid",
+            "dtext",
+            "fps",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor(F.col("duration_s") / 2.0).cast("int")
+                )
+            ).alias("i"),
+        )
+        .withColumn(
+            "frame_idx", F.floor(F.col("i") * 2.0 * F.col("fps")).cast("long")
+        )
+        .withColumn("fuid", F.expr("vid * 100 + i"))
+        .withColumn(
+            "ftext", F.concat("dtext", F.lit("#f"), F.col("frame_idx"))
+        )
+    )
+    feats = extract_image_features(
+        synth_png_table(spark, frames, "fuid", "ftext"), decode=decode_image
+    )
+    fm = feats.join(
+        frames.select("fuid", "vid", "i", "frame_idx"),
+        feats.id == F.col("fuid"),
+    ).select("vid", "i", "frame_idx", F.element_at("features", 1).alias("f_mean"))
+    w = W.partitionBy("vid").orderBy("i")
+    lagd = fm.withColumn(
+        "delta", F.col("f_mean") - F.lag("f_mean").over(w)
+    )
+    return lagd.filter(F.abs("delta") >= _MM07_TH).select(
+        "vid",
+        F.col("i").cast("long").alias("i"),
+        "frame_idx",
+        F.round("delta", 6).alias("delta"),
+    )
