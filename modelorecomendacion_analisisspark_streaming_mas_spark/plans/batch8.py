@@ -1591,7 +1591,18 @@ def t13_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("freq").alias("n"))
             )
             # O(1) driver rows: the argmax merge is the model being learned
-            best = pairs.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()[0]
+            rows = pairs.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()
+            if not rows:
+                # degenerate corpus (no adjacent pair anywhere -- every
+                # word fully merged or all words single-char): fail
+                # loudly rather than emit a short merge table that would
+                # silently diverge from the oracle's empty b{r} rows
+                raise ValueError(
+                    f"t13: no symbol pairs left in round {r} of "
+                    f"{_T13_ROUNDS} -- corpus too degenerate for the "
+                    "pinned merge count"
+                )
+            best = rows[0]
             merges.append(
                 (r, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], int(best["n"]))
             )
@@ -1678,11 +1689,12 @@ def e09_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select("vec_id", "label")
     probes = emb.filter(F.col("vec_id") < _E09_PROBES)
     top = cosine_topk_bruteforce(emb, probes, k=_E09_K)
+    # broadcast the PROBE-SIZED sides, never the corpus label table:
+    # `top` is <= probes*k rows, and the truth join needs only the
+    # probe rows of `labels` -- both O(probe suite) by construction
+    nb_labels = labels.withColumnRenamed("label", "nb_label")
     votes = (
-        top.join(
-            F.broadcast(labels.withColumnRenamed("label", "nb_label")),
-            top.neighbor_id == labels.vec_id,
-        )
+        nb_labels.join(F.broadcast(top), nb_labels.vec_id == top.neighbor_id)
         .drop("vec_id")
         .groupBy("query_id", "nb_label")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1693,7 +1705,7 @@ def e09_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .join(
             F.broadcast(
-                labels.select(
+                labels.filter(F.col("vec_id") < _E09_PROBES).select(
                     F.col("vec_id").alias("query_id"),
                     F.col("label").alias("true_label"),
                 )
@@ -1850,6 +1862,11 @@ _E10_TOPK = 20
 _E10_LIST = 50
 _E10_QVEC = 0  # pinned query: document/embedding id 0
 
+# the lexical CTEs must track q62's constants: the Spark side reuses
+# bm25_doc_scores, so a drifting copy here would be a silent future
+# hash mismatch
+from .batch6 import _Q62_B, _Q62_K1, _Q62_TERMS_SQL  # noqa: E402
+
 _E10_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1857,10 +1874,10 @@ WITH base AS (
   SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM base
 ), tok AS (
   SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
-  FROM base WHERE list_has_any(ws, ['spark', 'window', 'sort'])
+  FROM base WHERE list_has_any(ws, [{_Q62_TERMS_SQL}])
 ), tf AS (
   SELECT doc_id, term, dl, count(*) AS tf
-  FROM tok WHERE term IN ('spark', 'window', 'sort')
+  FROM tok WHERE term IN ({_Q62_TERMS_SQL})
   GROUP BY doc_id, term, dl
 ), df_t AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -1868,8 +1885,8 @@ WITH base AS (
   SELECT tf.doc_id,
          round(
            ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
-           * (tf.tf * (1.2 + 1.0))
-           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)),
+           * (tf.tf * ({_Q62_K1} + 1.0))
+           / (tf.tf + {_Q62_K1} * (1.0 - {_Q62_B} + {_Q62_B} * tf.dl / stats.avgdl)),
            9) AS c
   FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats
 ), lexs AS (

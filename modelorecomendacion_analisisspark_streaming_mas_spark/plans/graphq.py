@@ -721,21 +721,20 @@ def g09_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # loop-invariant: the fact join runs ONCE; rounds reuse the frame
-        .localCheckpoint(eager=True)
+        # the fact join runs ONCE: only the symmetrized frame below is
+        # checkpointed (und feeds it exactly once)
     )
-    verts = (
-        und.select(F.col("a").alias("v"))
-        .union(und.select(F.col("b").alias("v")))
-        .distinct()
-    )
+    # symmetrize ONCE so each round is a single labels join keyed on src
+    # (two joins per round would double the per-round shuffle work)
+    sym = und.select(F.col("a").alias("dst"), F.col("b").alias("src")).unionAll(
+        und.select(F.col("b").alias("dst"), F.col("a").alias("src"))
+    ).localCheckpoint(eager=True)
+    verts = sym.select(F.col("dst").alias("v")).distinct()
     labels = verts.select("v", F.col("v").alias("lab"))
     vw = W.partitionBy("v").orderBy(F.desc("n"), F.asc("lab"))
     for _ in range(_G09_ROUNDS):
-        nb = und.join(labels, und.b == labels.v).select(
-            und.a.alias("v"), "lab"
-        ).unionAll(
-            und.join(labels, und.a == labels.v).select(und.b.alias("v"), "lab")
+        nb = sym.join(labels, sym.src == labels.v).select(
+            F.col("dst").alias("v"), "lab"
         )
         labels = (
             nb.groupBy("v", "lab")

@@ -1211,6 +1211,10 @@ FROM counts
 
 _EMB_STAGED: dict[str, str] = {}
 
+# last run's partials store, exposed so tests can pin the per-batch
+# O(#centroids) append contract (the incremental property itself)
+_S28_LAST_PARTS_DIR: str | None = None
+
 
 @atexit.register
 def _cleanup_emb_staged() -> None:
@@ -1307,8 +1311,17 @@ def s28_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    global _S28_LAST_PARTS_DIR
+    _S28_LAST_PARTS_DIR = parts_dir
     counts = (
         spark.read.parquet(parts_dir)
+        # idempotent merge: foreachBatch is at-least-once, so a batch
+        # retried after its append committed leaves a duplicate
+        # (cid, epoch) row-group; per-epoch counts are deterministic
+        # (file replay), so max-per-(cid,epoch) collapses retries
+        # before the cross-epoch sum
+        .groupBy("cid", "epoch")
+        .agg(F.max("n").alias("n"))
         .groupBy("cid")
         .agg(F.sum("n").cast("long").alias("n_vectors"))
     )

@@ -754,6 +754,10 @@ def test_s28_ingest_partials_are_centroid_bounded(spark, sf_dir):
         load_table,
     )
 
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
+        streamq,
+    )
+
     out = REGISTRY["s28_stream_ivf_ingest"].fn(spark, sf_dir).collect()
     n_emb = load_table(spark, sf_dir, "embeddings").count()
     n_cent = (
@@ -764,3 +768,13 @@ def test_s28_ingest_partials_are_centroid_bounded(spark, sf_dir):
     assert sum(r["n_vectors"] for r in out) == n_emb
     assert len(out) <= n_cent
     assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-4
+    # the INCREMENTAL property itself: inspect the partials store -- one
+    # O(#centroids) row-group per epoch, never a per-vector table
+    parts = spark.read.parquet(streamq._S28_LAST_PARTS_DIR).collect()
+    by_epoch: dict = {}
+    for r in parts:
+        by_epoch.setdefault(r["epoch"], 0)
+        by_epoch[r["epoch"]] += 1
+    assert len(by_epoch) >= 2  # genuinely multi-batch
+    for epoch, n_rows in by_epoch.items():
+        assert n_rows <= n_cent, (epoch, n_rows)
