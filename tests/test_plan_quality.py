@@ -329,3 +329,43 @@ def test_d14_broadcasts_centroids_no_cartesian(spark):
     # full query (post-checkpoint): the pair join must be a cid equi-join
     p = _plan(spark, "d14_semantic_dedup")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q85_classifier_filter_single_shuffle(spark):
+    """The frozen-classifier sweep is scan-shaped: scoring is a
+    projection fused into the scan stage, so the per-source report is
+    the ONLY Exchange in the plan."""
+    p = _plan(spark, "q85_classifier_quality_filter")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_q87_kanon_two_level_agg_shuffles(spark):
+    """k-anonymous release is corpus agg -> cell-table regroup: exactly
+    two hash Exchanges (cells, then suppressed regroup), nothing else --
+    the suppression decision must never shuffle row data."""
+    p = _plan(spark, "q87_kanon_release")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("Exchange") == 2, p
+
+
+def test_q86_ewma_fold_bounded_shuffles(spark):
+    """EWMA anomaly: daily agg + per-type series fold -- two hash
+    Exchanges; the recurrence itself runs inside a projection (no
+    additional shuffle, no Python)."""
+    p = _plan(spark, "q86_ewma_anomaly")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("Exchange") == 2, p
+
+
+def test_e09_e10_broadcast_probe_sides_only(spark):
+    """The retrieval evals broadcast probe-sized frames (query vectors,
+    top lists, probe labels) -- broadcast joins must be present and no
+    plan may fall back to a cartesian product; the corpus side always
+    stays partitioned."""
+    for name in ("e09_knn_label_eval", "e10_rrf_hybrid"):
+        p = _plan(spark, name)
+        assert (
+            p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+        ), (name, p)
+        assert "CartesianProduct" not in p, name
