@@ -188,3 +188,33 @@ def test_striped_rank_equals_sorted_position(spark, rows, width):
     }
     want = {t: i + 1 for i, t in enumerate(sorted(rows))}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    st.sampled_from(["a", "b", "aa", "ab", "ba"]),
+    st.sampled_from(["a", "b", "aa", "ab", "ba"]),
+)
+def test_bpe_greedy_merge_matches_python_reference(spark, syms, lhs, rhs):
+    """t13's JVM fold == the textbook greedy left-to-right
+    non-overlapping merge for ARBITRARY symbol sequences and pairs --
+    including same-symbol runs, pairs absent from the word, and merged
+    symbols colliding with pair members."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        bpe_greedy_merge,
+    )
+
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == lhs and s == rhs:
+            out[-1] = lhs + rhs
+        else:
+            out.append(s)
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(bpe_greedy_merge(F.col("syms"), lhs, rhs).alias("m")).first()[
+        "m"
+    ]
+    assert got == out, (syms, lhs, rhs, got, out)
