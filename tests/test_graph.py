@@ -291,3 +291,66 @@ def test_kcore_reaches_fixpoint_and_every_survivor_qualifies(spark, sf_dir):
         + e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).filter(F.col("d") < _G07_K).count()
     )
     assert bad == 0
+
+
+def test_g09_lpa_matches_python_reference_on_random_graphs(spark):
+    """Synchronous LPA with the pinned (count DESC, label ASC)
+    tie-break must match a sequential reference on arbitrary small
+    undirected graphs -- the oracle pins one trade graph; this pins the
+    ALGORITHM."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(4, 9)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(n * 2)
+                )
+                if a != b
+            }
+        )
+        if not edges:
+            continue
+        # sequential reference: 4 synchronous rounds
+        verts = sorted({v for e in edges for v in e})
+        nbrs = {v: [] for v in verts}
+        for a, b in edges:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+        lab = {v: v for v in verts}
+        for _ in range(4):
+            new = {}
+            for v in verts:
+                counts: dict = {}
+                for u in nbrs[v]:
+                    counts[lab[u]] = counts.get(lab[u], 0) + 1
+                new[v] = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            lab = new
+        # distributed twin (same loop as g09, small-graph input)
+        und = spark.createDataFrame(edges, "a int, b int")
+        sym = und.select(
+            F.col("a").alias("dst"), F.col("b").alias("src")
+        ).unionAll(und.select(F.col("b").alias("dst"), F.col("a").alias("src")))
+        labels = sym.select(F.col("dst").alias("v")).distinct().select(
+            "v", F.col("v").alias("lab")
+        )
+        vw = W.partitionBy("v").orderBy(F.desc("n"), F.asc("lab"))
+        for _ in range(4):
+            nb = sym.join(labels, sym.src == labels.v).select(
+                F.col("dst").alias("v"), "lab"
+            )
+            labels = (
+                nb.groupBy("v", "lab")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("rn", F.row_number().over(vw))
+                .filter(F.col("rn") == 1)
+                .select("v", "lab")
+            )
+        got = {r["v"]: r["lab"] for r in labels.collect()}
+        assert got == lab, (trial, edges, got, lab)
