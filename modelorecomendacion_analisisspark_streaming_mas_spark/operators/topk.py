@@ -90,6 +90,13 @@ def striped_global_row_number(
             "stripe (coarser prefix / fewer buckets) so offsets stay "
             "driver-bounded"
         )
+    if any(row["_stripe"] is None for row in counts):
+        raise ValueError(
+            "striped_global_row_number: stripe expression produced NULL for "
+            "some rows (e.g. a null sort key, or width_bucket on a "
+            "degenerate min==max domain); make the stripe total -- coalesce "
+            "nulls into a dedicated bucket or filter them first"
+        )
     acc = 0
     offsets = []
     for row in sorted(counts, key=lambda r: r["_stripe"]):

@@ -192,9 +192,12 @@ WITH tokens AS (
 ), tot AS (
   SELECT sum(tc) AS tt, sum(rc) AS rt FROM lm
 ), ratio AS (
+  -- lr pre-rounded to 9dp BEFORE the per-doc sum (the q62 device): the
+  -- downstream sum runs in engine-dependent partial-agg order, and
+  -- unquantized libm ln() terms could flip a 6dp digit across engines.
   SELECT b,
-         ln((tc + 1) / CAST(tt + {_Q82_BUCKETS} AS DOUBLE))
-         - ln((rc + 1) / CAST(rt + {_Q82_BUCKETS} AS DOUBLE)) AS lr
+         round(ln((tc + 1) / CAST(tt + {_Q82_BUCKETS} AS DOUBLE))
+               - ln((rc + 1) / CAST(rt + {_Q82_BUCKETS} AS DOUBLE)), 9) AS lr
   FROM lm CROSS JOIN tot
 ), doc_w AS (
   SELECT t.doc_id, t.source, sum(r.lr) / count(*) AS w_mean
@@ -239,9 +242,11 @@ def q82_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lm.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
     ratio = lm.crossJoin(F.broadcast(tot)).select(
         "b",
-        (
+        # 9dp pre-round before the aggregating sum, mirroring the oracle
+        F.round(
             F.log((F.col("tc") + 1) / (F.col("tt") + _Q82_BUCKETS).cast("double"))
-            - F.log((F.col("rc") + 1) / (F.col("rt") + _Q82_BUCKETS).cast("double"))
+            - F.log((F.col("rc") + 1) / (F.col("rt") + _Q82_BUCKETS).cast("double")),
+            9,
         ).alias("lr"),
     )
     doc_w = (
@@ -302,18 +307,20 @@ WITH ranked AS (
 ), basket_size AS (
   SELECT o_custkey, count(*) AS n_rel FROM test_basket GROUP BY o_custkey
 ), hits AS (
+  -- 1/log2(pos+1) terms pre-rounded to 12dp before the sum (libm-ulp +
+  -- summation-order protection, the q62 device)
   SELECT b.o_custkey,
          count(r.pos) AS n_hits,
-         coalesce(sum(1.0 / log2(r.pos + 1)), 0.0) AS dcg
+         coalesce(sum(round(1.0 / log2(r.pos + 1), 12)), 0.0) AS dcg
   FROM test_basket b LEFT JOIN recs r ON b.l_partkey = r.l_partkey
   GROUP BY b.o_custkey
 ), per_user AS (
   SELECT h.o_custkey,
          CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END AS hit,
          h.n_hits / {_M07_K}.0 AS prec,
-         h.dcg / list_sum([1.0 / log2(i + 1)
-                           for i in generate_series(1, least({_M07_K}, s.n_rel))])
-           AS ndcg
+         round(h.dcg / list_sum([round(1.0 / log2(i + 1), 12)
+                           for i in generate_series(1, least({_M07_K}, s.n_rel))]),
+               9) AS ndcg
   FROM hits h JOIN basket_size s USING (o_custkey)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_users,
@@ -370,20 +377,25 @@ def m07_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("pos").alias("n_hits"),
-            F.coalesce(F.sum(1.0 / F.log2(F.col("pos") + 1)), F.lit(0.0)).alias(
-                "dcg"
-            ),
+            # 12dp pre-round of each 1/log2(pos+1) term, mirroring the
+            # oracle (libm-ulp + summation-order protection)
+            F.coalesce(
+                F.sum(F.round(1.0 / F.log2(F.col("pos") + 1), 12)), F.lit(0.0)
+            ).alias("dcg"),
         )
     )
-    # ideal DCG depends only on min(k, n_rel) -- a k-case expression, no join
-    idcg_vals = [sum(1.0 / __import__("math").log2(i + 1) for i in range(1, m + 1))
-                 for m in range(1, _M07_K + 1)]
+    # ideal DCG depends only on min(k, n_rel) -- a k-case expression, no
+    # join; terms quantized at 12dp exactly like the oracle's list_sum
+    idcg_vals = [
+        sum(round(1.0 / __import__("math").log2(i + 1), 12) for i in range(1, m + 1))
+        for m in range(1, _M07_K + 1)
+    ]
     m = F.least(F.lit(_M07_K), F.col("n_rel")).cast("int")
     idcg = F.element_at(F.array(*[F.lit(v) for v in idcg_vals]), m)
     per_user = hits.join(basket_size, "o_custkey").select(
         F.when(F.col("n_hits") > 0, 1).otherwise(0).alias("hit"),
         (F.col("n_hits") / float(_M07_K)).alias("prec"),
-        (F.col("dcg") / idcg).alias("ndcg"),
+        F.round(F.col("dcg") / idcg, 9).alias("ndcg"),
     )
     return per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -414,8 +426,11 @@ WITH cnt AS (
         FROM documents)
   GROUP BY doc_id, source, w
 ), ent AS (
+  -- c*log2(c) contributions pre-rounded to 9dp before the (engine-order-
+  -- dependent) sum, and the resulting entropy quantized at 9dp, so a
+  -- libm ulp cannot flip the 6dp digits or the low-entropy threshold.
   SELECT doc_id, source,
-         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy,
+         round(log2(sum(c)) - sum(round(c * log2(c), 9)) / sum(c), 9) AS entropy,
          count(*) / CAST(sum(c) AS DOUBLE) AS ttr
   FROM cnt GROUP BY doc_id, source
 )
@@ -445,8 +460,12 @@ def t10_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ent = cnt.groupBy("doc_id", "source").agg(
-        (
-            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        # 9dp pre-round of each c*log2(c) term + 9dp quantized entropy,
+        # mirroring the oracle (summation-order / libm-ulp protection)
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.round(F.col("c") * F.log2("c"), 9)) / F.sum("c"),
+            9,
         ).alias("entropy"),
         (F.count(F.lit(1)) / F.sum("c").cast("double")).alias("ttr"),
     )
@@ -1184,11 +1203,14 @@ WITH tagged AS (
   FROM cells c JOIN tot t USING (event_type)
 )
 SELECT event_type,
-       round(sum((pc - pb) * ln(pc / pb)), 6) AS psi,
-       round(sum((pc - pb) * ln(pc / pb)), 6) >= 0.2 AS drift_flag
+       round(sum(round((pc - pb) * ln(pc / pb), 9)), 6) AS psi,
+       round(sum(round((pc - pb) * ln(pc / pb), 9)), 6) >= 0.2 AS drift_flag
 FROM p GROUP BY event_type
 ORDER BY event_type
 """
+# per-bucket PSI contributions pre-rounded to 9dp before the sum (the q62
+# device): the 10-term sum runs in engine-dependent order over libm ln()
+# values, and an unquantized ulp could flip a 6dp digit or the 0.2 flag.
 
 
 @register(
@@ -1229,7 +1251,12 @@ def q83_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_base") + 1) / (F.col("t_base") + _Q83_BUCKETS).cast("double")).alias("pb"),
         ((F.col("n_cand") + 1) / (F.col("t_cand") + _Q83_BUCKETS).cast("double")).alias("pc"),
     )
-    psi = F.round(F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))), 6)
+    psi = F.round(
+        F.sum(
+            F.round((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb")), 9)
+        ),
+        6,
+    )
     return (
         p.groupBy("event_type")
         .agg(psi.alias("psi"))

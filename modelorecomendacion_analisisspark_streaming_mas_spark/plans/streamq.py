@@ -1066,6 +1066,11 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             verified.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("doc_id", "dup_of", "jaccard")
+            # foreachBatch is at-least-once: a retried micro-batch whose
+            # append already committed would re-append the same rows.
+            # Tag with the (stable-on-retry) epoch id so the read-back
+            # can collapse retries, mirroring s28's idempotent merge.
+            .withColumn("epoch", F.lit(int(epoch_id)))
         )
         best.write.mode("append").parquet(out_dir)
 
@@ -1076,7 +1081,13 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    raw = spark.read.parquet(out_dir)
+    wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"), F.asc("dup_of"))
+    return (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1159,7 +1170,10 @@ def s27_stream_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     psi = F.round(
-        F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))), 6
+        F.sum(
+            F.round((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb")), 9)
+        ),
+        6,
     )
     return (
         p.groupBy("event_type")

@@ -197,6 +197,11 @@ class _JsonlFileMessage(WriterCommitMessage):
 
 
 class JsonlDirStreamWriter(DataSourceStreamWriter):
+    # Foreign-token tmp files older than this are treated as orphans of a
+    # crashed/restarted query (which gets a fresh token) and swept at
+    # commit time, bounding _tmp/ across restarts.
+    FOREIGN_TMP_MAX_AGE_S = 3600.0
+
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
         # Per-query namespace token: the writer instance is created once per
@@ -236,10 +241,23 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
         # committed is by construction uncommitted garbage (a retried/
         # speculative task's orphan that never made it into a commit
         # message) -- sweep only our own prefix so a second query writing to
-        # the same path keeps its in-flight tmp files.
-        for orphan in _glob.glob(
-            _os.path.join(self.path, "_tmp", f"{self.query_token}-*.jsonl")
-        ):
+        # the same path keeps its in-flight tmp files.  Foreign-token files
+        # are swept only once they are OLD: a crashed/restarted query gets a
+        # fresh token, so without an age-based sweep its orphans would
+        # accumulate in _tmp/ forever; a generous threshold keeps the
+        # cross-query race fix (a live concurrent query's in-flight tmp
+        # files are seconds old, never hours).
+        import time as _time
+
+        now = _time.time()
+        for orphan in _glob.glob(_os.path.join(self.path, "_tmp", "*.jsonl")):
+            ours = _os.path.basename(orphan).startswith(f"{self.query_token}-")
+            try:
+                stale = now - _os.path.getmtime(orphan) > self.FOREIGN_TMP_MAX_AGE_S
+            except OSError:
+                continue  # already renamed/removed by its owner
+            if not (ours or stale):
+                continue
             try:
                 _os.remove(orphan)
             except OSError:

@@ -164,6 +164,14 @@ def test_striped_global_row_number_guards(spark):
             wide, [F.asc("v")], F.col("v"), max_stripes=10
         )
 
+    # a NULL stripe value (null sort key / degenerate width_bucket domain)
+    # must fail loudly, not crash the driver-side sorted() with a TypeError
+    nullable = spark.createDataFrame([(1, 1), (None, 2)], "v int, id int")
+    with _pytest.raises(ValueError, match="NULL"):
+        striped_global_row_number(
+            nullable, [F.asc("v"), F.asc("id")], (F.col("v") / F.lit(8)).cast("int")
+        )
+
 
 def test_bpe_encode_greedy_semantics(spark):
     """Pinned-merge BPE encode: greedy left-to-right, non-overlapping

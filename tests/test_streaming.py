@@ -599,6 +599,32 @@ def test_jsonl_dir_python_stream_writer_exactly_once(spark, sf_dir):
     assert len(manifests) >= 2
 
 
+def test_jsonl_dir_sweep_bounds_tmp_across_restarts(spark):
+    """Commit-time orphan sweep: own-token tmp files and OLD foreign-token
+    files (a crashed query's leftovers) are removed; a fresh foreign file
+    (a live concurrent query's in-flight write) survives -- _tmp/ stays
+    bounded across restarts without reintroducing the cross-query race."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        JsonlDirStreamWriter,
+    )
+
+    d = tempfile.mkdtemp(prefix="mras_jsonl_sweep_")
+    tmp = os.path.join(d, "_tmp")
+    os.makedirs(tmp)
+    ours = os.path.join(tmp, "tokA-deadbeef.jsonl")
+    foreign_old = os.path.join(tmp, "tokB-cafe.jsonl")
+    foreign_new = os.path.join(tmp, "tokC-beef.jsonl")
+    for p in (ours, foreign_old, foreign_new):
+        with open(p, "w") as f:
+            f.write("{}\n")
+    old = time.time() - 2 * JsonlDirStreamWriter.FOREIGN_TMP_MAX_AGE_S
+    os.utime(foreign_old, (old, old))
+    JsonlDirStreamWriter({"path": d, "queryToken": "tokA"}).commit([], batchId=0)
+    assert not os.path.exists(ours), "own-token orphan must be swept"
+    assert not os.path.exists(foreign_old), "stale foreign orphan must be swept"
+    assert os.path.exists(foreign_new), "fresh foreign in-flight file must survive"
+
+
 def test_stream_funnel_recomputes_exactly_under_out_of_order_arrival(spark):
     """A late-arriving view (earlier ts, later micro-batch) must flip a
     user's stage exactly as a batch recompute would: the ListState buffer
