@@ -379,6 +379,62 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return per_vertex
 
 
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    UNDIRECTED graph: every vertex starts as its own label; each round it
+    adopts the most frequent label among its neighbors. Returns
+    (id, label). GraphFrames' labelPropagation breaks frequency ties by
+    hash-partition order (nondeterministic run to run); this pins
+    count DESC, label ASC so results are reproducible and oracle-able
+    (the g09 catalog entry hash-certifies the same recurrence).
+
+    Scale shape: the edge table is symmetrized and checkpointed ONCE;
+    each round is one join keyed on src + one (vertex, label) partial
+    agg -- label frames are vertex-sized, never edge-sized. Isolated
+    vertices keep their own id as label.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    labels = vertices.select("id", F.col("id").alias("lab"))
+    vw = W.partitionBy("v").orderBy(F.desc("n"), F.asc("lab"))
+    for _ in range(max_iter):
+        nb = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("v"), "lab"
+        )
+        new = (
+            nb.groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(vw))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), "lab")
+        )
+        # isolated vertices (no neighbors) keep their current label
+        labels = (
+            vertices.select("id")
+            .join(labels.select("id", F.col("lab").alias("old")), "id", "left")
+            .join(new.select("id", F.col("lab").alias("upd")), "id", "left")
+            .select("id", F.coalesce("upd", "old").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lab").alias("label"))
+
+
 def bfs_levels(
     vertices: DataFrame,
     edges: DataFrame,

@@ -83,7 +83,7 @@ def g01_part_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _pagerank_oracle(iters: int = 10) -> str:
+def _pagerank_oracle(iters: int = 10, where: str = "") -> str:
     ctes = [
         _EDGES_SQL.strip(),
         """verts AS (
@@ -113,6 +113,7 @@ def _pagerank_oracle(iters: int = 10) -> str:
         + f"""
 SELECT id, round(rank, 6) AS pagerank
 FROM r{iters}
+{where}
 ORDER BY rank DESC, id
 LIMIT 100
 """
@@ -746,4 +747,45 @@ def g09_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").cast("long").alias("v"),
         F.col("lab").cast("long").alias("community"),
+    )
+
+
+# --------------------------------------------------------------------------
+# g10: the GraphFrames NOTEBOOK PIPELINE through the drop-in adapter --
+# the reference's Explorativa3.ipynb cell-12 shape (GraphFrame(v, e) with
+# a 'tipo' vertex attribute, .pageRank(resetProbability=0.15, maxIter=N),
+# filter one vertex class, order by pagerank) ported verbatim onto the
+# TPC-H bipartite graph, driver-certified against the same unrolled-CTE
+# oracle family as g02. 4 iterations (not the notebook's 10) keep the
+# bench cost of this ADAPTER-PATH certification low; the adapter forwards
+# to the identical pagerank() loop g02 already certifies at 10.
+# --------------------------------------------------------------------------
+
+_G10_ITERS = 4
+
+
+@register(
+    "g10_graphframe_notebook_port",
+    oracle=_pagerank_oracle(_G10_ITERS, where="WHERE id LIKE 'p%'"),
+    doc="GraphFrame adapter port of the reference notebook's pageRank "
+    "pipeline (GraphFrames_prueba/Explorativa3.ipynb cell 12): vertices "
+    "with a tipo attribute, pageRank through the adapter, part-class "
+    "top-100; oracle = unrolled PageRank CTEs filtered to parts.",
+)
+def g10_graphframe_notebook_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.graphframe import GraphFrame
+
+    vertices, edges = _shared_graph(spark, sf_dir)
+    # packed-long encoding: even = customer, odd = part (bipartite_graph_encoded)
+    v = vertices.withColumn(
+        "tipo", F.when(F.col("id") % 2 == 0, "customer").otherwise("part")
+    )
+    g = GraphFrame(v, edges)
+    pr = g.pageRank(resetProbability=0.15, maxIter=_G10_ITERS)
+    return (
+        pr.vertices.filter("tipo = 'part'")
+        .select(decode_vertex_id(F.col("id")).alias("id"), "pagerank")
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(100)
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
     )

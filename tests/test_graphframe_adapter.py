@@ -1,0 +1,185 @@
+"""GraphFrame drop-in adapter: the reference notebook's graphframes code
+(GraphFrames_prueba/Explorativa3.ipynb cells 2-17) must port verbatim --
+same construction, same surface, same column names -- with results agreeing
+with the package's oracle-verified algorithms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelorecomendacion_analisisspark_streaming_mas_spark.graph.graphframe import (
+    GraphFrame,
+)
+
+
+def _bipartite(spark):
+    """The notebook's user/movie bipartite shape (cells 3+12): vertices
+    carry a 'tipo' attribute; edges carry a rating weight. Users are
+    u1..u4, movies m1..m3."""
+    users = [("u1",), ("u2",), ("u3",), ("u4",)]
+    movies = [("m1",), ("m2",), ("m3",)]
+    v = spark.createDataFrame(
+        [(u, "user") for (u,) in users] + [(m, "movie") for (m,) in movies],
+        "id string, tipo string",
+    )
+    ratings = [
+        ("u1", "m1", 5.0),
+        ("u1", "m2", 3.0),
+        ("u2", "m1", 4.0),
+        ("u3", "m2", 2.0),
+        ("u3", "m3", 4.0),
+        ("u4", "m3", 1.0),
+    ]
+    e = spark.createDataFrame(ratings, "src string, dst string, weight double")
+    return GraphFrame(v, e)
+
+
+def test_notebook_cell2_construction_and_accessors(spark):
+    # cell 2 verbatim: v/e frames in, .vertices/.edges back out
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    g = GraphFrame(v, e)
+    assert g.vertices.collect() == v.collect()
+    assert g.edges.collect() == e.collect()
+    # contract violations fail loudly at construction
+    with pytest.raises(ValueError, match="id"):
+        GraphFrame(v.withColumnRenamed("id", "vid"), e)
+    with pytest.raises(ValueError, match="dst"):
+        GraphFrame(v, e.withColumnRenamed("dst", "to"))
+
+
+def test_notebook_cells7_11_degrees(spark):
+    g = _bipartite(spark)
+    # cells 7-11: inDegrees/outDegrees filtered to one id
+    in_m1 = g.inDegrees.filter(F.col("id") == "m1").collect()
+    assert in_m1 == [("m1", 2)] or (in_m1[0]["id"], in_m1[0]["inDegree"]) == ("m1", 2)
+    out_u1 = g.outDegrees.filter(F.col("id") == "u1").collect()
+    assert (out_u1[0]["id"], out_u1[0]["outDegree"]) == ("u1", 2)
+    # zero-degree vertices are omitted, matching the library
+    iso = spark.createDataFrame([("z", "user")], "id string, tipo string")
+    g2 = GraphFrame(g.vertices.unionByName(iso), g.edges)
+    assert g2.inDegrees.filter(F.col("id") == "z").count() == 0
+    assert g2.degrees.filter(F.col("id") == "z").count() == 0
+    # degrees = in + out
+    deg = {r["id"]: r["degree"] for r in g.degrees.collect()}
+    assert deg["u1"] == 2 and deg["m1"] == 2 and deg["m3"] == 2
+
+
+def test_notebook_cell12_pagerank_pipeline(spark):
+    """Cell 12 verbatim: pageRank(resetProbability=0.15, maxIter=10),
+    then filter vertices by tipo and order by pagerank -- the result
+    GraphFrame must carry every vertex attribute plus `pagerank`, and
+    agree with algorithms.pagerank."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.algorithms import (
+        pagerank,
+    )
+
+    g = _bipartite(spark)
+    pr = g.pageRank(resetProbability=0.15, maxIter=10)
+    top_movies = (
+        pr.vertices.filter("tipo='movie'")
+        .select("id", "pagerank")
+        .orderBy(F.desc("pagerank"))
+    )
+    rows = top_movies.collect()
+    assert [r["id"] for r in rows[:1]] and len(rows) == 3
+    want = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(
+            g.vertices.select("id"), g.edges, reset_prob=0.15, max_iter=10
+        ).collect()
+    }
+    for r in pr.vertices.collect():
+        assert abs(r["pagerank"] - want[r["id"]]) < 1e-12
+    # result edges carry the src-normalized weight, library-style
+    w = {(r["src"], r["dst"]): r["weight"] for r in pr.edges.collect()}
+    assert abs(w[("u1", "m1")] - 0.5) < 1e-12  # u1 has outDegree 2
+
+
+def test_pagerank_weight_col_extension(spark):
+    g = _bipartite(spark)
+    pr = g.pageRank(resetProbability=0.15, maxIter=10, weightCol="weight")
+    # u1's mass splits 5:3 between m1 and m2 instead of evenly
+    w = {(r["src"], r["dst"]): r["weight"] for r in pr.edges.collect()}
+    assert abs(w[("u1", "m1")] - 5.0 / 8.0) < 1e-12
+    assert abs(w[("u1", "m2")] - 3.0 / 8.0) < 1e-12
+    # unsupported library modes fail loudly, not silently wrong
+    with pytest.raises(NotImplementedError):
+        g.pageRank(tol=0.01)
+    with pytest.raises(NotImplementedError):
+        g.pageRank(maxIter=5, sourceId="u1")
+
+
+def test_notebook_cells15_17_connected_components(spark):
+    """Cells 15-17: connectedComponents() -> per-component sizes and a
+    (component, tipo) breakdown. The bipartite graph is one big component
+    plus an isolated vertex that must be its own component."""
+    g = _bipartite(spark)
+    iso = spark.createDataFrame([("z9", "user")], "id string, tipo string")
+    g2 = GraphFrame(g.vertices.unionByName(iso), g.edges)
+    cc = g2.connectedComponents()
+    assert set(cc.columns) == {"id", "tipo", "component"}
+    sizes = cc.groupBy("component").count().orderBy(F.desc("count"))
+    top = sizes.first()
+    assert top["count"] == 7 and top["component"] == "m1"  # smallest member id
+    assert cc.filter(F.col("id") == "z9").first()["component"] == "z9"
+    by_tipo = {
+        (r["component"], r["tipo"]): r["count"]
+        for r in cc.groupBy("component", "tipo").count().collect()
+    }
+    assert by_tipo[("m1", "user")] == 4 and by_tipo[("m1", "movie")] == 3
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Two planted cliques joined by one bridge edge: LPA must separate
+    them, keep isolated vertices as their own label, and be deterministic
+    across runs (the pinned tie-break)."""
+    ids = ["a1", "a2", "a3", "b1", "b2", "b3", "lone"]
+    v = spark.createDataFrame([(i,) for i in ids], "id string")
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),
+    ]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    g = GraphFrame(v, e)
+    r1 = {r["id"]: r["label"] for r in g.labelPropagation(maxIter=5).collect()}
+    r2 = {r["id"]: r["label"] for r in g.labelPropagation(maxIter=5).collect()}
+    assert r1 == r2, "pinned tie-break must make LPA deterministic"
+    assert r1["a1"] == r1["a2"] == r1["a3"]
+    assert r1["b1"] == r1["b2"] == r1["b3"]
+    assert r1["lone"] == "lone"
+
+
+def test_triangle_count_includes_zero_vertices(spark):
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["id"]: r["count"] for r in GraphFrame(v, e).triangleCount().collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_shortest_paths_map_semantics(spark):
+    # path a-b-c-d plus island e: unreachable landmarks are omitted from
+    # the map (library semantics), reachable ones carry hop counts
+    v = spark.createDataFrame([(x,) for x in "abcde"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    sp = GraphFrame(v, e).shortestPaths(landmarks=["a", "e"])
+    got = {r["id"]: dict(r["distances"]) for r in sp.collect()}
+    assert got["d"] == {"a": 3}
+    assert got["a"] == {"a": 0}
+    assert got["e"] == {"e": 0}
+
+
+def test_subgraph_helpers(spark):
+    g = _bipartite(spark)
+    sub = g.filterEdges(F.col("weight") >= 4.0).dropIsolatedVertices()
+    assert set(r["id"] for r in sub.vertices.collect()) == {"u1", "u2", "u3", "m1", "m3"}
+    only_users = g.filterVertices("tipo = 'user'")
+    assert only_users.edges.count() == 0  # all edges cross the partition
+    with pytest.raises(NotImplementedError):
+        g.find("(a)-[e]->(b)")
