@@ -221,9 +221,13 @@ def _s22_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _replayed_with_sentinel(spark, sf_dir)
     out_stream = timer_sessionize_per_user(stream, gap_min=_S22_GAP_MIN)
-    # 4 partitions: see the sizing note in s10 (~150 user keys).
+    # 16 partitions, not the 4 the other tws queries use: timer
+    # sessionization keeps a per-user event buffer, so the per-partition
+    # Python handler does real work (sort + gap walk per user) and wider
+    # state parallelism wins (measured 9.3s -> ~4s at sf0.1; the
+    # partition count never changes WHAT is emitted, only where).
     _, out = run_to_memory_sink(
-        out_stream, "append", shuffle_partitions=4, rocksdb_state=True
+        out_stream, "append", shuffle_partitions=16, rocksdb_state=True
     )
     return (
         out.filter(F.col("user_id") >= 0)  # drop the watermark sentinel's row

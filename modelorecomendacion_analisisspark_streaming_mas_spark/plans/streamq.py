@@ -943,6 +943,11 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exemplar doesn't need to push the full table through it
         stream.filter(F.col("user_id") % 4 == 0)
         .select("event_type", "value")
+        # widen the Python writer: without this the write stage inherits
+        # the scan's 2 tasks (one per staged file), serializing the
+        # row-at-a-time json.dumps; 8 writer tasks is how the sink is
+        # meant to scale (one temp file + manifest entry per task)
+        .repartition(8)
         .writeStream.format("jsonl_dir")
         .option("path", out_dir)
         .option("checkpointLocation", f"{out_dir}/_ckpt")
@@ -1074,13 +1079,22 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(probe)
-        .option("checkpointLocation", f"{out_dir}/_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the per-batch probe joins: each micro-batch
+    # handles ~1/4 of the odd docs, so 32-wide exchanges are pure task
+    # overhead (4 batches x several joins); at scale this is per-batch
+    # sizing, which never changes the per-doc best match.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     raw = spark.read.parquet(out_dir)
     wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"), F.asc("dup_of"))
     return (
@@ -1344,4 +1358,199 @@ def s28_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         "n_vectors",
         F.round(F.col("n_vectors") / F.col("t"), 6).alias("frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# s29: STREAMING SEMANTIC DEDUP -- d14's SemDeDup as an incremental
+# probe, completing the batch<->stream matrix for the third dedup family
+# (exact: d01/s04, MinHash-LSH: d02/s26, semantic: d14/s29). The static
+# half of the corpus (even vec_ids) is clustered ONCE by the pinned-
+# centroid quantizer and kept as the per-cluster index; new vectors
+# (odd vec_ids) arrive as a stream and each micro-batch (a) routes its
+# vectors to their nearest centroid (broadcast centroid table, O(batch x
+# #centroids)), (b) cosine-verifies ONLY against that cluster's index
+# list (never the corpus), (c) appends its per-vector best match tagged
+# with the epoch id; the read-back collapses at-least-once retries
+# (s28's idempotent-merge device).
+#
+# State boundedness at 100 TB: the per-batch probe state is the
+# broadcast centroid table (O(#centroids)) plus the touched index lists;
+# list sizes are capped by the same counted guard as d14 (_S29_MAX_LIST,
+# loud ValueError, never an OOM) -- a degenerate quantizer is an
+# operator error, not a silent quadratic join. Cf. reference streaming
+# apps' bounded-state aggregations (app3/live_counts.py) -- same
+# discipline, vector-valued state.
+# --------------------------------------------------------------------------
+
+_S29_STRIDE = 37
+_S29_TAU = 0.30
+_S29_MAX_LIST = 50_000
+
+_S29_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn
+         FROM n WHERE vec_id % {_S29_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 12) AS cc
+  FROM n, cent
+), ranked AS (
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+), lists AS (SELECT vec_id, v, nrm, cid FROM ranked WHERE crn = 1),
+idx AS (SELECT * FROM lists WHERE vec_id % 2 = 0),
+prb AS (SELECT * FROM lists WHERE vec_id % 2 = 1),
+pairs AS (
+  SELECT p.vec_id, i.vec_id AS dup_of,
+         round(list_dot_product(p.v, i.v) / (p.nrm * i.nrm), 12) AS cos
+  FROM prb p JOIN idx i ON p.cid = i.cid
+), best AS (
+  SELECT vec_id, dup_of, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, dup_of) AS rn
+  FROM pairs WHERE cos >= {_S29_TAU}
+)
+SELECT vec_id, CAST(dup_of AS BIGINT) AS dup_of, round(cos, 6) AS cos
+FROM best WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+@register(
+    "s29_stream_semantic_dedup_probe",
+    oracle=_S29_ORACLE,
+    doc="Streaming SemDeDup (d14's streaming twin): static per-cluster "
+    "index of even vec_ids under the pinned-centroid quantizer, odd "
+    "vec_ids replayed in micro-batches, per-batch centroid-route + "
+    "within-cluster cosine verify + best-match append (epoch-tagged, "
+    "retry-idempotent); union of batches == the batch answer (oracle).",
+)
+def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, _dot
+    from ..sources.readers import load_table, spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = (
+        spread(emb)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cent = (
+        n.filter(F.col("vec_id") % _S29_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        # the quantizer: built once, broadcast into every micro-batch
+        .localCheckpoint(eager=True)
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    idx = (
+        n.filter(F.col("vec_id") % 2 == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cc",
+            F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 12),
+        )
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .select(
+            "cid",
+            F.col("vec_id").alias("dup_of"),
+            F.col("v").alias("iv"),
+            F.col("nrm").alias("inrm"),
+        )
+        # the persistent index: clustered ONCE, probed by every batch
+        .localCheckpoint(eager=True)
+    )
+    # d14's anti-quadratic guard, applied to the HALF that persists: a
+    # degenerate quantizer routing everything to one centroid would make
+    # every probe batch join an O(corpus) list. Fail loudly instead.
+    hot = (
+        idx.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > _S29_MAX_LIST)
+        .take(1)
+    )
+    if hot:
+        raise ValueError(
+            f"s29: index cluster {hot[0]['cid']} holds {hot[0]['sz']} vectors "
+            f"(cap {_S29_MAX_LIST}); per-batch probes against it would be "
+            "unbounded -- increase centroid count (lower stride) and re-cluster"
+        )
+    staged = _staged_embeddings(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="mras_s29_out_")
+    _SINK_DIRS.append(out_dir)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+
+    def probe(batch_df, epoch_id):
+        batch = (
+            batch_df.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+            .localCheckpoint(eager=True)
+        )
+        assigned = (
+            batch.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "cc",
+                F.round(
+                    _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 12
+                ),
+            )
+            .withColumn("crn", F.row_number().over(wc))
+            .filter(F.col("crn") == 1)
+            .select("vec_id", "v", "nrm", "cid")
+        )
+        wb = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("dup_of"))
+        best = (
+            assigned.join(idx, "cid")
+            .withColumn(
+                "cos",
+                F.round(
+                    _dot(F.col("v"), F.col("iv")) / (F.col("nrm") * F.col("inrm")), 12
+                ),
+            )
+            .filter(F.col("cos") >= _S29_TAU)
+            .withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "dup_of", F.round("cos", 6).alias("cos"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        best.write.mode("append").parquet(out_dir)
+
+    # per-batch shuffle sizing (see s26): each batch carries ~1/4 of the
+    # odd vectors, so narrow exchanges beat 32-way task overhead; the
+    # width never changes WHICH best match a vector gets.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    raw = spark.read.parquet(out_dir)
+    # retries re-append identical per-epoch rows (deterministic file
+    # replay): collapse on (vec_id, epoch)-first ordering
+    wr = Window.partitionBy("vec_id").orderBy(
+        F.asc("epoch"), F.desc("cos"), F.asc("dup_of")
+    )
+    return (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "dup_of", "cos")
+        .orderBy("vec_id")
     )

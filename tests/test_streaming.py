@@ -804,3 +804,14 @@ def test_s28_ingest_partials_are_centroid_bounded(spark, sf_dir):
     assert len(by_epoch) >= 2  # genuinely multi-batch
     for epoch, n_rows in by_epoch.items():
         assert n_rows <= n_cent, (epoch, n_rows)
+
+
+def test_s29_hot_cluster_cap_fails_loudly(spark, sf_dir, monkeypatch):
+    """s29's bounded-state promise: a degenerate quantizer that overfills
+    one index cluster must raise the counted guard BEFORE any streaming
+    starts (never an unbounded per-batch join)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import streamq
+
+    monkeypatch.setattr(streamq, "_S29_MAX_LIST", 2)
+    with pytest.raises(ValueError, match=r"s29: index cluster .*\(cap 2\)"):
+        streamq.s29_stream_semantic_dedup_probe(spark, sf_dir)
