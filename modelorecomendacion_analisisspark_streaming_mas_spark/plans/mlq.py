@@ -224,6 +224,12 @@ def m02_cold_start_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("m05_implicit_als_recs", oracle=None)
 def m05_implicit_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (implicit variant): top-5 implicit-feedback recommendations.
+
+    Same BENCH-shape divergence as m01: trains rank=8/maxIter=8 so one
+    fit doesn't dominate the per-round bench; the reference's
+    rank=20/maxIter=15/regParam=0.1 shape is pinned and exercised in
+    tests/test_recommend.py."""
     from ..ml.recommend import build_implicit_als, implicit_interactions
 
     inter = implicit_interactions(spark, sf_dir).cache()
