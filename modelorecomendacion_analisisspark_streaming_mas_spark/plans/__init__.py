@@ -19,74 +19,51 @@ from . import batch7  # noqa: E402,F401
 from . import batch8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 6 rotation).
+# Registration-order policy (round 7 rotation).
 #
 # The driver's CORRECTNESS sweep samples at most ~50 queries per round *in
 # registration order*, so the order of this dict decides which queries get a
 # hard driver-side oracle run. Policy (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST: brand-new queries plus queries whose PLAN OR ORACLE
-#      changed this round (they must be re-greened under the driver, not
-#      just pytest). Anything not in a list below lands here automatically.
-#   2. STALE_R2 / STALE_R3: oldest driver check first. After r5, only 7
-#      hash-able entries date back to r2 (all judge-re-verified in r4);
-#      46 date back to r3.
-#   3. FRESH_R4 / FRESH_R5: re-checked last, oldest cohort first.
+#   1. VERIFY_FIRST: queries whose PLAN OR ORACLE changed this round (they
+#      must be re-greened under the driver, not just pytest). Anything not
+#      in a list below (i.e. brand-new) lands right after automatically.
+#   2. STALE_R3: the oldest official records -- r6 drained the whole r2
+#      cohort and the first 15 r3 entries; 30 entries still date to r3.
+#      All 30 fit inside the r7 window behind VERIFY_FIRST.
+#   3. FRESH_R4 / FRESH_R5 / FRESH_R6: re-checked last, oldest cohort
+#      first.
 #   4. Inherently rows-only samples (q17 Bernoulli, q44 HLL; m01/m02/m05
 #      ALS training) at the very end: a window slot spent on them can
 #      never upgrade to a hash match. (m01/m02/m05 sit at the tail of
 #      STALE_R3 for the same reason.)
 # ---------------------------------------------------------------------------
 
-# Materially changed in r6: e05 quantizes its pass-1 score (plan + oracle),
-# mm04 rides encode_wav's new half-away-from-zero quantization, s25 rides
-# the jsonl_dir sink's per-query tmp namespacing. The twelve BRAND-NEW r6
-# queries (s26, d13-d15, e08, g08, m07, t10-t12, q82, q83) are not listed
-# anywhere, so _apply_order auto-slots them directly after this group.
+# Materially changed in r7: s22/s25/s26 re-sized their streaming state /
+# writer / per-batch shuffle parallelism (result-identical by design, but
+# the execution paths must re-green under the driver); q81 rides the
+# arrow-batched dat DataSource reader; q82/q83/t10/m07/s27 pre-round their
+# libm-derived contributions before aggregation (plan AND oracle edits in
+# r7's determinism hardening). The BRAND-NEW r7 queries (g10, s29) are not
+# listed anywhere, so _apply_order auto-slots them directly after this
+# group.
 _VERIFY_FIRST = [
-    "e05_knn_truncated_rerank",
-    "mm04_audio_features",
+    "s22_stream_timer_sessions",
     "s25_stream_jsonl_sink",
-    # replay batching changed late in r6 (8 staged files -> 4, i.e. 4
-    # micro-batches -> 2): result-identical by construction, but the
-    # merge-sink execution path must re-green under the driver. s15 and
-    # s25 already sit in the window; s24 needs the explicit slot.
-    "s24_stream_upsert_snapshot",
+    "s26_stream_lsh_dedup_probe",
+    "q81_dat_source_roundtrip",
+    "q82_dsir_importance_weights",
+    "q83_psi_drift",
+    "t10_token_entropy",
+    "m07_ranking_metrics",
+    "s27_stream_psi_cells",
 ]
 
-# Last driver-checked in round 2 (the oldest official record); all seven
-# carry a round-4 judge re-verification (hash-exact), so they are stale in
-# the official record only.
-_STALE_R2 = [
-    "q21_asof_click_attribution",
-    "q23_salted_join_revenue",
-    "q29_semi_anti_customers",
-    "q33_group_regression",
-    "q40_gap_fill_daily",
-    "q45_recursive_month_spine",
-    "q48_training_data_pipeline",
-]
 
-# Last driver-checked in round 3 (oldest-first; whatever the 50-slot
-# window cuts off re-greens in r7 -- after the r6 verify-first + r2 group
-# that is the cohort's tail: s05/s06/s07 and the rows-only ALS trio).
+# Last driver-checked in round 3 (oldest-first). r6's window drained the
+# cohort's first 15 entries (now in _FRESH_R6); these 30 are the last of
+# r3 and ALL fit in the r7 window, closing out the cohort.
 _STALE_R3 = [
-    "s01_stream_tumbling_counts",
-    "s14_stream_left_outer_join",
-    "d01_exact_dedup_docs",
-    "d02_minhash_near_dups",
-    "d03_simhash_docs",
-    "t01_text_quality",
-    "t02_lang_id_confusion",
-    "t03_token_stats",
-    "t04_tfidf_top_terms",
-    "e01_knn_bruteforce",
-    "s11_stream_static_join",
-    "s12_stream_dynamic_session",
-    "g03_component_histogram",
-    "g04_trade_triangles",
-    "m03_item_item_cosine",
-    "s15_incremental_rollup",
     "s16_stream_quality_router",
     "s17_stream_static_anti_join",
     "mm03_video_frame_plan",
@@ -181,7 +158,6 @@ _FRESH_R5 = [
     "q71_kmv_sketch_setops",
     "e04_knn_pq_adc",
     "s13_stream_file_sink",
-    "s22_stream_timer_sessions",
     "d11_canonical_url_dedup",
     "q73_event_transition_bigrams",
     "t09_bpe_pair_counts",
@@ -198,7 +174,6 @@ _FRESH_R5 = [
     "s24_stream_upsert_snapshot",
     "e07_knn_filtered",
     "q80_source_score_calibration",
-    "q81_dat_source_roundtrip",
     "g07_kcore_summary",
     "q22_salted_group_count",
     "q24_distinct_counts",
@@ -223,6 +198,56 @@ _FRESH_R5 = [
     "g02_pagerank_top100",
 ]
 
+# Hash-exact in CORRECTNESS_r06 (50/50 green) and UNCHANGED since: the
+# freshest official record, re-checked dead last. (r6-checked entries whose
+# plan/oracle changed in r7 -- s25, s26, q82, q83, t10, m07, s27 -- sit in
+# _VERIFY_FIRST instead; the drained r2 cohort and r3 head land here.)
+_FRESH_R6 = [
+    "e05_knn_truncated_rerank",
+    "mm04_audio_features",
+    "s24_stream_upsert_snapshot",
+    "g08_clustering_coefficient",
+    "g09_label_propagation",
+    "mm07_scene_cuts",
+    "d13_duplicated_spans",
+    "e08_mmr_diversified",
+    "d14_semantic_dedup",
+    "d15_cdc_chunk_dedup",
+    "t11_zipf_fit",
+    "t12_bpe_encode",
+    "q84_token_budget_waterfill",
+    "q85_classifier_quality_filter",
+    "t13_bpe_train_merges",
+    "e09_knn_label_eval",
+    "q86_ewma_anomaly",
+    "e10_rrf_hybrid",
+    "q87_kanon_release",
+    "s28_stream_ivf_ingest",
+    "q21_asof_click_attribution",
+    "q23_salted_join_revenue",
+    "q29_semi_anti_customers",
+    "q33_group_regression",
+    "q40_gap_fill_daily",
+    "q45_recursive_month_spine",
+    "q48_training_data_pipeline",
+    "s01_stream_tumbling_counts",
+    "s14_stream_left_outer_join",
+    "d01_exact_dedup_docs",
+    "d02_minhash_near_dups",
+    "d03_simhash_docs",
+    "t01_text_quality",
+    "t02_lang_id_confusion",
+    "t03_token_stats",
+    "t04_tfidf_top_terms",
+    "e01_knn_bruteforce",
+    "s11_stream_static_join",
+    "s12_stream_dynamic_session",
+    "g03_component_histogram",
+    "g04_trade_triangles",
+    "m03_item_item_cosine",
+    "s15_incremental_rollup",
+]
+
 _ROWS_ONLY_TAIL = ["q17_sample_stats", "q44_hll_sketch_distinct"]
 
 
@@ -230,18 +255,18 @@ def _apply_order() -> None:
     order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
     placed = (
         set(order)
-        | set(_STALE_R2)
         | set(_STALE_R3)
         | set(_FRESH_R4)
         | set(_FRESH_R5)
+        | set(_FRESH_R6)
         | set(_ROWS_ONLY_TAIL)
     )
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]
-    order += [n for n in _STALE_R2 if n in REGISTRY]
     order += [n for n in _STALE_R3 if n in REGISTRY]
     order += [n for n in _FRESH_R4 if n in REGISTRY]
     order += [n for n in _FRESH_R5 if n in REGISTRY]
+    order += [n for n in _FRESH_R6 if n in REGISTRY]
     order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
     reordered = {n: REGISTRY[n] for n in order}
     assert len(reordered) == len(REGISTRY), "reorder dropped queries"

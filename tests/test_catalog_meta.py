@@ -55,20 +55,20 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
-        _STALE_R2,
         _STALE_R3,
         _VERIFY_FIRST,
     )
 
     window = list(REGISTRY)[:50]
-    # r6: front of the window is (a) anything brand-new or changed this
+    # r7: front of the window is (a) anything brand-new or changed this
     # round (plan/oracle edits must re-green under the driver, not just
-    # pytest), (b) the stalest entries (last checked r2, then r3),
-    # rotating forward per the freshness policy. Membership is asserted
-    # only for names actually REGISTERED -- some registrations are
-    # conditional on host capabilities (e.g. transformWithStateInPandas),
-    # and an absent query must skip the slot, not fail the test.
-    must_be_early = {n for n in (*_VERIFY_FIRST, *_STALE_R2) if n in REGISTRY}
+    # pytest), (b) the stalest entries (the last 30 r3 records -- the r2
+    # cohort drained in r6), rotating forward per the freshness policy.
+    # Membership is asserted only for names actually REGISTERED -- some
+    # registrations are conditional on host capabilities (e.g.
+    # transformWithStateInPandas), and an absent query must skip the
+    # slot, not fail the test.
+    must_be_early = {n for n in _VERIFY_FIRST if n in REGISTRY}
     missing = must_be_early - set(window)
     assert not missing, f"stale/unverified queries outside driver window: {missing}"
     # The remaining window slots drain the r3-stale cohort strictly
