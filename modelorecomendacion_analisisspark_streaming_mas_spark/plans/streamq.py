@@ -991,7 +991,13 @@ def _cleanup_doc_staged() -> None:
 
 
 def _staged_new_docs(spark: SparkSession, sf_dir: str) -> str:
-    """Odd-doc_id documents split across 4 parquet files for replay."""
+    """Odd-doc_id documents split across 2 parquet files for replay.
+
+    2 files -> 2 micro-batches (the s24 treatment): the probe index is
+    static, so per-doc best matches are independent of batching and the
+    halved per-batch fixed cost (plan + checkpoint + commit) changes
+    nothing about WHAT is emitted -- multi-batch replay semantics stay
+    exercised."""
     from ..sources.readers import load_table
 
     if sf_dir not in _DOC_STAGED:
@@ -1000,7 +1006,7 @@ def _staged_new_docs(spark: SparkSession, sf_dir: str) -> str:
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 2 == 1)
             .select("doc_id", "text")
-            .repartition(4, "doc_id")
+            .repartition(2, "doc_id")
             .write.mode("overwrite")
             .parquet(d)
         )
@@ -1018,7 +1024,7 @@ def _s26_oracle() -> str:
     "s26_stream_lsh_dedup_probe",
     oracle=_s26_oracle(),
     doc="Streaming incremental LSH dedup: static band index of the "
-    "existing corpus, new docs replayed in 4 micro-batches, per-batch "
+    "existing corpus, new docs replayed in 2 micro-batches, per-batch "
     "band-probe + Jaccard verify + per-doc best match appended; union "
     "of batches == d10's batch answer (oracle).",
 )
@@ -1080,8 +1086,8 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.write.mode("append").parquet(out_dir)
 
     # 8 shuffle partitions for the per-batch probe joins: each micro-batch
-    # handles ~1/4 of the odd docs, so 32-wide exchanges are pure task
-    # overhead (4 batches x several joins); at scale this is per-batch
+    # handles ~1/2 of the odd docs, so 32-wide exchanges are pure task
+    # overhead (2 batches x several joins); at scale this is per-batch
     # sizing, which never changes the per-doc best match.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
