@@ -356,8 +356,10 @@ WITH h AS (
          1.0 + (n_chars % 100) / 100.0 AS w
   FROM documents
 )
+-- rank on the 8dp-ROUNDED key (the q62/e05 quantize-before-rank device):
+-- the cut at position 200 must not depend on a 1-ulp libm ln() gap
 SELECT doc_id, source, round(-ln(u) / w, 8) AS k
-FROM h ORDER BY -ln(u) / w, doc_id LIMIT 200
+FROM h ORDER BY round(-ln(u) / w, 8), doc_id LIMIT 200
 """
 
 
@@ -375,12 +377,11 @@ def q57_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_hash32(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))) + 1
     ) / F.lit(4294967297.0)
     w = 1.0 + (F.col("n_chars") % 100) / 100.0
-    k = -F.log(u) / w
+    k = F.round(-F.log(u) / w, 8)
     return (
-        docs.select("doc_id", "source", k.alias("_k"))
-        .orderBy("_k", "doc_id")
+        docs.select("doc_id", "source", k.alias("k"))
+        .orderBy("k", "doc_id")
         .limit(200)
-        .select("doc_id", "source", F.round("_k", 8).alias("k"))
     )
 
 

@@ -425,8 +425,11 @@ WITH tok AS (
 ), c1 AS (
   SELECT w1, count(*) AS n1 FROM big GROUP BY w1
 ), doc_x AS (
+  -- per-bigram -ln pre-rounded to 9dp BEFORE the per-doc avg (the q62
+  -- device, same hardening as q82/t10): the avg runs in engine-dependent
+  -- partial-agg order and unquantized libm terms can flip a 6dp digit.
   SELECT big.doc_id, big.source,
-         avg(-ln(CAST(n12 AS DOUBLE) / n1)) AS doc_xent
+         avg(round(-ln(CAST(n12 AS DOUBLE) / n1), 9)) AS doc_xent
   FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
   GROUP BY big.doc_id, big.source
 )
@@ -461,7 +464,11 @@ def t08_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
         .groupBy("doc_id", "source")
-        .agg(F.avg(-F.log(F.col("n12").cast("double") / F.col("n1"))).alias("doc_xent"))
+        .agg(
+            F.avg(
+                F.round(-F.log(F.col("n12").cast("double") / F.col("n1")), 9)
+            ).alias("doc_xent")
+        )
     )
     return doc_x.groupBy("source").agg(
         F.round(F.avg("doc_xent"), 6).alias("avg_xent"),
