@@ -17,6 +17,7 @@ from . import batch5  # noqa: E402,F401
 from . import batch6  # noqa: E402,F401
 from . import batch7  # noqa: E402,F401
 from . import batch8  # noqa: E402,F401
+from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration-order policy (round 7 rotation).
