@@ -149,3 +149,129 @@ def t14_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# e11: SCALAR-QUANTIZED (SQ8) ANN -- the third codebook family next to
+# IVF (e03) and PQ (e04): each dimension is linearly quantized to 8 bits
+# against per-dimension [min, max] corpus stats (the faiss SQ8 /
+# Milvus SQ8 shape). Asymmetric scoring: the query stays float, the
+# corpus side is dequantized codes -- 4x memory cut (64 bytes vs 256)
+# with one multiply-add per dim, no codebook training.
+#
+# Scale shape: the stats pass is ONE partial-agg'd aggregate producing a
+# 64-value artifact (vs PQ's k-means); encode + dequant + dot are pure
+# in-row JVM array HOFs after a broadcast of the 1-row stats frame; the
+# only corpus-sized exchange is the per-query top-k window over n x |Q|
+# scored rows (|Q| = 10 broadcast queries). At 100 TB the stats and the
+# codes are persisted artifacts; scoring is scan-shaped.
+#
+# Determinism: codes are exact (floor over identically-ordered IEEE
+# arithmetic on both engines); the dot is the index-ordered left fold
+# both engines share; ranking happens on the 12dp-rounded score (e05
+# device).
+# --------------------------------------------------------------------------
+
+_E11_TOPK = 5
+
+_E11_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT unnest(generate_series(1, 64)) AS d
+), stats AS (
+  SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+  FROM e CROSS JOIN dims GROUP BY d
+), lists AS (
+  SELECT list(mn ORDER BY d) AS mns,
+         list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0e0 END ORDER BY d) AS ws
+  FROM stats
+), deq AS (
+  SELECT vec_id,
+         list_transform(v, (x, i) ->
+           mns[i] + least(greatest(floor((x - mns[i]) / ws[i] * 2.55e2),
+                                   0.0e0), 2.55e2) * ws[i] / 2.55e2) AS dv
+  FROM e CROSS JOIN lists
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.dv), 12) AS adot
+  FROM e q JOIN deq c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, round(adot, 6) AS approx_dot,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adot DESC, neighbor_id) AS BIGINT) AS rn
+FROM scored QUALIFY rn <= {_E11_TOPK}
+"""
+
+
+def sq8_dequantized(e: DataFrame) -> DataFrame:
+    """(vec_id, v) -> (vec_id, v, dv): SQ8 encode + dequantize against
+    per-dimension corpus [min, max]. Exposed for the invariant tests
+    (codes in [0,255]; reconstruction error bounded by one quantization
+    step per dimension)."""
+    dim = 64
+    stats = e.agg(
+        F.array(*[F.min(F.element_at("v", d + 1)) for d in range(dim)]).alias("mns"),
+        F.array(
+            *[
+                F.when(
+                    F.max(F.element_at("v", d + 1)) > F.min(F.element_at("v", d + 1)),
+                    F.max(F.element_at("v", d + 1)) - F.min(F.element_at("v", d + 1)),
+                ).otherwise(F.lit(1.0))
+                for d in range(dim)
+            ]
+        ).alias("ws"),
+    )
+    with_stats = e.crossJoin(F.broadcast(stats))
+    code = F.zip_with(
+        "v",
+        F.zip_with("mns", "ws", lambda mn, w: F.struct(mn.alias("mn"), w.alias("w"))),
+        lambda x, s: F.least(
+            F.greatest(F.floor((x - s["mn"]) / s["w"] * 255.0), F.lit(0.0)),
+            F.lit(255.0),
+        ),
+    )
+    dv = F.zip_with(
+        code,
+        F.zip_with("mns", "ws", lambda mn, w: F.struct(mn.alias("mn"), w.alias("w"))),
+        lambda c, s: s["mn"] + c * s["w"] / 255.0,
+    )
+    return with_stats.select("vec_id", "v", dv.alias("dv"))
+
+
+@register(
+    "e11_knn_sq8",
+    oracle=_E11_ORACLE,
+    doc="SQ8 scalar-quantized ANN (faiss/Milvus SQ8 shape): per-dim "
+    "8-bit linear codes against corpus [min,max] stats, asymmetric "
+    "float-query x dequantized-corpus dot, top-5 per query; stats pass "
+    "is one partial agg, everything else in-row JVM HOFs.",
+)
+def e11_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, _dot
+    from ..sources.readers import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = spread(emb).select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cand = sq8_dequantized(e)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("dv")), 12).alias("adot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _E11_TOPK)
+        .select("query_id", "neighbor_id", F.round("adot", 6).alias("approx_dot"), "rn")
+    )

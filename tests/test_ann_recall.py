@@ -293,3 +293,48 @@ def test_e08_mmr_actually_diversifies(spark):
     deltas = [mean_pair_sim(top_sel[q]) - mean_pair_sim(mmr_sel[q]) for q in mmr_sel]
     assert sum(deltas) / len(deltas) >= 0  # no net de-diversification
     assert max(deltas) > 0  # at least one query got measurably more diverse
+
+
+def test_sq8_codes_and_reconstruction_bounds(spark):
+    """SQ8 invariants: every dequantized value must sit inside its
+    dimension's [min, max] band and within one quantization step
+    (width/255) of the original -- the property that makes the 4x
+    memory cut safe to rank with."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.similarity import (
+        _as_double,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch9 import (
+        sq8_dequantized,
+    )
+
+    e = (
+        load_table(spark, SF001, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    )
+    out = sq8_dequantized(e)
+    # max |x - dv| per row, then global max, vs the max step width
+    err = out.select(
+        F.aggregate(
+            F.zip_with("v", "dv", lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda acc, d: F.greatest(acc, d),
+        ).alias("max_err")
+    ).agg(F.max("max_err").alias("worst")).collect()[0]["worst"]
+    stats = e.select(F.explode("v").alias("x")).agg(
+        (F.max("x") - F.min("x")).alias("span")
+    ).collect()[0]["span"]
+    # per-dim width <= global span; one step = width/255 <= span/255,
+    # allow 2 steps of slack for the clip at the band edges
+    assert err <= 2 * stats / 255, (err, stats)
+
+
+def test_sq8_ranking_close_to_bruteforce(spark, corpus_truth):
+    """SQ8 keeps far more of the true top-5 than chance even on the
+    structureless corpus -- 8-bit scalar codes are a much finer
+    approximation than PQ's 10-centroid codebooks."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch9 import (
+        e11_knn_sq8,
+    )
+
+    got = _pairs(e11_knn_sq8(spark, SF001).collect())
+    assert _recall(corpus_truth, got) >= 0.9
