@@ -876,27 +876,22 @@ LIMIT {_D15_TOPN}
 """
 
 
-@register(
-    "d15_cdc_chunk_dedup",
-    oracle=_D15_ORACLE,
-    doc="Content-defined chunking dedup (LBFS/rsync lineage): 5-token "
-    "window hash boundaries (per-token md5 + degree-4 polynomial, mod "
-    "16), exact chunk-hash duplicates across documents, per-doc "
-    "duplicated-token fraction; boundary detection is in-row JVM array "
-    "HOFs, cross-doc detection one groupBy.",
-)
-def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, n, clen, chash): content-defined
+    chunks of each document (the d15 chunker, shared with the s30
+    streaming probe -- identical expressions, so batch and stream chunk
+    IDENTITIES agree by construction).
+
+    Boundary hash = per-token md5 reduced once, combined per window by a
+    degree-4 polynomial (exact int64, same constants as rolling_hash):
+    one md5 per TOKEN instead of one md5 of a rebuilt 5-gram string per
+    POSITION -- 5x fewer hashes, zero string concatenation, identical
+    content-definition (window function of the same 5 tokens)."""
     w, mod = _D15_W, _D15_MOD
     tok = docs.select("doc_id", tokenize("text").alias("t")).filter(
         F.size("t") >= w
     )
     n = F.size("t")
-    # Boundary hash = per-token md5 reduced once, combined per window by a
-    # degree-4 polynomial (exact int64, same constants as rolling_hash):
-    # one md5 per TOKEN instead of one md5 of a rebuilt 5-gram string per
-    # POSITION -- 5x fewer hashes, zero string concatenation, identical
-    # content-definition (window function of the same 5 tokens).
     M = 2_147_483_647
     tok = tok.withColumn(
         "hs", F.transform("t", lambda x: md5_hash32(x) % F.lit(M))
@@ -924,7 +919,7 @@ def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.element_at(bs, j) + 1).alias("s"), F.element_at(bs, j + 1).alias("e")
         ),
     )
-    ch = (
+    return (
         tok.select("doc_id", "t", n.alias("n"), F.explode(spans).alias("sp"))
         .select(
             "doc_id",
@@ -937,6 +932,20 @@ def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chash"),
         )
     )
+
+
+@register(
+    "d15_cdc_chunk_dedup",
+    oracle=_D15_ORACLE,
+    doc="Content-defined chunking dedup (LBFS/rsync lineage): 5-token "
+    "window hash boundaries (per-token md5 + degree-4 polynomial, mod "
+    "16), exact chunk-hash duplicates across documents, per-doc "
+    "duplicated-token fraction; boundary detection is in-row JVM array "
+    "HOFs, cross-doc detection one groupBy.",
+)
+def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunk_frame(docs)
     dup = (
         ch.groupBy("chash")
         .agg(F.countDistinct("doc_id").alias("nd"))

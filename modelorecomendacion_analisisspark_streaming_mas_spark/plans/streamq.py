@@ -1560,3 +1560,159 @@ def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
         .select("vec_id", "dup_of", "cos")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# s30: STREAMING CDC-CHUNK DEDUP -- d15's content-defined-chunking dedup
+# as an incremental probe, the fourth batch<->stream dedup pairing
+# (exact d01/s04, MinHash-LSH d02/s26, semantic d14/s29, CDC d15/s30).
+# The even-doc half is chunked ONCE into a chunk-hash index; new (odd)
+# docs arrive in micro-batches, are chunked by the IDENTICAL in-row HOF
+# expressions (shared cdc_chunk_frame, so chunk identities agree by
+# construction), and each batch left-joins its chunk hashes against the
+# index to emit per-doc dup stats, epoch-tagged for retry idempotence.
+#
+# Scale shape: the index is a (chash)-keyed table, NOT broadcast (at
+# 100 TB it is corpus-sized); each micro-batch pays one batch-sized
+# chunk expansion + one hash-partitioned join against it -- the rsync/
+# storage-dedup ingestion economics. State never grows with the stream
+# here (static index exemplar); the d10/s26 maintenance pattern applies
+# unchanged if probed docs should also be indexed.
+# --------------------------------------------------------------------------
+
+
+def _s30_oracle() -> str:
+    from .batch8 import _D15_MOD, _D15_TOPN, _D15_W
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {_D15_W}
+), hsrc AS (
+  SELECT doc_id, t, len(t) AS n,
+         [('0x' || substr(md5(x), 1, 8))::UBIGINT % 2147483647 for x in t] AS hs
+  FROM tok
+), b AS (
+  SELECT doc_id, t, n,
+         [i for i in generate_series({_D15_W}, n)
+          if (hs[i-4] * 923521 + hs[i-3] * 29791 + hs[i-2] * 961
+              + hs[i-1] * 31 + hs[i]) % 2147483647 % {_D15_MOD} = 0] AS bounds
+  FROM hsrc
+), b2 AS (
+  SELECT doc_id, t, n,
+         list_prepend(0, [x for x in bounds if x < n] || [n]) AS bs
+  FROM b
+), spans AS (
+  SELECT doc_id,
+         unnest([{{'s': bs[j] + 1, 'e': bs[j + 1]}}
+                 for j in generate_series(1, len(bs) - 1)], recursive := true)
+  FROM b2
+), ch AS (
+  SELECT s.doc_id, s.e - s.s + 1 AS clen,
+         md5(array_to_string(b2.t[s.s:s.e], ' ')) AS chash
+  FROM spans s JOIN b2 USING (doc_id)
+), idx AS (
+  SELECT DISTINCT chash FROM ch WHERE doc_id % 2 = 0
+), per_doc AS (
+  SELECT c.doc_id,
+         count(*) AS n_chunks,
+         count(i.chash) AS n_dup_chunks,
+         coalesce(sum(c.clen) FILTER (WHERE i.chash IS NOT NULL), 0) AS dup_tokens
+  FROM ch c LEFT JOIN idx i USING (chash)
+  WHERE c.doc_id % 2 = 1
+  GROUP BY c.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       CAST(p.n_dup_chunks AS BIGINT) AS n_dup_chunks,
+       CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
+       round(p.dup_tokens / CAST(b2.n AS DOUBLE), 4) AS dup_token_frac
+FROM per_doc p JOIN b2 USING (doc_id)
+ORDER BY dup_token_frac DESC, doc_id
+LIMIT {_D15_TOPN}
+"""
+
+
+@register(
+    "s30_stream_cdc_dedup_probe",
+    oracle=_s30_oracle(),
+    doc="Streaming CDC-chunk dedup (d15's streaming twin, fourth "
+    "batch<->stream dedup family): static chunk-hash index of even "
+    "docs, odd docs replayed in micro-batches and chunked by the shared "
+    "cdc_chunk_frame expressions, per-batch hash join emits epoch-"
+    "tagged per-doc dup stats; union of batches == the batch answer.",
+)
+def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.readers import load_table as _lt
+    from .batch8 import _D15_TOPN, cdc_chunk_frame
+
+    docs = _lt(spark, sf_dir, "documents")
+    idx = (
+        cdc_chunk_frame(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("chash")
+        .distinct()
+        # the persistent chunk index: chunked ONCE, joined by every batch
+        .localCheckpoint(eager=True)
+        .withColumn("is_dup", F.lit(1))
+    )
+    staged = _staged_new_docs(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="mras_s30_out_")
+    _SINK_DIRS.append(out_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def probe(batch_df, epoch_id):
+        ch = cdc_chunk_frame(batch_df)
+        per_doc = (
+            ch.join(idx, "chash", "left")
+            .groupBy("doc_id", "n")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.count("is_dup").cast("long").alias("n_dup_chunks"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dup").isNotNull(), F.col("clen"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("dup_tokens"),
+            )
+            .select(
+                "doc_id",
+                "n_chunks",
+                "n_dup_chunks",
+                "dup_tokens",
+                F.round(F.col("dup_tokens") / F.col("n").cast("double"), 4).alias(
+                    "dup_token_frac"
+                ),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        per_doc.write.mode("append").parquet(out_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    raw = spark.read.parquet(out_dir)
+    # retries re-append identical per-epoch rows; collapse before ranking
+    wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"))
+    return (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_tokens", "dup_token_frac")
+        .orderBy(F.desc("dup_token_frac"), F.asc("doc_id"))
+        .limit(_D15_TOPN)
+    )
