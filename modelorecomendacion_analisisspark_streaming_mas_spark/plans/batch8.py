@@ -1825,6 +1825,14 @@ def q86_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return ewma_anomaly_report(daily)
+
+
+def ewma_anomaly_report(daily: DataFrame) -> DataFrame:
+    """(event_type, day, n) -> q86's top-3 anomaly report: the
+    bit-identical chronological EWMA fold + relative-jump ranking.
+    Shared with s31 (streaming twin), which feeds the SAME tiny daily
+    frame from streaming state -- the report logic never forks."""
     series = daily.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("day", "n"))).alias("xs")
     )

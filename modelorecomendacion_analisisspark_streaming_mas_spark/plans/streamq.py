@@ -1716,3 +1716,40 @@ def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_token_frac"), F.asc("doc_id"))
         .limit(_D15_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# s31: STREAMING EWMA VOLUME-ANOMALY monitor -- q86's monitoring twin in
+# the same relationship s27 has to q83, completing the monitoring
+# matrix: value-distribution drift (q83/s27) and volume anomalies
+# (q86/s31) both batch AND streaming. The per-(type, day) counts are an
+# incremental streaming aggregate whose state is bounded at |types| x
+# horizon-days rows FOREVER (the s20/s27 sketch-state argument); the
+# bit-identical chronological EWMA fold + ranking (shared
+# ewma_anomaly_report -- the report logic never forks from q86's) runs
+# on the final tiny state. Final answer == q86's batch answer (shared
+# oracle).
+# --------------------------------------------------------------------------
+
+from .batch8 import _Q86_ORACLE  # noqa: E402  (same import rationale as _Q83_ORACLE)
+
+
+@register(
+    "s31_stream_ewma_anomaly",
+    oracle=_Q86_ORACLE,
+    doc="Streaming EWMA volume-anomaly monitor: q86's daily cells as an "
+    "incremental streaming aggregate (state bounded at |types| x "
+    "horizon-days rows), the shared bit-identical EWMA fold on the "
+    "final state; oracle = q86's recursive-CTE SQL.",
+)
+def s31_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .batch8 import ewma_anomaly_report
+
+    stream = _replayed(spark, sf_dir)
+    daily_stream = stream.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    _, state = run_to_memory_sink(daily_stream, "complete", shuffle_partitions=8)
+    # |types| x |days| rows; materialize so the fold plans over a stable
+    # snapshot of the memory-sink view (the s27 device)
+    return ewma_anomaly_report(state.localCheckpoint(eager=True))
