@@ -455,6 +455,113 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 
 
+_BURST_BLOCK = 400  # samples per on/off gate block (mm08)
+
+
+def synth_wav_table_bursts(
+    spark, source_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Burst-gated variant of synth_wav_table (mm08's fixture): the same
+    text-seeded tone, but the amplitude is gated ON/OFF per 400-sample
+    block by md5 digest bytes (block b live iff h[3+b] >= 86, ~2/3 duty
+    cycle), so the clip has real speech-shaped activity segments for
+    energy-based segmentation to find. Same real 16-bit WAV container
+    round-trip; everything md5/length-derived, so an exact SQL oracle can
+    replay synthesis AND quantization (the mm04 argument)."""
+    from .codecs_stdlib import encode_wav
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                h = hashlib.md5(data).digest()
+                sr = 8000
+                n = len(data) % 1600 + 400
+                freq = int.from_bytes(h[:2], "big") % 1800 + 200
+                amp = (h[2] / 255.0) * 0.8 + 0.1
+                t = np.arange(n, dtype=np.float64) / sr
+                gate = np.array(
+                    [1.0 if h[3 + (i // _BURST_BLOCK)] >= 86 else 0.0 for i in range(n)]
+                )
+                pcm = amp * gate * np.sin(2 * np.pi * freq * t)
+                rows.append(
+                    {
+                        "id": int(rid),
+                        "content": encode_wav(pcm, sr),
+                        "meta": {
+                            "sample_rate": sr,
+                            "n_samples": n,
+                            "channels": 1,
+                            "format": "audio/wav",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "content", "meta"])
+
+    src = source_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(build, schema=AUDIO_SCHEMA)
+
+
+def audio_energy_segments(
+    df: DataFrame, decode=fake_decode_audio, frame: int = 200, threshold: float = 0.004
+) -> DataFrame:
+    """Energy-based activity segmentation (the VAD shape): decode ->
+    frame into ``frame``-sample windows -> mean-square energy per frame
+    -> frames above ``threshold`` are active -> runs of active frames
+    are segments. (id, content, meta) -> (id, n_frames, n_active,
+    n_segments, longest_run): ALL-INTEGER output, so the oracle contract
+    has no float surface at all -- the only cross-engine float work is
+    the threshold compare, whose operands are exact dyadic sums (the
+    mm04 argument: squares are k^2/2^30, frame sums fit 2^53).
+
+    Same bounded-memory Arrow mapInPandas contract as
+    extract_audio_features; per-row numpy, pipelined inside the scan."""
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, content, meta in zip(pdf["id"], pdf["content"], pdf["meta"]):
+                n = int(meta["n_samples"])
+                pcm = decode(content, n)
+                nf = (n + frame - 1) // frame
+                active = []
+                for f in range(nf):
+                    fp = pcm[f * frame : min((f + 1) * frame, n)]
+                    ms = float(np.sum(fp * fp)) / len(fp)
+                    active.append(ms > threshold)
+                n_seg, longest, cur = 0, 0, 0
+                for f, a in enumerate(active):
+                    if a:
+                        if f == 0 or not active[f - 1]:
+                            n_seg += 1
+                        cur += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                out.append(
+                    {
+                        "id": rid,
+                        "n_frames": nf,
+                        "n_active": int(sum(active)),
+                        "n_segments": n_seg,
+                        "longest_run": longest,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "n_frames", "n_active", "n_segments", "longest_run"],
+            )
+
+    return df.mapInPandas(
+        segs,
+        schema="id long, n_frames long, n_active long, n_segments long, "
+        "longest_run long",
+    )
+
+
 def image_average_hash(
     df: DataFrame, decode=fake_decode_image, hash_size: int = 8
 ) -> DataFrame:

@@ -275,3 +275,91 @@ def e11_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _E11_TOPK)
         .select("query_id", "neighbor_id", F.round("adot", 6).alias("approx_dot"), "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# mm08: AUDIO ACTIVITY SEGMENTATION (the VAD shape) -- the segment-level
+# audio primitive the multimodal family lacked: mm04 summarizes whole
+# clips (rms/zcr), mm08 finds WHERE the activity is. Fixture = burst-
+# gated tones through the REAL stdlib WAV encode->decode round-trip
+# (amplitude gated per 400-sample block by md5 digest bytes, ~2/3 duty),
+# so clips carry genuine on/off structure. Frames are 200 samples; a
+# frame is active iff its mean-square energy clears 0.004 (quiet blocks
+# decode to EXACT zeros after quantization; live blocks sit >= amp^2/2 =
+# 0.005 at the lowest amp -- a >=25% margin over any quantization
+# error). Output is ALL integers (frame/segment counts, longest run):
+# no float surface in the oracle contract at all; the oracle replays
+# synthesis + 16-bit quantization (the mm04 device) and does
+# gaps-and-islands in SQL.
+#
+# Scale shape: one mapInPandas pass pipelined inside the scan (the mm02/
+# mm04 Arrow contract), per-clip work O(samples); no shuffle at all
+# until the final ORDER BY id of a doc-count-sized frame.
+# --------------------------------------------------------------------------
+
+_MM08_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, md5(text) AS h,
+         octet_length(encode(text)) % 1600 + 400 AS n
+  FROM documents
+), meta AS (
+  SELECT id, n, h,
+         (('0x'||substr(h, 1, 4))::UINTEGER % 1800 + 200)::BIGINT AS freq,
+         (('0x'||substr(h, 5, 2))::UINTEGER / 255.0) * 0.8 + 0.1 AS amp
+  FROM d
+), pcm AS (
+  SELECT id, n,
+         [round((amp * (CASE WHEN ('0x'||substr(h, 2 * (3 + (i // 400)) + 1, 2))::UINTEGER >= 86
+                        THEN 1.0e0 ELSE 0.0e0 END))
+                * sin(((2 * pi()) * freq) * (i / 8000.0)) * 32767.0) / 32768.0
+          for i in generate_series(0, n - 1)] AS p
+  FROM meta
+), fr AS (
+  SELECT id, n, p, unnest(generate_series(0, (n + 199) // 200 - 1)) AS f
+  FROM pcm
+), fe AS (
+  SELECT id, f,
+         list_sum([x * x for x in p[f * 200 + 1 : least((f + 1) * 200, n)]])
+           / (least((f + 1) * 200, n) - f * 200) AS ms
+  FROM fr
+), act AS (
+  SELECT id, f FROM fe WHERE ms > 0.004e0
+), runs AS (
+  SELECT id, f, f - row_number() OVER (PARTITION BY id ORDER BY f) AS g
+  FROM act
+), seg AS (
+  SELECT id, count(*) AS run_len FROM runs GROUP BY id, g
+), agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(run_len) AS BIGINT) AS longest_run,
+         CAST(sum(run_len) AS BIGINT) AS n_active
+  FROM seg GROUP BY id
+)
+SELECT pcm.id,
+       CAST((n + 199) // 200 AS BIGINT) AS n_frames,
+       coalesce(n_active, 0) AS n_active,
+       coalesce(n_segments, 0) AS n_segments,
+       coalesce(longest_run, 0) AS longest_run
+FROM pcm LEFT JOIN agg USING (id)
+ORDER BY id
+"""
+
+
+@register(
+    "mm08_audio_segments",
+    oracle=_MM08_ORACLE,
+    doc="Audio activity segmentation (VAD shape): burst-gated tones "
+    "through the real WAV round-trip, 200-sample frame energies, "
+    "gaps-and-islands segments; all-integer output, oracle replays "
+    "synthesis + quantization.",
+)
+def mm08_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import (
+        audio_energy_segments,
+        decode_audio_wav,
+        synth_wav_table_bursts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_wav_table_bursts(spark, docs, "doc_id", "text")
+    return audio_energy_segments(media, decode=decode_audio_wav).orderBy("id")
