@@ -1753,3 +1753,131 @@ def s31_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |types| x |days| rows; materialize so the fold plans over a stable
     # snapshot of the memory-sink view (the s27 device)
     return ewma_anomaly_report(state.localCheckpoint(eager=True))
+
+
+# --------------------------------------------------------------------------
+# s32: STREAMING CONTAMINATION CHECK -- d06's benchmark decontamination
+# as an ingestion-time probe, the fifth batch<->stream pairing (exact
+# d01/s04, MinHash-LSH d02/s26, semantic d14/s29, CDC d15/s30,
+# contamination d06/s32). The benchmark slice's distinct word-5-gram
+# hashes are built ONCE and broadcast (an eval set is tiny by
+# construction -- the one dedup-family side that IS legitimately
+# broadcastable at 100 TB); every micro-batch of arriving docs shingles
+# in-row, hash-joins the broadcast set, and appends per-doc hit counts
+# epoch-tagged. The read-back collapses retries and aggregates per
+# source -- equal to d06's batch answer (shared oracle, verbatim).
+# --------------------------------------------------------------------------
+
+_CORPUS_STAGED: dict[str, str] = {}
+
+
+def _staged_corpus_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Non-benchmark documents (doc_id % 97 != 0) split across 2 parquet
+    files for replay (the s26 2-batch rationale)."""
+    from ..sources.readers import load_table
+
+    if sf_dir not in _CORPUS_STAGED:
+        d = tempfile.mkdtemp(prefix="mras_corpusstream_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 97 != 0)
+            .select("doc_id", "source", "text")
+            .repartition(2, "doc_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _CORPUS_STAGED[sf_dir] = d
+    return _CORPUS_STAGED[sf_dir]
+
+
+from .curation import _D06_ORACLE  # noqa: E402  (shared-oracle twin, same
+# import rationale as _Q83_ORACLE/_Q86_ORACLE)
+
+
+@register(
+    "s32_stream_contamination_probe",
+    oracle=_D06_ORACLE,
+    doc="Streaming contamination check (d06's streaming twin, fifth "
+    "batch<->stream dedup-family pairing): benchmark 5-gram hash set "
+    "built once and broadcast, non-benchmark docs replayed in "
+    "micro-batches, per-batch in-row shingle + broadcast hash join "
+    "appends epoch-tagged per-doc hit counts; per-source aggregate of "
+    "the union == d06's batch answer (shared oracle).",
+)
+def s32_stream_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_hash32, shingles, tokenize
+    from ..sources.readers import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(shingles(tokenize(F.col("text")), 5))
+            ).alias("s")
+        )
+        .select(md5_hash32(F.col("s")).alias("h"))
+        .distinct()
+        # the eval-set fingerprint: built once, broadcast to every batch
+        .localCheckpoint(eager=True)
+    )
+    staged = _staged_corpus_docs(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="mras_s32_out_")
+    _SINK_DIRS.append(out_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def probe(batch_df, epoch_id):
+        batch = batch_df.localCheckpoint(eager=True)
+        hashed = batch.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(tokenize(F.col("text")), 5))
+            ).alias("s"),
+        ).select("doc_id", md5_hash32(F.col("s")).alias("h"))
+        hits = (
+            hashed.join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("h").alias("n_hits"))
+        )
+        per_doc = (
+            batch.select("doc_id", "source")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        per_doc.write.mode("append").parquet(out_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    raw = spark.read.parquet(out_dir)
+    wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"))
+    return (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("n_contaminated"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+    )
