@@ -411,10 +411,37 @@ def edit1_neighborhood_join(
         )
         cands = all_pairs.unionByName(star).distinct()
     else:
-        a, b = ex.alias("a"), ex.alias("b")
+        # POSITION-AUGMENTED verification (the FastSS paper's trick): a
+        # candidate pair is within edit distance 1 IFF one side matched
+        # through its identity variant (equality / insertion / deletion)
+        # OR both deletions were at the SAME position (substitution
+        # there). Deleting the same position from both strings leaving
+        # identical remainders means they can differ nowhere else -- so
+        # the verify is two integer compares and one string equality,
+        # replacing a per-candidate levenshtein that dominated the
+        # operator (measured ~5.4s of d08's 8.5s at sf0.1).
+        var_pos = F.concat(
+            F.array(F.struct(F.col("_name").alias("_v"), F.lit(0).alias("_p"))),
+            F.expr(
+                "transform(sequence(1, length(_name)), i -> "
+                "struct(concat(substring(_name, 1, i-1), "
+                "substring(_name, i+1, 8192)) as _v, i as _p))"
+            ),
+        )
+        exp = df.select(
+            F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+        ).select("_id", "_name", F.explode(var_pos).alias("_s"))
+        exp = exp.select(
+            "_id", "_name", F.col("_s._v").alias("_v"), F.col("_s._p").alias("_p")
+        )
+        a, b = exp.alias("a"), exp.alias("b")
         cands = (
             a.join(
                 b, (F.col("a._v") == F.col("b._v")) & (F.col("a._id") < F.col("b._id"))
+            )
+            .filter(
+                (F.col("a._p") == 0) | (F.col("b._p") == 0)
+                | (F.col("a._p") == F.col("b._p"))
             )
             .select(
                 F.col("a._id").alias("id_a"),
@@ -422,8 +449,11 @@ def edit1_neighborhood_join(
                 F.col("a._name").alias("name_a"),
                 F.col("b._name").alias("name_b"),
             )
-            .distinct()
         )
+        return cands.withColumn(
+            "dist",
+            F.when(F.col("name_a") == F.col("name_b"), 0).otherwise(1).cast("int"),
+        ).distinct()
     return cands.select(
         "id_a", "id_b", "name_a", "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),

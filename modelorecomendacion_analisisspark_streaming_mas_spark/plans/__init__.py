@@ -43,12 +43,14 @@ from . import batch9  # noqa: E402,F401
 # Materially changed in r7: s22/s25/s26 re-sized their streaming state /
 # writer / per-batch shuffle parallelism (result-identical by design, but
 # the execution paths must re-green under the driver); q81 rides the
-# arrow-batched dat DataSource reader; q82/q83/t10/m07/s27 pre-round their
+# arrow-batched dat DataSource reader; d08 swaps its per-candidate
+# levenshtein for the position-augmented FastSS verify; q82/q83/t10/m07/s27 pre-round their
 # libm-derived contributions before aggregation (plan AND oracle edits in
 # r7's determinism hardening). The BRAND-NEW r7 queries (g10, s29) are not
 # listed anywhere, so _apply_order auto-slots them directly after this
 # group.
 _VERIFY_FIRST = [
+    "d08_fuzzy_edit1_join",
     "s22_stream_timer_sessions",
     "s25_stream_jsonl_sink",
     "s26_stream_lsh_dedup_probe",
@@ -81,7 +83,6 @@ _STALE_R3 = [
     "q54_schema_evolution_read",
     "q55_dq_expectations",
     "q56_batch_sessionization",
-    "d08_fuzzy_edit1_join",
     "q57_weighted_sample",
     "mm05_shard_manifest",
     "q58_equidepth_histogram",

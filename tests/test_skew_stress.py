@@ -191,3 +191,48 @@ def test_probe_index_cap_none_is_complete(spark):
     probe_sigs = minhash_signatures(probe, "doc_id", "text")
     full = lsh_probe_index(idx_sigs, probe_sigs).collect()
     assert len(full) == 5 * 30  # every (probe, index) pair survives distinct
+
+
+def test_fastss_position_verify_matches_levenshtein(spark):
+    """The position-augmented verify (identity-variant match OR same-
+    position deletions) must reproduce exact levenshtein<=1 semantics on
+    a corpus built to stress it: repeated characters, insertions,
+    deletions, substitutions, equal strings, and dist-2 traps that share
+    a deletion variant at DIFFERENT positions (e.g. 'ab' vs 'ba')."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        edit1_neighborhood_join,
+    )
+
+    rows = [
+        (1, "kitten"), (2, "sitten"), (3, "kittten"), (4, "kiten"),
+        (5, "kitten"), (6, "ab"), (7, "ba"), (8, "aab"), (9, "abb"),
+        (10, "aaab"), (11, "abab"), (12, "x"), (13, ""), (14, "xy"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_neighborhood_join(df, "id", "name").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    want = {
+        (ia, ib, lev(na, nb))
+        for (ia, na), (ib, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 1
+    }
+    assert got == want
