@@ -1771,6 +1771,13 @@ def s31_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORPUS_STAGED: dict[str, str] = {}
 
 
+@atexit.register
+def _cleanup_corpus_staged() -> None:
+    for d in _CORPUS_STAGED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _CORPUS_STAGED.clear()
+
+
 def _staged_corpus_docs(spark: SparkSession, sf_dir: str) -> str:
     """Non-benchmark documents (doc_id % 97 != 0) split across 2 parquet
     files for replay (the s26 2-batch rationale)."""
