@@ -415,7 +415,10 @@ def _dat_copy(spark: SparkSession, sf_dir: str) -> str:
                     F.col("o_totalprice").cast("string"),
                     F.col("o_orderstatus"),
                 ).alias("value")
-            ).write.mode("overwrite").text(d)
+            # 8 files -> 8 DS InputPartitions: files are the dat source's
+            # unit of parallelism, so the staged copy should exercise a
+            # parallel read, not a single-task one
+            ).repartition(8).write.mode("overwrite").text(d)
         )
         # drop Spark's _SUCCESS marker: the dat reader globs every file
         for junk in glob.glob(os.path.join(d, "_*")):
