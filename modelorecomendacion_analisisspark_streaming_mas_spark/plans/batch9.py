@@ -363,3 +363,103 @@ def mm08_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_wav_table_bursts(spark, docs, "doc_id", "text")
     return audio_energy_segments(media, decode=decode_audio_wav).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# d16: SOFT DEDUPLICATION -- reweighting instead of dropping (the
+# SoftDeDup idea: hard dedup throws away partially-duplicated documents
+# wholesale; soft dedup keeps them but shrinks their sampling weight by
+# how COMMON their content is corpus-wide). Each document's weight is
+# the exact integer ratio n_distinct_5grams / sum(corpus doc-frequency
+# of those 5grams): 1.0 for fully unique content, -> 1/k when every
+# 5-gram appears in k documents. Published per source: doc count, mean
+# weight, and how many docs fall below the 0.5 down-weight line.
+#
+# Scale shape: one shingle explode (O(total tokens)), one partial-agg'd
+# groupBy(hash) for doc frequencies, one hash-join back (both sides
+# corpus-sized -- honestly NOT broadcastable, unlike d06's tiny eval
+# set), one per-doc aggregate. Weights are exact integer ratios rounded
+# once -- no libm anywhere, so no float-boundary risk at the 0.5 gate
+# beyond the single deterministic round.
+# --------------------------------------------------------------------------
+
+_D16_GATE = 0.5
+
+_DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
+_DUCK_SH5 = (
+    "CASE WHEN len(t) >= 5 "
+    "THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)] "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+_D16_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS s FROM tok
+), hashed AS (
+  SELECT doc_id, source, {_DUCK_H32.format(expr='s')} AS h FROM sh
+), df AS (
+  -- (doc_id, h) pairs are already distinct (per-doc list_distinct), so
+  -- a plain count IS the doc frequency -- no two-phase distinct agg
+  SELECT h, count(*) AS nd FROM hashed GROUP BY h
+), w AS (
+  SELECT doc_id, source,
+         round(count(*) / CAST(sum(nd) AS DOUBLE), 6) AS weight
+  FROM hashed JOIN df USING (h)
+  GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(weight), 6) AS avg_weight,
+       CAST(count(*) FILTER (WHERE weight < {_D16_GATE}) AS BIGINT)
+         AS n_downweighted
+FROM w GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "d16_soft_dedup_weights",
+    oracle=_D16_ORACLE,
+    doc="Soft deduplication: per-doc sampling weight = n_distinct_5grams "
+    "/ sum(corpus doc-frequency of them) -- exact integer ratio, 1.0 "
+    "for unique content; per-source mean weight + count below the 0.5 "
+    "down-weight gate. Reweight-not-drop, the d01-d15 families' "
+    "complement.",
+)
+def d16_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hash32, shingles, tokenize
+    from ..sources.readers import spread
+
+    # spread: the shingle+md5 projection is the CPU-heavy stage and a
+    # small parquet arrives as one input partition (see readers.spread)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles(tokenize(F.col("text")), 5))).alias("s"),
+    ).select("doc_id", "source", md5_hash32(F.col("s")).alias("h"))
+    # materialize ONCE: both the doc-frequency agg and the weight join
+    # consume the same expanded relation (at 100 TB this is the persisted
+    # shingle table a soft-dedup pass would reuse anyway)
+    hashed = hashed.localCheckpoint(eager=True)
+    # (doc_id, h) distinct by construction: plain count == doc frequency
+    df_tab = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    w = (
+        hashed.join(df_tab, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.count(F.lit(1)) / F.sum("nd").cast("double"), 6
+            ).alias("weight")
+        )
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("weight"), 6).alias("avg_weight"),
+            F.sum((F.col("weight") < _D16_GATE).cast("long")).alias("n_downweighted"),
+        )
+        .orderBy("source")
+    )
