@@ -463,3 +463,103 @@ def d16_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# e12: TOMBSTONE-AWARE ANN INDEX HYGIENE -- the delete half of the index
+# lifecycle (q78 propagates GDPR deletes through tables; s28 ingests new
+# vectors; e12 is the report an index operator reads AFTER deletes:
+# which inverted lists are hollowed out and due for compaction).
+# Deleted vectors (deterministic tombstone set vec_id % 7 = 3) stay
+# physically in their lists -- the faiss/Milvus soft-delete reality --
+# so searches must filter them and the per-list LIVE fraction is the
+# re-cluster/compaction signal. Assignment = the d14/s29 pinned-centroid
+# lattice verbatim; everything after is one partial-agg'd groupBy(cid)
+# of integers and an exact-ratio round.
+# --------------------------------------------------------------------------
+
+_E12_STRIDE = 37
+_E12_COMPACT_BELOW = 0.75
+
+_E12_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn
+         FROM n WHERE vec_id % {_E12_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, cent.cid,
+         round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn), 12) AS cc
+  FROM n, cent
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+), lists AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+agg AS (
+  SELECT cid,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(*) FILTER (WHERE vec_id % 7 <> 3) AS BIGINT) AS n_live
+  FROM lists GROUP BY cid
+)
+SELECT cid, n_total, n_live,
+       round(n_live / CAST(n_total AS DOUBLE), 6) AS live_frac,
+       round(n_live / CAST(n_total AS DOUBLE), 6) < {_E12_COMPACT_BELOW}
+         AS needs_compaction
+FROM agg ORDER BY cid
+"""
+
+
+@register(
+    "e12_index_tombstone_hygiene",
+    oracle=_E12_ORACLE,
+    doc="Tombstone-aware ANN index hygiene: deterministic delete set "
+    "(vec_id%7=3) against the pinned-centroid inverted lists; per-list "
+    "total/live counts, live fraction, compaction flag below 0.75 -- "
+    "the soft-delete maintenance report between q78 (delete "
+    "propagation) and s28 (streaming ingest).",
+)
+def e12_index_tombstone_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, _dot
+    from ..sources.readers import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = (
+        spread(emb)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cent = n.filter(F.col("vec_id") % _E12_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    lists = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cc",
+            F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 12),
+        )
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "cid")
+    )
+    live_frac = F.round(F.col("n_live") / F.col("n_total").cast("double"), 6)
+    return (
+        lists.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum((F.col("vec_id") % 7 != 3).cast("long")).alias("n_live"),
+        )
+        .select(
+            "cid",
+            "n_total",
+            "n_live",
+            live_frac.alias("live_frac"),
+            (live_frac < _E12_COMPACT_BELOW).alias("needs_compaction"),
+        )
+        .orderBy("cid")
+    )
