@@ -129,9 +129,25 @@ def t14_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
+    # Broadcast is right while the LM stays artifact-sized, but c12 is
+    # bounded by the SLICE's distinct bigrams, not by a constant -- probe
+    # the count (limit k+1, never a full count of a huge table) and fall
+    # back to a shuffle join loudly past 2M rows (the P6 map-literal
+    # device). Results are identical either way.
+    _lm_cap = 2_000_000
+    oversized = c12.select("w1").limit(_lm_cap + 1).count() > _lm_cap
+    if oversized:  # pragma: no cover - needs a pathological slice
+        import warnings
+
+        warnings.warn(
+            f"t14: slice LM exceeds {_lm_cap} bigrams; using shuffle joins "
+            "(prune the LM or shrink the slice for the broadcast path)",
+            stacklevel=2,
+        )
+    _side = (lambda d: d) if oversized else F.broadcast
     sc = (
-        big.join(F.broadcast(c12), ["w1", "w2"], "left")
-        .join(F.broadcast(c1), ["w1"], "left")
+        big.join(_side(c12), ["w1", "w2"], "left")
+        .join(_side(c1), ["w1"], "left")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id", "source")
         .agg(F.round(F.avg(lp), 6).alias("ce"))
