@@ -340,3 +340,29 @@ def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
     assert codes.filter(F.col("cid") % _E04_STRIDE != 0).count() == 0
     self_rows = codes.filter(F.col("vec_id") % _E04_STRIDE == 0)
     assert self_rows.filter(F.col("cid") != F.col("vec_id")).count() == 0
+
+
+def test_cdc_chunk_identity_survives_head_insertion(spark):
+    """The content-defined property that motivates d15/s30 over fixed-
+    size chunking: prepending one token shifts every byte offset, yet
+    all chunk identities from the first content-defined boundary onward
+    must survive (boundaries are functions of local content, not
+    position). Fixed-size framing would lose every chunk."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.batch8 import (
+        cdc_chunk_frame,
+    )
+
+    base = " ".join(f"tok{i * 7 % 97}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, base), (2, "NEW " + base)], "doc_id long, text string"
+    )
+    ch = cdc_chunk_frame(df).select("doc_id", "chash").collect()
+    h1 = {r["chash"] for r in ch if r["doc_id"] == 1}
+    h2 = {r["chash"] for r in ch if r["doc_id"] == 2}
+    # everything after the first boundary is unaffected by the prepend:
+    # the overlap must cover the vast majority of the original's chunks
+    assert len(h1 & h2) >= len(h1) - 2, (len(h1), len(h1 & h2))
+    # and the docs are NOT identical chunk-wise (the head chunk differs)
+    assert h1 != h2

@@ -240,3 +240,51 @@ def test_video_frame_plan_prunes_binary(spark, sf_dir):
     plan = frame_sample_plan(synth_video_table(spark, docs, "doc_id", "text"), every_s=2.0)
     explained = plan._jdf.queryExecution().executedPlan().toString()
     assert "content" not in explained
+
+
+def test_burst_synth_gates_blocks_and_segments_found(spark):
+    """synth_wav_table_bursts must produce clips whose 400-sample blocks
+    are either exact digital silence or tone (post-decode), and
+    audio_energy_segments must recover the gate structure: active frame
+    count equals 200-sample frames inside live blocks."""
+    import numpy as np
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.multimodal import (
+        _BURST_BLOCK,
+        audio_energy_segments,
+        decode_audio_wav,
+        synth_wav_table_bursts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"burst test doc {i} " + "x" * (i * 37 % 300)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    media = synth_wav_table_bursts(spark, docs, "doc_id", "text")
+    rows = media.collect()
+    import hashlib
+
+    for r in rows[:4]:
+        pcm = decode_audio_wav(bytes(r["content"]), int(r["meta"]["n_samples"]))
+        h = hashlib.md5(
+            next(
+                d["text"] for d in docs.collect() if d["doc_id"] == r["id"]
+            ).encode()
+        ).digest()
+        n = len(pcm)
+        for b in range((n + _BURST_BLOCK - 1) // _BURST_BLOCK):
+            blk = pcm[b * _BURST_BLOCK : min((b + 1) * _BURST_BLOCK, n)]
+            if h[3 + b] >= 86:
+                assert np.max(np.abs(blk)) > 0.05  # live tone
+            else:
+                assert np.max(np.abs(blk)) == 0.0  # exact digital silence
+
+    segs = {
+        r["id"]: r
+        for r in audio_energy_segments(media, decode=decode_audio_wav).collect()
+    }
+    assert len(segs) == 12
+    for r in segs.values():
+        assert 0 <= r["n_active"] <= r["n_frames"]
+        assert r["longest_run"] <= r["n_active"]
+        assert (r["n_segments"] == 0) == (r["n_active"] == 0)
