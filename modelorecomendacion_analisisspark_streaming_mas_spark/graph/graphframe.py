@@ -204,22 +204,26 @@ class GraphFrame:
         contract)."""
         spark = self._vertices.sparkSession
         ids = self._vertices.select(ID)
-        # bfs_levels early-exits on an empty frontier, so |V| is a safe
-        # upper bound that never runs past the graph's diameter
-        bound = int(ids.count())
+        # Dedupe (duplicate landmarks would create ambiguous duplicate
+        # columns) but keep first-appearance order for the map keys.
+        uniq = list(dict.fromkeys(landmarks))
         out = ids
-        key_cols = []
-        for lm in landmarks:
+        for i, lm in enumerate(uniq):
             seeds = spark.createDataFrame([(lm,)], [ID])
-            lv = bfs_levels(ids, self._edges, seeds, max_iter=bound)
-            out = out.join(lv.withColumnRenamed("level", f"_d_{lm}"), ID, "left")
-            key_cols.append(lm)
+            # bfs_levels early-exits on an empty frontier, so an
+            # effectively-unbounded round cap never runs past the graph's
+            # diameter -- no |V| count() needed just to bound the loop.
+            lv = bfs_levels(ids, self._edges, seeds, max_iter=2**31 - 1)
+            # Temp columns are named by landmark INDEX: landmark values
+            # containing dots/backticks would break F.col resolution if
+            # interpolated into the name.
+            out = out.join(lv.withColumnRenamed("level", f"_d_{i}"), ID, "left")
         pairs = []
-        for lm in key_cols:
+        for i, lm in enumerate(uniq):
             pairs.append(
                 F.when(
-                    F.col(f"_d_{lm}").isNotNull(),
-                    F.struct(F.lit(lm).alias("k"), F.col(f"_d_{lm}").cast("int").alias("v")),
+                    F.col(f"_d_{i}").isNotNull(),
+                    F.struct(F.lit(lm).alias("k"), F.col(f"_d_{i}").cast("int").alias("v")),
                 )
             )
         dist = F.map_from_entries(
@@ -229,11 +233,154 @@ class GraphFrame:
             out.select(ID, dist), ID, "left"
         )
 
-    def find(self, pattern: str):
-        raise NotImplementedError(
-            "motif finding is not implemented; express the pattern as "
-            "explicit DataFrame self-joins on the edges frame"
-        )
+    def find(self, pattern: str) -> DataFrame:
+        """Motif finding (library DSL subset): ``;``-separated terms, each
+        either an edge ``(a)-[e]->(b)``, a negated edge ``!(a)-[]->(b)``,
+        or a bare vertex ``(a)``. Vertices/edges may be anonymous
+        (``()`` / ``[]``); repeated vertex names unify; anonymous elements
+        never unify. Returns one struct column per DISTINCT named element
+        in first-appearance order -- vertex structs carry all vertex
+        columns, edge structs all edge columns (library result shape).
+
+        Compiled to a pure join composition: one equi-join per positive
+        edge term (the edges frame self-joined on the shared endpoint
+        ids), one LEFT ANTI join per negated term, and a final attribute
+        join per named vertex. Shuffles are keyed on vertex ids --
+        Catalyst picks sort-merge or broadcast per side as usual, so the
+        plan scales like any multi-way equi-join. Patterns whose terms
+        share no vertex are cross products by definition (library
+        semantics) and are only safe on tiny frames.
+
+        Limits vs the library (loud, not silent): edge names must be
+        unique, negated terms need an anonymous edge and both endpoints
+        named + bound by a positive/vertex term.
+        """
+        import re
+
+        edge_re = re.compile(r"^(!?)\((\w*)\)-\[(\w*)\]->\((\w*)\)$")
+        vert_re = re.compile(r"^\((\w*)\)$")
+        terms = [t.strip() for t in pattern.split(";") if t.strip()]
+        if not terms:
+            raise ValueError(f"empty motif pattern: {pattern!r}")
+        parsed: list[tuple] = []
+        for t in terms:
+            m = edge_re.match(t)
+            if m:
+                neg, a, e, b = m.groups()
+                if neg and e:
+                    raise ValueError(
+                        f"negated motif term {t!r} must use an anonymous edge []"
+                    )
+                parsed.append(("edge", bool(neg), a or None, e or None, b or None))
+                continue
+            m = vert_re.match(t)
+            if m:
+                parsed.append(("vertex", m.group(1) or None))
+                continue
+            raise ValueError(f"unsupported motif term: {t!r}")
+
+        enames = [e for kind, *rest in parsed if kind == "edge" for e in [rest[2]] if e]
+        if len(enames) != len(set(enames)):
+            raise NotImplementedError(
+                "motif edge-name unification (the same edge name in two "
+                "terms) is not implemented; give each edge a distinct name"
+            )
+
+        ecols = list(self._edges.columns)
+        vcols = list(self._vertices.columns)
+        bound: dict[str, str] = {}  # vertex name -> id column in cur
+        out_order: list[tuple[str, str]] = []  # (kind, name) first appearance
+        edge_col: dict[str, str] = {}  # edge name -> struct column in cur
+        cur: DataFrame | None = None
+
+        def note(kind: str, name: str | None) -> None:
+            if name and (kind, name) not in out_order:
+                out_order.append((kind, name))
+
+        # positive edge terms first: they are the generators every other
+        # term constrains
+        for i, term in enumerate(p for p in parsed if p[0] == "edge" and not p[1]):
+            _, _, a, e, b = term
+            note("vertex", a)
+            note("edge", e)
+            note("vertex", b)
+            t = self._edges.select(
+                F.struct(*[F.col(c) for c in ecols]).alias(f"__mfe_{i}"),
+                F.col(SRC).alias(f"__mfs_{i}"),
+                F.col(DST).alias(f"__mfd_{i}"),
+            )
+            if a is not None and a == b:
+                t = t.filter(F.col(f"__mfs_{i}") == F.col(f"__mfd_{i}"))
+            if cur is None:
+                cur = t
+            else:
+                cond = []
+                if a in bound:
+                    cond.append(cur[bound[a]] == t[f"__mfs_{i}"])
+                if b in bound:
+                    cond.append(cur[bound[b]] == t[f"__mfd_{i}"])
+                if cond:
+                    c = cond[0]
+                    for extra in cond[1:]:
+                        c = c & extra
+                    cur = cur.join(t, c)
+                else:
+                    cur = cur.crossJoin(t)  # disconnected pattern: library semantics
+            if a is not None and a not in bound:
+                bound[a] = f"__mfs_{i}"
+            if b is not None and b not in bound:
+                bound[b] = f"__mfd_{i}"
+            if e is not None:
+                edge_col[e] = f"__mfe_{i}"
+
+        # bare vertex terms bind any still-unbound names against the
+        # vertex frame (already-bound names add nothing: endpoints unify)
+        for j, term in enumerate(p for p in parsed if p[0] == "vertex"):
+            name = term[1]
+            note("vertex", name)
+            if name is None or name in bound:
+                continue
+            ids = self._vertices.select(F.col(ID).alias(f"__mfv_{j}"))
+            cur = ids if cur is None else cur.crossJoin(ids)
+            bound[name] = f"__mfv_{j}"
+
+        # negated terms: anti-join the bound endpoint pair against edges
+        for term in (p for p in parsed if p[0] == "edge" and p[1]):
+            _, _, a, e, b = term
+            if a is None or b is None or a not in bound or b not in bound:
+                raise ValueError(
+                    f"negated motif term !({a})-[]->({b}) requires both "
+                    f"endpoints to be named and bound by a positive term"
+                )
+            anti = self._edges.select(
+                F.col(SRC).alias("__mfas"), F.col(DST).alias("__mfad")
+            )
+            cur = cur.join(
+                anti,
+                (cur[bound[a]] == anti["__mfas"]) & (cur[bound[b]] == anti["__mfad"]),
+                "left_anti",
+            )
+
+        assert cur is not None  # parsed is non-empty and every term binds
+
+        # attach vertex attribute structs (inner join, like the library:
+        # an edge endpoint absent from the vertices frame drops the match)
+        for k, (kind, name) in enumerate(out_order):
+            if kind != "vertex":
+                continue
+            vstruct = self._vertices.select(
+                F.col(ID).alias(f"__mfj_{k}"),
+                F.struct(*[F.col(c) for c in vcols]).alias(f"__mfo_{name}"),
+            )
+            cur = cur.join(vstruct, cur[bound[name]] == vstruct[f"__mfj_{k}"]).drop(
+                f"__mfj_{k}"
+            )
+
+        final = []
+        for kind, name in out_order:
+            src_col = f"__mfo_{name}" if kind == "vertex" else edge_col[name]
+            final.append(F.col(src_col).alias(name))
+        return cur.select(*final)
 
     def bfs(self, fromExpr, toExpr, **kw):
         raise NotImplementedError(

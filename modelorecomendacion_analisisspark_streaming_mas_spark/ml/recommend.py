@@ -133,9 +133,26 @@ def tune_als(
     return fitted.bestModel, results
 
 
+# Hard ceiling on the collected item-factor table for in-process serving:
+# 1M items x rank<=20 doubles ~ 160 MB on the driver, the upper end of what
+# a serving process should hold. Bigger catalogs must use fold_in_batch
+# (distributed, factors broadcast per-executor, never driver-collected).
+ITEM_FACTOR_COLLECT_LIMIT = 1_000_000
+
+
 def item_factor_matrix(model: ALSModel) -> tuple[np.ndarray, np.ndarray]:
     """Item factors to NumPy (ids, Y) -- the serving-side load
     (app4/recommender.py:33-36)."""
+    # Same counted-decision pattern as cosine_near_dup_matmul: a bounded
+    # limit+1 probe (never a full count) decides whether the collect is
+    # safe, with a loud pointer at the distributed twin.
+    probe = model.itemFactors.select("id").limit(ITEM_FACTOR_COLLECT_LIMIT + 1).count()
+    if probe > ITEM_FACTOR_COLLECT_LIMIT:
+        raise ValueError(
+            f"item_factor_matrix collects itemFactors to the driver and the "
+            f"table exceeds {ITEM_FACTOR_COLLECT_LIMIT} rows; use "
+            f"fold_in_batch for catalogs this large."
+        )
     rows = model.itemFactors.orderBy("id").collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     Y = np.array([r["features"] for r in rows], dtype=np.float64)

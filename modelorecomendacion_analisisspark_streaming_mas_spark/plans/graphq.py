@@ -789,3 +789,77 @@ def g10_graphframe_notebook_port(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("id", F.round("pagerank", 6).alias("pagerank"))
     )
+
+
+# --------------------------------------------------------------------------
+# g11: MOTIF FINDING through the GraphFrame adapter (the last drop-in
+# library surface: graphframes' find() DSL, which the reference could call
+# on the Explorativa3.ipynb graph object). Pattern
+# "(a)-[e1]->(b); (b)-[e2]->(c); !(c)-[]->(a)" over the DIRECTED nation
+# trade graph (nation X buys from nation Y), + a.id != c.id struct-field
+# filter: OPEN directed trade wedges -- a buys via b from c but never
+# directly from c. The adapter compiles the motif to equi-joins + one left
+# anti join; the oracle unrolls the identical composition into SQL joins
+# (the g02/g05 technique). Output: open-wedge count per origin nation.
+# --------------------------------------------------------------------------
+
+_G11_EDGES_SQL = """
+ed AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey
+)"""
+
+
+@register(
+    "g11_motif_open_trade_wedges",
+    oracle=f"""
+WITH {_G11_EDGES_SQL},
+wedge AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
+  WHERE e2.dst != e1.src
+), open_wedge AS (
+  SELECT w.a, w.b, w.c FROM wedge w
+  ANTI JOIN ed ON ed.src = w.c AND ed.dst = w.a
+)
+SELECT n.n_name AS nation, count(*) AS n_open_wedges
+FROM open_wedge w JOIN nation n ON w.a = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n_open_wedges DESC, nation
+""",
+    doc="GraphFrames motif find() through the drop-in adapter: "
+    "'(a)-[e1]->(b); (b)-[e2]->(c); !(c)-[]->(a)' + a!=c filter over the "
+    "directed nation trade graph; per-origin open-wedge counts. Oracle "
+    "unrolls the motif into the identical join+anti-join composition.",
+)
+def g11_motif_open_trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.graphframe import GraphFrame
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey != supp.s_nationkey)
+        .select(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .distinct()
+    )
+    v = nation.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))
+    g = GraphFrame(v, edges)
+    wedges = g.find("(a)-[e1]->(b); (b)-[e2]->(c); !(c)-[]->(a)").filter(
+        F.col("a.id") != F.col("c.id")
+    )
+    return (
+        wedges.groupBy(F.col("a.name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_open_wedges"))
+        .orderBy(F.desc("n_open_wedges"), F.asc("nation"))
+    )

@@ -82,8 +82,22 @@ class DatDataSourceReader(DataSourceReader):
                 conv.append(_permissive(int))
             elif t in ("double", "float"):
                 conv.append(_permissive(float))
-            else:
+            elif t == "string":
                 conv.append(None)  # strings pass through
+            else:
+                # The Arrow fast path only implements the numeric/string
+                # subset the ::-dat files actually carry.  Anything else
+                # (boolean, date, timestamp, decimal, nested ...) would
+                # silently be emitted as a pa.string() array that
+                # MISMATCHES the declared Spark schema at runtime -- fail
+                # loudly at plan time instead so the narrowed type support
+                # is explicit.
+                raise ValueError(
+                    f"dat source: unsupported field type '{t}' for column "
+                    f"'{f.name}' -- the Arrow reader supports "
+                    f"short/integer/long/float/double/string only. Declare "
+                    f"the column as string and cast after load."
+                )
             arrow_fields.append(pa.field(f.name, _ARROW_TYPES.get(t, pa.string())))
         arrow_schema = pa.schema(arrow_fields)
         cols: list[list] = [[] for _ in range(n)]
@@ -233,11 +247,20 @@ class _JsonlFileMessage(WriterCommitMessage):
 class JsonlDirStreamWriter(DataSourceStreamWriter):
     # Foreign-token tmp files older than this are treated as orphans of a
     # crashed/restarted query (which gets a fresh token) and swept at
-    # commit time, bounding _tmp/ across restarts.
+    # commit time, bounding _tmp/ across restarts.  ASSUMPTION: no live
+    # concurrent query sharing this output path keeps a single micro-batch
+    # in flight longer than this age -- if one does, its in-flight _tmp
+    # file can be unlinked here, that task's commit-time rename fails, and
+    # the batch retries (safe but wasteful).  Queries with hour-plus
+    # micro-batches must raise the threshold via
+    # ``.option("foreignTmpMaxAgeS", seconds)``.
     FOREIGN_TMP_MAX_AGE_S = 3600.0
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
+        self.foreign_tmp_max_age_s = float(
+            options.get("foreignTmpMaxAgeS") or self.FOREIGN_TMP_MAX_AGE_S
+        )
         # Per-query namespace token: the writer instance is created once per
         # streaming query and shipped to executors, so every tmp file this
         # query writes carries the token.  The commit-time orphan sweep
@@ -287,7 +310,7 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
         for orphan in _glob.glob(_os.path.join(self.path, "_tmp", "*.jsonl")):
             ours = _os.path.basename(orphan).startswith(f"{self.query_token}-")
             try:
-                stale = now - _os.path.getmtime(orphan) > self.FOREIGN_TMP_MAX_AGE_S
+                stale = now - _os.path.getmtime(orphan) > self.foreign_tmp_max_age_s
             except OSError:
                 continue  # already renamed/removed by its owner
             if not (ours or stale):

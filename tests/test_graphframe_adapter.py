@@ -181,5 +181,89 @@ def test_subgraph_helpers(spark):
     assert set(r["id"] for r in sub.vertices.collect()) == {"u1", "u2", "u3", "m1", "m3"}
     only_users = g.filterVertices("tipo = 'user'")
     assert only_users.edges.count() == 0  # all edges cross the partition
+
+
+def _triangle_graph(spark):
+    """a->b->c->a cycle plus pendant c->d: every motif class exercised."""
+    v = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z"), ("d", "w")], "id string, attr string"
+    )
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 3.0), ("c", "d", 4.0)],
+        "src string, dst string, w double",
+    )
+    return GraphFrame(v, e)
+
+
+def test_find_single_edge_structs(spark):
+    g = _triangle_graph(spark)
+    res = g.find("(a)-[e]->(b)")
+    assert res.columns == ["a", "e", "b"]  # first-appearance order
+    rows = {(r["a"]["id"], r["e"]["w"], r["b"]["id"]) for r in res.collect()}
+    assert rows == {("a", 1.0, "b"), ("b", 2.0, "c"), ("c", 3.0, "a"), ("c", 4.0, "d")}
+    # vertex structs carry ALL vertex columns, edge structs all edge columns
+    first = res.first()
+    assert set(first["a"].asDict()) == {"id", "attr"}
+    assert set(first["e"].asDict()) == {"src", "dst", "w"}
+
+
+def test_find_two_edge_chain_unifies_shared_vertex(spark):
+    g = _triangle_graph(spark)
+    res = g.find("(a)-[e1]->(b); (b)-[e2]->(c)")
+    got = sorted((r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in res.collect())
+    assert got == [("a", "b", "c"), ("b", "c", "a"), ("b", "c", "d"), ("c", "a", "b")]
+
+
+def test_find_triangle_motif_returns_all_rotations(spark):
+    g = _triangle_graph(spark)
+    res = g.find("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+    got = sorted((r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in res.collect())
+    assert got == [("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")]
+
+
+def test_find_negated_edge(spark):
+    g = _triangle_graph(spark)
+    res = g.find("(a)-[]->(b); (b)-[]->(c); !(c)-[]->(a)")
+    got = [(r["a"]["id"], r["b"]["id"], r["c"]["id"]) for r in res.collect()]
+    assert got == [("b", "c", "d")]  # only the open wedge survives
+
+
+def test_find_anonymous_and_vertex_only_terms(spark):
+    g = _triangle_graph(spark)
+    assert g.find("(a)-[]->()").columns == ["a"]
+    assert g.find("(a)-[]->()").count() == 4  # one row per out-edge
+    assert sorted(r["s"]["id"] for r in g.find("(s)").collect()) == list("abcd")
+
+
+def test_find_struct_field_filters_compose(spark):
+    g = _triangle_graph(spark)
+    res = g.find("(a)-[e1]->(b); (b)-[e2]->(c)").filter(
+        F.col("a.id") != F.col("c.id")
+    )
+    got = sorted((r["a"]["id"], r["c"]["id"]) for r in res.collect())
+    assert got == [("a", "c"), ("b", "a"), ("b", "d"), ("c", "b")]
+
+
+def test_find_loud_errors(spark):
+    g = _triangle_graph(spark)
     with pytest.raises(NotImplementedError):
-        g.find("(a)-[e]->(b)")
+        g.find("(a)-[e]->(b); (b)-[e]->(c)")  # reused edge name
+    with pytest.raises(ValueError):
+        g.find("!(a)-[e]->(b)")  # negated term with a named edge
+    with pytest.raises(ValueError):
+        g.find("(a)-[]->(b); !(a)-[]->(x)")  # negated endpoint never bound
+    with pytest.raises(ValueError):
+        g.find("(a)-[e]=>(b)")  # unparseable term
+    with pytest.raises(ValueError):
+        g.find("  ")  # empty pattern
+
+
+def test_shortest_paths_dotted_and_duplicate_landmarks(spark):
+    # landmark values containing dots must not break column resolution,
+    # and duplicate landmarks must not create ambiguous columns
+    v = spark.createDataFrame([("a.1",), ("b.2",), ("c.3",)], "id string")
+    e = spark.createDataFrame([("a.1", "b.2"), ("b.2", "c.3")], "src string, dst string")
+    sp = GraphFrame(v, e).shortestPaths(landmarks=["a.1", "a.1", "c.3"])
+    got = {r["id"]: dict(r["distances"]) for r in sp.collect()}
+    assert got["b.2"] == {"a.1": 1, "c.3": 1}
+    assert got["c.3"] == {"a.1": 2, "c.3": 0}
