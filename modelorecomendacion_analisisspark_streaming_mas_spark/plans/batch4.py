@@ -463,7 +463,7 @@ def q43_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q44_hll_sketch_distinct", oracle=None)
+@register("q44_hll_sketch_distinct", oracle=None, rows_only=True)
 def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL (Spark 4 hll_sketch_agg / hll_union):
     approximate distinct customers per priority, plus a MERGED sketch
@@ -472,7 +472,12 @@ def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches return state you can store and union later, the 100 TB
     rollup pattern). Estimates are implementation-defined -> rows-only
     check here; the error bound vs exact is pinned in
-    tests/test_batch_queries.py::test_hll_sketch_error."""
+    tests/test_batch_queries.py::test_hll_sketch_error.
+
+    ROWS-ONLY BY CONSTRUCTION: CORRECTNESS_r0N reports `err: no_oracle`
+    for this entry every round it is sampled -- by design (DataSketches
+    HLL binary sketches are not reproducible in DuckDB), not a failure.
+    q24_distinct_counts is the exact-count twin."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey", "o_orderdate"
     )

@@ -579,3 +579,117 @@ def e12_index_tombstone_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# e13: GRAPH-TRAVERSAL ANN (the NSW/HNSW family) -- pinned small-world
+# neighbor graph + fixed-width beam search, completing the retrieval
+# matrix's missing family (brute e01, LSH e02, IVF e03, PQ e04/e06, SQ8
+# e11 all exist; production vector search is dominated by graph
+# traversal). Deterministic end to end: the graph derives from e03's
+# pinned vec_id%37 quantizer, the beam is fixed-width with id
+# tie-breaks, so the ORACLE REBUILDS THE ENTIRE INDEX AND SEARCH -- the
+# beam rounds unroll into SQL CTEs exactly like g02's PageRank
+# iterations. Recall vs brute force is additionally pytest-gated
+# (tests/test_ann_recall.py).
+# --------------------------------------------------------------------------
+
+_E13_BEAM = 8
+_E13_ROUNDS = 3
+_E13_DEGREE = 4
+_E13_TOPK = 5
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _e13_oracle(rounds: int = _E13_ROUNDS) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0)",
+        f"""scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_COS.format(a='e.v', b='cent.cv')} AS cc
+  FROM e, cent
+)""",
+        """ranked AS (
+  SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS crn
+  FROM scored
+)""",
+        "home AS (SELECT vec_id, v, cid FROM ranked WHERE crn = 1)",
+        f"""cand AS (
+  SELECT r.vec_id AS src, h.vec_id AS dst, {_COS.format(a='r.v', b='h.v')} AS cos
+  FROM ranked r JOIN home h USING (cid)
+  WHERE r.crn <= 2 AND r.vec_id != h.vec_id
+)""",
+        f"""nn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM cand
+  ) WHERE rn <= {_E13_DEGREE}
+)""",
+        """hub AS (
+  SELECT vec_id AS src, cid AS dst FROM ranked WHERE crn = 1 AND vec_id != cid
+)""",
+        "links AS (SELECT src, dst FROM nn UNION ALL SELECT src, dst FROM hub)",
+        "und AS (SELECT src, dst FROM links UNION SELECT dst, src FROM links)",
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)",
+        """b0 AS (
+  SELECT vec_id AS query_id, cid AS node FROM ranked WHERE crn <= 2 AND vec_id < 10
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""f{r} AS (
+  SELECT query_id, node FROM b{r - 1}
+  UNION
+  SELECT b.query_id, u.dst AS node FROM b{r - 1} b JOIN und u ON u.src = b.node
+)"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+  SELECT query_id, node, cos FROM (
+    SELECT f.query_id, f.node, {_COS.format(a='q.qv', b='e.v')} AS cos,
+           row_number() OVER (
+             PARTITION BY f.query_id
+             ORDER BY {_COS.format(a='q.qv', b='e.v')} DESC, f.node
+           ) AS rn
+    FROM f{r} f JOIN q USING (query_id) JOIN e ON e.vec_id = f.node
+  ) WHERE rn <= {_E13_BEAM}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rn FROM (
+  SELECT query_id, node AS neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS BIGINT) AS rn
+  FROM b{rounds} WHERE node != query_id
+) WHERE rn <= {_E13_TOPK}
+"""
+    )
+
+
+@register(
+    "e13_knn_nsw_beam",
+    oracle=_e13_oracle(),
+    doc="Graph-traversal ANN: pinned small-world graph (probe-2-list "
+    "candidates, degree-4, symmetrized) + 3-round width-8 beam search "
+    "from IVF entry points; top-5 per query vec_id<10. Oracle rebuilds "
+    "the full index and unrolls the beam rounds into CTEs (the "
+    "g02-iteration technique).",
+)
+def e13_knn_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import nsw_beam_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nsw_beam_topk(
+        emb,
+        k=_E13_TOPK,
+        beam_width=_E13_BEAM,
+        rounds=_E13_ROUNDS,
+        neighbors_per_node=_E13_DEGREE,
+        query_pred=lambda vid: vid < 10,
+    )

@@ -29,15 +29,26 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL over pre-registered views; None -> rows-only check
     doc: str = ""
+    # True for the five entries that are rows-only BY CONSTRUCTION (ALS
+    # training m01/m02/m05, Bernoulli sample q17, HLL sketch q44): their
+    # result is not SQL-expressible in DuckDB, so the driver reports
+    # `err: no_oracle` for them in CORRECTNESS_r0N -- that row is
+    # BY DESIGN, not a failure. Each has an exact-oracle twin and/or
+    # acceptance tests (see COVERAGE.md "rows-only entries").
+    rows_only: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, doc: str = "", rows_only: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if rows_only and oracle is not None:
+            raise ValueError(f"{name}: rows_only entries must not carry an oracle")
 
         def shipped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Workers must be able to import this package to deserialize
@@ -53,7 +64,11 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
         shipped_fn.__name__ = fn.__name__
         shipped_fn.__doc__ = fn.__doc__
         REGISTRY[name] = Query(
-            name=name, fn=shipped_fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=shipped_fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            rows_only=rows_only,
         )
         return fn
 
