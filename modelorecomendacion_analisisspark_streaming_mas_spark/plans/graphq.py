@@ -804,13 +804,20 @@ def g10_graphframe_notebook_port(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _G11_EDGES_SQL = """
-ed AS (
-  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+pairs AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey  = c.c_custkey
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
   WHERE c.c_nationkey != s.s_nationkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+),
+ed AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+    FROM pairs
+  ) WHERE rn <= 3
 )"""
 
 
@@ -833,10 +840,15 @@ ORDER BY n_open_wedges DESC, nation
 """,
     doc="GraphFrames motif find() through the drop-in adapter: "
     "'(a)-[e1]->(b); (b)-[e2]->(c); !(c)-[]->(a)' + a!=c filter over the "
-    "directed nation trade graph; per-origin open-wedge counts. Oracle "
+    "top-3-partner nation trade graph (each nation keeps its 3 "
+    "highest-volume supplier nations -- integer counts, dst tie-break, "
+    "so the graph is sparse BY CONSTRUCTION at every scale and the "
+    "negation is non-trivial); per-origin open-wedge counts. Oracle "
     "unrolls the motif into the identical join+anti-join composition.",
 )
 def g11_motif_open_trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..graph.graphframe import GraphFrame
     from ..sources.readers import load_table
 
@@ -845,13 +857,23 @@ def g11_motif_open_trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    edges = (
+    pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey != supp.s_nationkey)
-        .select(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
-        .distinct()
+        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-3 partners per origin: |nations| keys, integer counts, id
+    # tie-break -- deterministic and SPARSE at every scale (the raw
+    # distinct-pair graph saturates to near-complete past sf0.01, which
+    # would make every wedge closed and the motif output empty)
+    w3 = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
     )
     v = nation.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))
     g = GraphFrame(v, edges)

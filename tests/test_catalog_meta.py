@@ -55,15 +55,16 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
-        _STALE_R3,
+        _ROWS_ONLY_TAIL,
+        _STALE_R4,
         _VERIFY_FIRST,
     )
 
     window = list(REGISTRY)[:50]
-    # r7: front of the window is (a) anything brand-new or changed this
+    # r8: front of the window is (a) anything brand-new or changed this
     # round (plan/oracle edits must re-green under the driver, not just
-    # pytest), (b) the stalest entries (the last 30 r3 records -- the r2
-    # cohort drained in r6), rotating forward per the freshness policy.
+    # pytest), (b) the stalest entries (the 46 r4 records -- the r3
+    # cohort drained in r7), rotating forward per the freshness policy.
     # Membership is asserted only for names actually REGISTERED -- some
     # registrations are conditional on host capabilities (e.g.
     # transformWithStateInPandas), and an absent query must skip the
@@ -71,17 +72,19 @@ def test_driver_window_covers_unverified_queries():
     must_be_early = {n for n in _VERIFY_FIRST if n in REGISTRY}
     missing = must_be_early - set(window)
     assert not missing, f"stale/unverified queries outside driver window: {missing}"
-    # The remaining window slots drain the r3-stale cohort strictly
-    # oldest-first: the r3 entries inside the window must form a prefix
+    # The remaining window slots drain the r4-stale cohort strictly
+    # oldest-first: the r4 entries inside the window must form a prefix
     # of the policy list, so adding new queries this round pushes out the
     # TAIL of the cohort, never skips its head.
-    r3_in_window = [n for n in window if n in set(_STALE_R3)]
-    r3_registered = [n for n in _STALE_R3 if n in REGISTRY]
-    assert r3_in_window == r3_registered[: len(r3_in_window)]
+    r4_in_window = [n for n in window if n in set(_STALE_R4)]
+    r4_registered = [n for n in _STALE_R4 if n in REGISTRY]
+    assert r4_in_window == r4_registered[: len(r4_in_window)]
     # Inherently rows-only samples can never upgrade to hash matches --
-    # they must not consume early window slots.
-    tail = list(REGISTRY)[-2:]
-    assert set(tail) == {"q17_sample_stats", "q44_hll_sketch_distinct"}
+    # they must not consume early window slots; the registry flag and the
+    # tail list must agree.
+    tail = list(REGISTRY)[-len(_ROWS_ONLY_TAIL):]
+    assert set(tail) == set(_ROWS_ONLY_TAIL)
+    assert {n for n, q in REGISTRY.items() if q.rows_only} == set(_ROWS_ONLY_TAIL)
 
 
 def test_rows_only_set_is_intentional():
