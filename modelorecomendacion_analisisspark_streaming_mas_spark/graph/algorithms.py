@@ -236,6 +236,121 @@ def pagerank_weighted(
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
+def pagerank_personalized(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_id,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Personalized PageRank (the GraphFrames ``pageRank(sourceId=...)``
+    surface): identical update rule family to ``pagerank`` except the
+    reset mass teleports ONLY to the source vertex --
+    rank_{k+1}(v) = reset_prob * [v == source] + damp * sum contribs --
+    and rank_0 is the source indicator, so every unit of rank is mass
+    that flowed out of the source. Dangling-vertex mass is dropped, like
+    the static twin (GraphX semantics, no redistribution). Same scale
+    shape as ``pagerank``: loop-invariant edge+degree frame checkpointed
+    once; below BROADCAST_VERTEX_LIMIT the per-round join broadcasts the
+    rank frame so the edge table never shuffles."""
+    damp = 1.0 - reset_prob
+    small = vertices.count() < BROADCAST_VERTEX_LIMIT
+    e = (
+        edges.join(_maybe_broadcast(out_degrees(edges), small), edges.src == F.col("id"))
+        .select("src", "dst", "outDegree")
+        .localCheckpoint(eager=True)
+    )
+    ind = F.when(F.col("id") == F.lit(source_id), F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = vertices.select("id", ind.alias("rank"))
+    for i in range(max_iter):
+        contribs = (
+            e.join(_maybe_broadcast(ranks, small), e.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("outDegree")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            vertices.join(
+                _maybe_broadcast(contribs, small), vertices.id == contribs.dst, "left"
+            )
+            .select(
+                "id",
+                (
+                    F.lit(reset_prob) * ind
+                    + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def pagerank_tol(
+    vertices: DataFrame,
+    edges: DataFrame,
+    reset_prob: float = 0.15,
+    tol: float = 1e-3,
+    source_id=None,
+    max_iter_cap: int = 100,
+) -> tuple[DataFrame, int]:
+    """Until-convergence PageRank (the GraphFrames ``pageRank(tol=...)``
+    mode): iterate the static (or, with ``source_id``, personalized)
+    update until the largest per-vertex rank change falls below ``tol``,
+    capped at ``max_iter_cap`` rounds. Returns (ranks, iterations run).
+
+    The per-round max-delta probe forces materialization anyway, so every
+    round checkpoints (the bfs_levels argument, not pagerank's cadence).
+    Convergence-dependent iteration counts make this mode inherently
+    data-dependent -- catalog certification uses the fixed-iteration
+    twins; tests pin agreement with a long fixed run."""
+    damp = 1.0 - reset_prob
+    small = vertices.count() < BROADCAST_VERTEX_LIMIT
+    e = (
+        edges.join(_maybe_broadcast(out_degrees(edges), small), edges.src == F.col("id"))
+        .select("src", "dst", "outDegree")
+        .localCheckpoint(eager=True)
+    )
+    if source_id is None:
+        ind = F.lit(1.0)
+        ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+    else:
+        ind = F.when(F.col("id") == F.lit(source_id), F.lit(1.0)).otherwise(F.lit(0.0))
+        ranks = vertices.select("id", ind.alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    it = 0
+    for it in range(1, max_iter_cap + 1):
+        contribs = (
+            e.join(_maybe_broadcast(ranks, small), e.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("outDegree")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        nxt = (
+            vertices.join(
+                _maybe_broadcast(contribs, small), vertices.id == contribs.dst, "left"
+            )
+            .select(
+                "id",
+                (
+                    F.lit(reset_prob) * ind
+                    + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            nxt.join(ranks.withColumnRenamed("rank", "prev"), "id")
+            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    return ranks.select("id", F.col("rank").alias("pagerank")), it
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

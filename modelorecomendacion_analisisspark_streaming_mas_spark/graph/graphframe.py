@@ -32,6 +32,8 @@ from .algorithms import (
     label_propagation,
     out_degrees,
     pagerank,
+    pagerank_personalized,
+    pagerank_tol,
     pagerank_weighted,
     triangle_count,
 )
@@ -120,24 +122,66 @@ class GraphFrame:
         tol: float | None = None,
         weightCol: str | None = None,
     ) -> "GraphFrame":
-        """Static PageRank (library semantics: rank = resetProbability +
-        (1-resetProbability) * sum of neighbor contributions; ranks sum to
-        ~|V|). Returns a GraphFrame whose vertices carry ``pagerank`` and
-        whose edges carry ``weight`` (the src-normalized edge weight).
+        """PageRank, all three library modes. Returns a GraphFrame whose
+        vertices carry ``pagerank`` and whose edges carry ``weight`` (the
+        src-normalized edge weight).
+
+        * static fixed-iteration (``maxIter``): rank = resetProbability +
+          (1-resetProbability) * sum of neighbor contributions; ranks sum
+          to ~|V| (library semantics; the reference runs maxIter=10).
+        * personalized (``sourceId``): reset mass teleports only to the
+          source and rank_0 is the source indicator, so every unit of
+          rank is mass that flowed out of the source (GraphX semantics,
+          dangling mass dropped like the static mode).
+        * until-convergence (``tol``): iterate until the largest
+          per-vertex change falls below ``tol`` (max 100 rounds);
+          composes with ``sourceId``.
 
         ``weightCol`` is an extension the library lacks: contributions
-        weighted by an edge column (see pagerank_weighted). ``tol`` /
-        ``sourceId`` (until-convergence, personalized) are not provided --
-        use a fixed ``maxIter``, which is what the reference notebook runs.
+        weighted by an edge column (see pagerank_weighted); it does not
+        compose with ``sourceId``/``tol``.
         """
-        if maxIter is None:
-            raise NotImplementedError(
-                "pageRank: pass maxIter (tol-based convergence mode is not "
-                "implemented; the reference runs maxIter=10)"
+        if maxIter is None and tol is None:
+            raise ValueError("pageRank: pass maxIter or tol")
+        if weightCol is not None and (sourceId is not None or tol is not None):
+            raise ValueError(
+                "pageRank: weightCol does not compose with sourceId/tol"
             )
-        if sourceId is not None:
-            raise NotImplementedError("personalized PageRank (sourceId) is not implemented")
         ids = self._vertices.select(ID)
+        if tol is not None:
+            ranks, _iters = pagerank_tol(
+                ids, self._edges, reset_prob=resetProbability, tol=tol,
+                source_id=sourceId,
+            )
+            od = out_degrees(self._edges)
+            e = (
+                self._edges.join(od, self._edges[SRC] == od[ID])
+                .drop(ID)
+                .withColumn("weight", F.lit(1.0) / F.col("outDegree"))
+                .drop("outDegree")
+            )
+            v = self._vertices.join(ranks, ID, "left").withColumn(
+                "pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0))
+            )
+            return GraphFrame(v, e)
+        if sourceId is not None:
+            ranks = pagerank_personalized(
+                ids, self._edges, source_id=sourceId,
+                reset_prob=resetProbability, max_iter=maxIter,
+            )
+            od = out_degrees(self._edges)
+            e = (
+                self._edges.join(od, self._edges[SRC] == od[ID])
+                .drop(ID)
+                .withColumn("weight", F.lit(1.0) / F.col("outDegree"))
+                .drop("outDegree")
+            )
+            # a vertex untouched by the walk has rank exactly 0 (not the
+            # static mode's floor: reset mass goes to the source alone)
+            v = self._vertices.join(ranks, ID, "left").withColumn(
+                "pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0))
+            )
+            return GraphFrame(v, e)
         if weightCol is not None:
             ranks = pagerank_weighted(
                 ids, self._edges, weight_col=weightCol,
@@ -382,8 +426,75 @@ class GraphFrame:
             final.append(F.col(src_col).alias(name))
         return cur.select(*final)
 
-    def bfs(self, fromExpr, toExpr, **kw):
-        raise NotImplementedError(
-            "path-materializing bfs is not implemented; use "
-            "graph.algorithms.bfs_levels for hop distances"
+    def bfs(self, fromExpr, toExpr, edgeFilter=None, maxPathLength: int = 10) -> DataFrame:
+        """Path-materializing breadth-first search (library semantics):
+        SHORTEST paths from any vertex matching ``fromExpr`` to any
+        matching ``toExpr``, one row per path, columns
+        ``from, e0, v1, e1, ..., to`` (all structs). Stops at the FIRST
+        level where any target is reached -- targets farther away are not
+        returned -- and returns an empty ``(from, to)`` frame when no
+        target is reachable within ``maxPathLength``.
+
+        Implementation: level-synchronous join expansion -- each round
+        joins the frontier's end vertices against the (optionally
+        filtered) edge frame and attaches the next vertex struct; the
+        per-level reached probe reads the checkpointed frontier. No
+        visited-set is needed for correctness: a minimal-length walk is
+        necessarily simple, so every row at the stopping level is a
+        simple shortest path. Frontier width can grow with path count --
+        the library has the same property; bound ``maxPathLength``
+        accordingly on dense graphs.
+        """
+        v = self._vertices
+        vstruct = F.struct(*[F.col(c) for c in v.columns])
+        src_ids = v.filter(fromExpr).select(ID)
+        tgt_ids = v.filter(toExpr).select(ID).localCheckpoint(eager=True)
+        # level 0: a source that is itself a target is a zero-hop path
+        hits0 = v.filter(fromExpr).filter(toExpr)
+        if hits0.limit(1).count() > 0:
+            return hits0.select(vstruct.alias("from"), vstruct.alias("to"))
+        e = self._edges if edgeFilter is None else self._edges.filter(edgeFilter)
+        # loop-invariant frames materialized ONCE: the per-level joins and
+        # the per-level reached/empty probes would otherwise re-execute the
+        # caller's full vertex/edge lineage (often a multi-join build) on
+        # every round -- measured 43s -> 6s on the g13 entry.
+        base_e = e.select(
+            F.struct(*[F.col(c) for c in e.columns]).alias("__es"),
+            F.col(SRC).alias("__s"),
+            F.col(DST).alias("__d"),
+        ).localCheckpoint(eager=True)
+        base_v = v.select(
+            vstruct.alias("__vs"), F.col(ID).alias("__vid")
+        ).localCheckpoint(eager=True)
+        cur = (
+            v.join(src_ids, ID, "left_semi")
+            .select(vstruct.alias("from"), F.col(ID).alias("__cur"))
+            .localCheckpoint(eager=True)
         )
+        for k in range(1, maxPathLength + 1):
+            ek = base_e.select(F.col("__es").alias(f"e{k - 1}"), "__s", "__d")
+            vk = base_v.select(F.col("__vs").alias(f"__v{k}"), "__vid")
+            cur = (
+                cur.join(ek, cur["__cur"] == ek["__s"])
+                .join(vk, ek["__d"] == vk["__vid"])
+                .drop("__cur", "__s", "__d")
+                .withColumnRenamed("__vid", "__cur")
+                .localCheckpoint(eager=True)
+            )
+            hits = cur.join(
+                tgt_ids.withColumnRenamed(ID, "__cur"), "__cur", "left_semi"
+            )
+            if hits.limit(1).count() > 0:
+                renames = [F.col("from")]
+                for i in range(1, k):
+                    renames.append(F.col(f"e{i - 1}"))
+                    renames.append(F.col(f"__v{i}").alias(f"v{i}"))
+                renames.append(F.col(f"e{k - 1}"))
+                renames.append(F.col(f"__v{k}").alias("to"))
+                return hits.select(*renames)
+            if cur.limit(1).count() == 0:
+                break  # frontier died out before maxPathLength
+        out_schema = v.schema
+        empty = v.sparkSession.createDataFrame([], out_schema)
+        es = F.struct(*[F.col(c) for c in v.columns])
+        return empty.select(es.alias("from"), es.alias("to"))

@@ -32,9 +32,9 @@ from . import batch9  # noqa: E402,F401
 #      in a list below (i.e. brand-new) lands right after automatically.
 #   2. STALE_R4: the oldest official records. r7's window drained the
 #      whole r3 cohort plus s10 (slot 50), leaving these 46 entries last
-#      driver-checked in round 4; 2 brand-new r8 queries (g11, e13) + 46
-#      = 48 slots, so the whole cohort fits and slots 49-50 re-green the
-#      head of the r5 cohort.
+#      driver-checked in round 4; 4 brand-new r8 queries (g11, g12, g13,
+#      e13) + 46 = exactly the 50-slot window, so the whole cohort fits
+#      with nothing to spare.
 #   3. FRESH_R5 / FRESH_R6 / FRESH_R7: re-checked last, oldest cohort
 #      first.
 #   4. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
@@ -52,8 +52,9 @@ from . import batch9  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 # Nothing already-green changed plan or oracle in r8; the brand-new
-# entries (g11_motif_open_trade_wedges, e13_knn_nsw_beam) are not listed
-# anywhere, so _apply_order auto-slots them first.
+# entries (g11_motif_open_trade_wedges, g12_personalized_pagerank,
+# g13_bfs_trade_paths, e13_knn_nsw_beam) are not listed anywhere, so
+# _apply_order auto-slots them first.
 _VERIFY_FIRST: list[str] = []
 
 

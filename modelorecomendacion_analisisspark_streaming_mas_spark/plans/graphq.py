@@ -804,7 +804,7 @@ def g10_graphframe_notebook_port(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _G11_EDGES_SQL = """
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -813,12 +813,47 @@ pairs AS (
   WHERE c.c_nationkey != s.s_nationkey
   GROUP BY c.c_nationkey, s.s_nationkey
 ),
-ed AS (
+ed AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
     FROM pairs
   ) WHERE rn <= 3
 )"""
+
+
+def _top3_trade_graph(spark: SparkSession, sf_dir: str):
+    """Shared sparse nation trade graph for the adapter-surface entries
+    (g11 motif, g12 personalized PageRank, g13 bfs): each nation keeps
+    its 3 highest-volume supplier nations. Deterministic (integer
+    lineitem counts, dst tie-break) and sparse BY CONSTRUCTION at every
+    scale -- the raw distinct-pair graph saturates to near-complete past
+    sf0.01, which would make every wedge closed / every vertex one hop
+    away. Returns (vertices(id, name), edges(src, dst))."""
+    from pyspark.sql import Window
+
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey != supp.s_nationkey)
+        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    v = nation.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))
+    return v, edges
 
 
 @register(
@@ -847,35 +882,9 @@ ORDER BY n_open_wedges DESC, nation
     "unrolls the motif into the identical join+anti-join composition.",
 )
 def g11_motif_open_trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..graph.graphframe import GraphFrame
-    from ..sources.readers import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(cust.c_nationkey != supp.s_nationkey)
-        .groupBy(cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    # top-3 partners per origin: |nations| keys, integer counts, id
-    # tie-break -- deterministic and SPARSE at every scale (the raw
-    # distinct-pair graph saturates to near-complete past sf0.01, which
-    # would make every wedge closed and the motif output empty)
-    w3 = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
-    edges = (
-        pairs.withColumn("rn", F.row_number().over(w3))
-        .filter(F.col("rn") <= 3)
-        .select("src", "dst")
-    )
-    v = nation.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))
+    v, edges = _top3_trade_graph(spark, sf_dir)
     g = GraphFrame(v, edges)
     wedges = g.find("(a)-[e1]->(b); (b)-[e2]->(c); !(c)-[]->(a)").filter(
         F.col("a.id") != F.col("c.id")
@@ -884,4 +893,137 @@ def g11_motif_open_trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
         wedges.groupBy(F.col("a.name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("n_open_wedges"))
         .orderBy(F.desc("n_open_wedges"), F.asc("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
+# g12: PERSONALIZED PageRank through the adapter (pageRank(sourceId=...),
+# the GraphX teleport-to-source mode the adapter used to refuse): reset
+# mass teleports only to nation 0, rank_0 is the source indicator, 10
+# iterations over the shared top-3 trade graph. The oracle unrolls the
+# personalized recurrence exactly like g02's static one; e-notation
+# double literals keep DuckDB out of DECIMAL arithmetic.
+# --------------------------------------------------------------------------
+
+_G12_ITERS = 10
+
+
+def _g12_oracle(iters: int = _G12_ITERS) -> str:
+    ind = "(CASE WHEN v.id = 0 THEN 1e0 ELSE 0e0 END)"
+    ctes = [
+        _G11_EDGES_SQL.strip(),
+        "verts AS (SELECT n_nationkey AS id FROM nation)",
+        "deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src)",
+        "e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg ON ed.src = deg.src)",
+        "r0 AS (SELECT id, CASE WHEN id = 0 THEN 1e0 ELSE 0e0 END AS rank FROM verts)",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(
+            f"""r{n} AS (
+  SELECT v.id, 1.5e-1 * {ind} + 8.5e-1 * COALESCE(s.contrib, 0e0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst, sum(r.rank / e.d) AS contrib
+    FROM e JOIN r{n - 1} r ON e.src = r.id GROUP BY e.dst
+  ) s ON v.id = s.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.n_name AS nation, round(r.rank, 6) AS pagerank
+FROM r{iters} r JOIN nation n ON r.id = n.n_nationkey
+ORDER BY r.rank DESC, nation
+"""
+    )
+
+
+@register(
+    "g12_personalized_pagerank",
+    oracle=_g12_oracle(),
+    doc="Personalized PageRank through the GraphFrame adapter "
+    "(pageRank(sourceId=0), GraphX teleport-to-source semantics, 10 "
+    "iterations) over the top-3-partner nation trade graph; oracle "
+    "unrolls the personalized recurrence into CTEs (the g02 technique).",
+)
+def g12_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.graphframe import GraphFrame
+
+    v, edges = _top3_trade_graph(spark, sf_dir)
+    g = GraphFrame(v, edges)
+    pr = g.pageRank(resetProbability=0.15, maxIter=_G12_ITERS, sourceId=0)
+    return (
+        pr.vertices.select("name", "pagerank")
+        .orderBy(F.desc("pagerank"), F.asc("name"))
+        .select(F.col("name").alias("nation"), F.round("pagerank", 6).alias("pagerank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# g13: path-materializing BFS through the adapter (bfs(fromExpr, toExpr),
+# the other formerly-refused library surface): SHORTEST paths from nation
+# 0 to any nation >= 20 over the shared top-3 trade graph, stopping at
+# the first level that reaches a target (farther targets excluded --
+# library semantics). The entry aggregates the materialized path rows to
+# (target, shortest length, number of shortest paths); the oracle
+# replays the level-synchronous expansion as per-level path-count DP
+# CTEs and picks the minimum reaching level -- all-integer, so the
+# contract has no float surface.
+# --------------------------------------------------------------------------
+
+_G13_MAX_LEN = 10
+
+
+def _g13_oracle(max_len: int = _G13_MAX_LEN) -> str:
+    ctes = [
+        _G11_EDGES_SQL.strip(),
+        "w1 AS (SELECT dst AS v, CAST(1 AS BIGINT) AS n FROM ed WHERE src = 0)",
+    ]
+    for k in range(2, max_len + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT e.dst AS v, CAST(sum(w.n) AS BIGINT) AS n
+  FROM w{k - 1} w JOIN ed e ON e.src = w.v GROUP BY e.dst
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT v, {k} AS k, n FROM w{k}" for k in range(1, max_len + 1)
+    )
+    ctes.append(f"allw AS (\n{unions}\n)")
+    ctes.append("hits AS (SELECT * FROM allw WHERE v >= 20)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT v AS to_id, CAST(k AS INT) AS path_len, n AS n_paths
+FROM hits WHERE k = (SELECT min(k) FROM hits)
+ORDER BY to_id
+"""
+    )
+
+
+@register(
+    "g13_bfs_trade_paths",
+    oracle=_g13_oracle(),
+    doc="Path-materializing bfs through the GraphFrame adapter "
+    "(bfs('id = 0', 'id >= 20')) over the top-3-partner nation trade "
+    "graph: per reached target, the shortest path length and the count "
+    "of materialized shortest-path rows; oracle replays the expansion "
+    "as integer path-count DP CTEs stopped at the minimum reaching "
+    "level.",
+)
+def g13_bfs_trade_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.graphframe import GraphFrame
+
+    v, edges = _top3_trade_graph(spark, sf_dir)
+    g = GraphFrame(v, edges)
+    paths = g.bfs("id = 0", "id >= 20", maxPathLength=_G13_MAX_LEN)
+    # columns are from, e0, v1, ..., e_{L-1}, to -> L = (#cols - 1) // 2
+    path_len = (len(paths.columns) - 1) // 2
+    return (
+        paths.groupBy(F.col("to.id").alias("to_id"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .withColumn("path_len", F.lit(path_len).cast("int"))
+        .select("to_id", "path_len", "n_paths")
+        .orderBy("to_id")
     )

@@ -104,11 +104,12 @@ def test_pagerank_weight_col_extension(spark):
     w = {(r["src"], r["dst"]): r["weight"] for r in pr.edges.collect()}
     assert abs(w[("u1", "m1")] - 5.0 / 8.0) < 1e-12
     assert abs(w[("u1", "m2")] - 3.0 / 8.0) < 1e-12
-    # unsupported library modes fail loudly, not silently wrong
-    with pytest.raises(NotImplementedError):
-        g.pageRank(tol=0.01)
-    with pytest.raises(NotImplementedError):
-        g.pageRank(maxIter=5, sourceId="u1")
+    # weightCol is this adapter's extension: it does not compose with the
+    # library's sourceId/tol modes and must say so loudly
+    with pytest.raises(ValueError):
+        g.pageRank(maxIter=5, weightCol="weight", sourceId="u1")
+    with pytest.raises(ValueError):
+        g.pageRank(tol=0.01, weightCol="weight")
 
 
 def test_notebook_cells15_17_connected_components(spark):
@@ -267,3 +268,86 @@ def test_shortest_paths_dotted_and_duplicate_landmarks(spark):
     got = {r["id"]: dict(r["distances"]) for r in sp.collect()}
     assert got["b.2"] == {"a.1": 1, "c.3": 1}
     assert got["c.3"] == {"a.1": 2, "c.3": 0}
+
+
+def test_personalized_pagerank_source_dominates(spark):
+    g = _triangle_graph(spark)
+    pr = g.pageRank(resetProbability=0.15, maxIter=10, sourceId="a")
+    ranks = {r["id"]: r["pagerank"] for r in pr.vertices.collect()}
+    # reset mass teleports only to the source: the source outranks every
+    # non-source, and mass decays with distance from it
+    assert ranks["a"] == max(ranks.values())
+    assert ranks["b"] > ranks["d"]  # b is 1 hop from a, d is 2+
+    # vertices the walk never reaches have rank exactly 0 (no static floor)
+    v2 = spark.createDataFrame([("a",), ("b",), ("x",)], "id string")
+    e2 = spark.createDataFrame([("a", "b")], "src string, dst string")
+    pr2 = GraphFrame(v2, e2).pageRank(resetProbability=0.15, maxIter=5, sourceId="a")
+    assert {r["id"]: r["pagerank"] for r in pr2.vertices.collect()}["x"] == 0.0
+
+
+def test_tol_mode_pagerank_matches_long_fixed_run(spark):
+    g = _triangle_graph(spark)
+    tol_v = {
+        r["id"]: r["pagerank"]
+        for r in g.pageRank(resetProbability=0.15, tol=1e-9).vertices.collect()
+    }
+    fixed_v = {
+        r["id"]: r["pagerank"]
+        for r in g.pageRank(resetProbability=0.15, maxIter=80).vertices.collect()
+    }
+    for k in fixed_v:
+        assert abs(tol_v[k] - fixed_v[k]) < 1e-7
+
+
+def test_pagerank_mode_errors(spark):
+    g = _triangle_graph(spark)
+    with pytest.raises(ValueError):
+        g.pageRank(resetProbability=0.15)  # neither maxIter nor tol
+    with pytest.raises(ValueError):
+        g.pageRank(resetProbability=0.15, maxIter=5, weightCol="w", sourceId="a")
+
+
+def _bfs_graph(spark):
+    v = spark.createDataFrame([(x, "n" + x) for x in "abcdef"], "id string, name string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("b", "e")],
+        "src string, dst string",
+    )
+    return GraphFrame(v, e)
+
+
+def test_bfs_returns_only_shortest_paths(spark):
+    g = _bfs_graph(spark)
+    r = g.bfs("id = 'a'", "id = 'e'")
+    assert r.columns == ["from", "e0", "v1", "e1", "to"]
+    paths = [(row["from"]["id"], row["v1"]["id"], row["to"]["id"]) for row in r.collect()]
+    assert paths == [("a", "b", "e")]  # the length-3 a-c-d-e path is excluded
+
+
+def test_bfs_level_zero_and_unreachable(spark):
+    g = _bfs_graph(spark)
+    self_hit = g.bfs("id = 'a'", "id = 'a'")
+    assert self_hit.columns == ["from", "to"]
+    row = self_hit.first()
+    assert row["from"]["id"] == row["to"]["id"] == "a"
+    none = g.bfs("id = 'e'", "id = 'a'")  # e has no out-edges
+    assert none.columns == ["from", "to"] and none.count() == 0
+
+
+def test_bfs_edge_filter_reroutes(spark):
+    g = _bfs_graph(spark)
+    r = g.bfs("id = 'a'", "id = 'e'", edgeFilter="dst != 'b'")
+    rows = r.collect()
+    assert len(rows) == 1 and len(r.columns) == 7  # a-c-d-e, length 3
+    assert [rows[0][c]["id"] for c in ("from", "v1", "v2", "to")] == list("acde")
+
+
+def test_bfs_multiple_shortest_paths_counted(spark):
+    # diamond: two equal-length paths a->b->d / a->c->d
+    v = spark.createDataFrame([(x,) for x in "abcd"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], "src string, dst string"
+    )
+    r = GraphFrame(v, e).bfs("id = 'a'", "id = 'd'")
+    mids = sorted(row["v1"]["id"] for row in r.collect())
+    assert mids == ["b", "c"]
