@@ -159,3 +159,20 @@ def test_collect_lookup_map_guard(spark):
     }
     with pytest.raises(ValueError, match="broadcast join"):
         collect_lookup_map(dim, "k", "v", max_rows=5)
+
+
+def test_python_datasource_dat_rejects_unsupported_types(spark, tmp_path):
+    """The Arrow fast path supports numeric/string columns only; anything
+    else (boolean here) must fail loudly at read time instead of emitting
+    a string array that mismatches the declared schema."""
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        register_dat_source,
+    )
+
+    p = tmp_path / "bad.dat"
+    p.write_text("1::true\n")
+    register_dat_source(spark)
+    with pytest.raises(Exception, match="unsupported field type"):
+        spark.read.format("dat").schema("id int, flag boolean").load(str(p)).collect()

@@ -223,3 +223,16 @@ def test_model_cache_scoped_per_context_and_resettable(spark, sf_dir):
     finally:
         mlq._MODELS.clear()
         mlq._MODELS.update(saved)
+
+
+def test_item_factor_collect_guard(model_rmse, monkeypatch):
+    """item_factor_matrix collects itemFactors to the driver; past the
+    ceiling it must refuse with a pointer at fold_in_batch instead of
+    OOMing. The ceiling is monkeypatched below the fixture model's
+    catalog size to exercise the refusal cheaply."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.ml import recommend as R
+
+    model, _ = model_rmse
+    monkeypatch.setattr(R, "ITEM_FACTOR_COLLECT_LIMIT", 1)
+    with pytest.raises(ValueError, match="fold_in_batch"):
+        R.item_factor_matrix(model)

@@ -815,3 +815,31 @@ def test_s29_hot_cluster_cap_fails_loudly(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(streamq, "_S29_MAX_LIST", 2)
     with pytest.raises(ValueError, match=r"s29: index cluster .*\(cap 2\)"):
         streamq.s29_stream_semantic_dedup_probe(spark, sf_dir)
+
+
+def test_jsonl_dir_sweep_age_is_an_option(spark):
+    """foreignTmpMaxAgeS raises the foreign-orphan age threshold for
+    queries whose micro-batches legitimately outlive the 1h default."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        JsonlDirStreamWriter,
+    )
+
+    d = tempfile.mkdtemp(prefix="mras_jsonl_age_")
+    tmp = os.path.join(d, "_tmp")
+    os.makedirs(tmp)
+    foreign = os.path.join(tmp, "tokZ-f00d.jsonl")
+    with open(foreign, "w") as f:
+        f.write("{}\n")
+    two_hours_ago = time.time() - 7200
+    os.utime(foreign, (two_hours_ago, two_hours_ago))
+    # default 1h: the 2h-old foreign file is swept
+    w_default = JsonlDirStreamWriter({"path": d, "queryToken": "tokA"})
+    assert w_default.foreign_tmp_max_age_s == JsonlDirStreamWriter.FOREIGN_TMP_MAX_AGE_S
+    # raised threshold: the same file survives the sweep
+    w_long = JsonlDirStreamWriter(
+        {"path": d, "queryToken": "tokA", "foreignTmpMaxAgeS": "14400"}
+    )
+    w_long.commit([], batchId=0)
+    assert os.path.exists(foreign), "raised age threshold must protect the file"
+    w_default.commit([], batchId=1)
+    assert not os.path.exists(foreign), "default threshold sweeps it"
