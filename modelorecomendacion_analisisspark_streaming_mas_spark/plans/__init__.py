@@ -51,11 +51,19 @@ from . import batch9  # noqa: E402,F401
 # each new branch is pytest-covered.
 # ---------------------------------------------------------------------------
 
-# Nothing already-green changed plan or oracle in r8; the brand-new
-# entries (g11_motif_open_trade_wedges, g12_personalized_pagerank,
-# g13_bfs_trade_paths, e13_knn_nsw_beam) are not listed anywhere, so
-# _apply_order auto-slots them first.
-_VERIFY_FIRST: list[str] = []
+# The brand-new entries (g11_motif_open_trade_wedges,
+# g12_personalized_pagerank, g13_bfs_trade_paths, e13_knn_nsw_beam) are
+# not listed anywhere, so _apply_order auto-slots them right after this
+# list. s13 is promoted because its replay SETUP changed late in r8:
+# the far-future sentinel row is now written by a one-slice
+# local_rows_df job instead of a 32-slice createDataFrame + coalesce(1)
+# (~4 s of per-process fixed cost; the staged directory holds the
+# identical rows/schema, and s22 -- the other sentinel-replay consumer,
+# out of this window -- reads the same unchanged bytes). To make room,
+# q62_bm25_topk (plan untouched since r4, judge-re-verified r7, and
+# sim-verified at three scales + drift this round) moves to slot 51,
+# first in line for r9.
+_VERIFY_FIRST: list[str] = ["s13_stream_file_sink"]
 
 
 # Last driver-checked in round 4 (oldest-first): the whole cohort fits in
@@ -66,7 +74,6 @@ _STALE_R4 = [
     "g05_bfs_level_histogram",
     "s20_stream_countmin_cells",
     "q61_source_quality_gate",
-    "q62_bm25_topk",
     "q63_epoch_shuffle_shards",
     "q64_vocab_coverage",
     "q65_bloom_prune_join",
@@ -109,17 +116,19 @@ _STALE_R4 = [
     "q20_cube_lineitem",
 ]
 
-# Hash-exact in CORRECTNESS_r05 and unchanged since: re-checked after the
-# stale cohort, oldest first (slots 49-50 of the r8 window reach the
-# first two entries).
+# Re-checked after the stale cohort, oldest record first. q62 (an r4
+# record, but triple-verified: judge-r7 sample + this round's
+# three-scale + drift sim) leads as slot 51, displaced from the window
+# by s13's promotion; then the r5 cohort (hash-exact in CORRECTNESS_r05
+# and unchanged since; s13 itself moved up to _VERIFY_FIRST).
 _FRESH_R5 = [
+    "q62_bm25_topk",
     "g06_weighted_pagerank_top100",
     "e02_knn_lsh",
     "mm02_image_features",
     "mm06_image_phash_dedup",
     "q71_kmv_sketch_setops",
     "e04_knn_pq_adc",
-    "s13_stream_file_sink",
     "d11_canonical_url_dedup",
     "q73_event_transition_bigrams",
     "t09_bpe_pair_counts",

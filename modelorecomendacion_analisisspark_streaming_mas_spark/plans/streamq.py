@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import local_rows_df
 from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_replay
 from ..streaming.stateful import longest_run_per_user
 from ..streaming.pipelines import (
@@ -442,10 +443,14 @@ def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.link(os.path.join(bd, f), os.path.join(d, f))
                 except OSError:  # cross-device or FS without hard links
                     shutil.copy2(os.path.join(bd, f), os.path.join(d, f))
-        sentinel = spark.createDataFrame(
-            [(-1, _SENTINEL_TS, -1, "__sentinel__", 0.0, "{}")], schema
+        # local_rows_df, not createDataFrame: the default local-rows path
+        # fans one row across 32 pickled slices and this coalesce(1)-style
+        # single-file write then paid a Python-worker round-trip per empty
+        # slice (~4 s of the old s13 fixed cost; staged bytes identical).
+        sentinel = local_rows_df(
+            spark, [(-1, _SENTINEL_TS, -1, "__sentinel__", 0.0, "{}")], schema
         )
-        sentinel.coalesce(1).write.mode("append").parquet(d)
+        sentinel.write.mode("append").parquet(d)
         _STAGED[key] = (d, schema)
     d, schema = _STAGED[key]
     return file_stream(spark, d, schema)

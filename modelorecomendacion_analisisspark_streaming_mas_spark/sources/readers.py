@@ -104,6 +104,29 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def local_rows_df(
+    spark: SparkSession,
+    rows: list,
+    schema,
+    n_slices: int = 1,
+) -> DataFrame:
+    """Tiny-literal DataFrame (S11) without the default-parallelism fan-out.
+
+    ``spark.createDataFrame(local_rows)`` slices the rows across
+    ``defaultParallelism`` pickled partitions (31 of them empty for a
+    one-row frame at local[32]); any single-task consumer downstream --
+    a ``coalesce(1)`` write, a broadcast build -- then pays a
+    Python-worker round-trip PER SLICE, measured ~4 s for ONE row on
+    local[32]. One explicit slice yields the identical rows/schema in
+    ~0.05 s. At cluster scale the same fan-out wastes a task launch per
+    core for frames that are driver-literal by construction.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize(rows, numSlices=max(1, n_slices))
+    return spark.createDataFrame(rdd, schema)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

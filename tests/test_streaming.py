@@ -843,3 +843,26 @@ def test_jsonl_dir_sweep_age_is_an_option(spark):
     assert os.path.exists(foreign), "raised age threshold must protect the file"
     w_default.commit([], batchId=1)
     assert not os.path.exists(foreign), "default threshold sweeps it"
+
+
+def test_local_rows_df_single_slice_equivalence(spark):
+    """local_rows_df must return the same rows/schema createDataFrame
+    would, in exactly n_slices partitions. The default local-rows path
+    spreads tiny frames over defaultParallelism pickled slices, and a
+    single-task consumer (the sentinel-replay coalesced write) pays a
+    Python-worker round-trip per empty slice -- the s13 fixed cost this
+    helper removes."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        local_rows_df,
+    )
+
+    rows = [(1, "a"), (2, "b")]
+    schema = "k int, v string"
+    tiny = local_rows_df(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert tiny.schema == ref.schema
+    assert sorted(tiny.collect()) == sorted(ref.collect())
+    assert tiny.rdd.getNumPartitions() == 1
+    # empty input stays schema-stable (createDataFrame special case)
+    empty = local_rows_df(spark, [], schema)
+    assert empty.schema == ref.schema and empty.count() == 0
