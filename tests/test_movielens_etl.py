@@ -176,3 +176,47 @@ def test_python_datasource_dat_rejects_unsupported_types(spark, tmp_path):
     register_dat_source(spark)
     with pytest.raises(Exception, match="unsupported field type"):
         spark.read.format("dat").schema("id int, flag boolean").load(str(p)).collect()
+
+
+def test_load_events_normalizes_every_shipped_ts_physical_type(spark, tmp_path):
+    """The driver regenerates testdata between rounds and events.ts has
+    shipped as THREE different parquet physical types: TIMESTAMP(NANOS)
+    (Spark 4 refuses outright without the nanosAsLong legacy conf),
+    timestamp[us] NTZ (watermarks reject TIMESTAMP_NTZ), and tz-aware
+    timestamp[us]. load_events must normalize all three to a plain
+    TIMESTAMP column with identical wall-clock values -- this pins the
+    nanos branch, which current testdata (micros NTZ) never exercises."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        load_events,
+    )
+
+    wall = [
+        datetime.datetime(2024, 3, 1, 12, 0, 0, 250000),
+        datetime.datetime(2024, 3, 2, 23, 59, 59, 999999),
+    ]
+    variants = {
+        "nanos": pa.timestamp("ns"),
+        "micros_ntz": pa.timestamp("us"),
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+    }
+    got = {}
+    for name, ts_type in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(wall, pa.timestamp("us")).cast(ts_type),
+            }
+        )
+        # version 2.6 preserves NANOS instead of silently coercing to micros
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        ev = load_events(spark, str(d))
+        assert dict(ev.dtypes)["ts"] == "timestamp", (name, ev.dtypes)
+        got[name] = sorted(r["ts"] for r in ev.select("ts").collect())
+    assert got["nanos"] == got["micros_ntz"] == got["micros_utc"] == wall, got
