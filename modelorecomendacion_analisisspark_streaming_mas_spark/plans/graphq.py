@@ -656,8 +656,14 @@ def g08_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _G09_ROUNDS = 4
 
+# AS MATERIALIZED on und and each l{r} is load-bearing, not a style nit:
+# each nb{r} references both und AND l{r-1} twice (the two UNION arms),
+# so an inlining planner re-executes the whole upstream lineage 2x per
+# round -- 2^ROUNDS copies of the 4-table und join. At sf0.1 that
+# exhausted 80 GB of DuckDB spill; materialized, the oracle is linear
+# in ROUNDS and runs in seconds (the g13 lesson, SCALING.md r8).
 _G09_UND_SQL = """
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
                   greatest(c.c_nationkey, s.s_nationkey) AS b
   FROM lineitem l
@@ -676,7 +682,7 @@ nb{r} AS (
   SELECT e.b AS v, l.lab FROM und e JOIN l{r-1} l ON l.v = e.a
 ),
 c{r} AS (SELECT v, lab, count(*) AS n FROM nb{r} GROUP BY v, lab),
-l{r} AS (
+l{r} AS MATERIALIZED (
   SELECT v, lab FROM (
     SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY n DESC, lab) AS rn
     FROM c{r}

@@ -995,6 +995,30 @@ def _cleanup_doc_staged() -> None:
     _DOC_STAGED.clear()
 
 
+def _staged_replay_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """File-replay stream over a staged parquet dir, schema read from the
+    staged files' own footer (a driver-side footer sniff -- no inference
+    job, the dir is already materialized).
+
+    The staged bytes derive from driver-regenerated testdata whose
+    PHYSICAL types have flipped between rounds (events.ts has shipped as
+    both TIMESTAMP(NANOS) and micros -- see load_events); a hard-coded
+    schema literal here would make the vectorized parquet stream reader
+    reject the staged files the round the generator flips, e.g.,
+    embeddings float<->double. Deriving from the footer keeps the stream
+    byte-faithful to whatever was staged; downstream math normalizes via
+    _as_double. With current testdata the derived schemas equal the old
+    literals exactly (pinned by tests/test_streaming.py::
+    test_staged_replay_schemas_match_r7_literals), so today's plans are
+    unchanged."""
+    schema = spark.read.parquet(staged_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+
+
 def _staged_new_docs(spark: SparkSession, sf_dir: str) -> str:
     """Odd-doc_id documents split across 2 parquet files for replay.
 
@@ -1052,12 +1076,7 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_new_docs(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="mras_s26_out_")
     _SINK_DIRS.append(out_dir)
-    schema = "doc_id bigint, text string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
+    stream = _staged_replay_stream(spark, staged)
 
     def probe(batch_df, epoch_id):
         batch = batch_df.localCheckpoint(eager=True)
@@ -1308,11 +1327,7 @@ def s28_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_embeddings(spark, sf_dir)
     parts_dir = tempfile.mkdtemp(prefix="mras_s28_parts_")
     _SINK_DIRS.append(parts_dir)
-    stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
+    stream = _staged_replay_stream(spark, staged)
 
     def ingest(batch_df, epoch_id):
         batch = batch_df.select(
@@ -1496,12 +1511,7 @@ def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
     staged = _staged_embeddings(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="mras_s29_out_")
     _SINK_DIRS.append(out_dir)
-    stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .filter(F.col("vec_id") % 2 == 1)
-    )
+    stream = _staged_replay_stream(spark, staged).filter(F.col("vec_id") % 2 == 1)
 
     def probe(batch_df, epoch_id):
         batch = (
@@ -1665,11 +1675,7 @@ def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_new_docs(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="mras_s30_out_")
     _SINK_DIRS.append(out_dir)
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
+    stream = _staged_replay_stream(spark, staged)
 
     def probe(batch_df, epoch_id):
         ch = cdc_chunk_frame(batch_df)
@@ -1838,11 +1844,7 @@ def s32_stream_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFram
     staged = _staged_corpus_docs(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="mras_s32_out_")
     _SINK_DIRS.append(out_dir)
-    stream = (
-        spark.readStream.schema("doc_id bigint, source string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-    )
+    stream = _staged_replay_stream(spark, staged)
 
     def probe(batch_df, epoch_id):
         batch = batch_df.localCheckpoint(eager=True)

@@ -866,3 +866,31 @@ def test_local_rows_df_single_slice_equivalence(spark):
     # empty input stays schema-stable (createDataFrame special case)
     empty = local_rows_df(spark, [], schema)
     assert empty.schema == ref.schema and empty.count() == 0
+
+
+def test_staged_replay_schemas_match_r7_literals(spark, sf_dir):
+    """The five testdata-derived replay streams (s26/s28/s29/s30/s32) now
+    read their schema from the staged files' own footer instead of the
+    old hard-coded literals, so a generator physical-type flip (the
+    events.ts nanos<->micros precedent, or embeddings float<->double)
+    cannot make the stream reader reject the staged bytes. On CURRENT
+    testdata the derived schemas must equal those old literals exactly --
+    proving the refactor changes no plan today."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.streamq import (
+        _staged_corpus_docs,
+        _staged_embeddings,
+        _staged_new_docs,
+        _staged_replay_stream,
+    )
+
+    expect = {
+        _staged_embeddings(spark, sf_dir): "vec_id bigint, embedding array<float>",
+        _staged_new_docs(spark, sf_dir): "doc_id bigint, text string",
+        _staged_corpus_docs(spark, sf_dir): "doc_id bigint, source string, text string",
+    }
+    for staged, literal in expect.items():
+        st = _staged_replay_stream(spark, staged)
+        assert st.isStreaming
+        assert st.schema == _parse_datatype_string(literal), (literal, st.schema)
