@@ -295,9 +295,12 @@ class GraphFrame:
         share no vertex are cross products by definition (library
         semantics) and are only safe on tiny frames.
 
-        Limits vs the library (loud, not silent): edge names must be
-        unique, negated terms need an anonymous edge and both endpoints
-        named + bound by a positive/vertex term.
+        Repeated edge names unify like the library's: the later
+        occurrence is an equality constraint on (src, dst) against the
+        first (with parallel multi-edges this matches any same-endpoint
+        edge, not the identical row). Remaining limit vs the library
+        (loud, not silent): negated terms need an anonymous edge and both
+        endpoints named + bound by a positive/vertex term.
         """
         import re
 
@@ -323,18 +326,12 @@ class GraphFrame:
                 continue
             raise ValueError(f"unsupported motif term: {t!r}")
 
-        enames = [e for kind, *rest in parsed if kind == "edge" for e in [rest[2]] if e]
-        if len(enames) != len(set(enames)):
-            raise NotImplementedError(
-                "motif edge-name unification (the same edge name in two "
-                "terms) is not implemented; give each edge a distinct name"
-            )
-
         ecols = list(self._edges.columns)
         vcols = list(self._vertices.columns)
         bound: dict[str, str] = {}  # vertex name -> id column in cur
         out_order: list[tuple[str, str]] = []  # (kind, name) first appearance
         edge_col: dict[str, str] = {}  # edge name -> struct column in cur
+        edge_ends: dict[str, tuple[str, str]] = {}  # edge name -> (src, dst) cols
         cur: DataFrame | None = None
 
         def note(kind: str, name: str | None) -> None:
@@ -363,6 +360,15 @@ class GraphFrame:
                     cond.append(cur[bound[a]] == t[f"__mfs_{i}"])
                 if b in bound:
                     cond.append(cur[bound[b]] == t[f"__mfd_{i}"])
+                if e is not None and e in edge_ends:
+                    # edge-name unification (library semantics): a repeated
+                    # edge name is an equality constraint -- this
+                    # occurrence must be the SAME edge as the first one,
+                    # expressed as (src, dst) equality between the two
+                    # self-join sides.
+                    s0, d0 = edge_ends[e]
+                    cond.append(cur[s0] == t[f"__mfs_{i}"])
+                    cond.append(cur[d0] == t[f"__mfd_{i}"])
                 if cond:
                     c = cond[0]
                     for extra in cond[1:]:
@@ -374,8 +380,9 @@ class GraphFrame:
                 bound[a] = f"__mfs_{i}"
             if b is not None and b not in bound:
                 bound[b] = f"__mfd_{i}"
-            if e is not None:
+            if e is not None and e not in edge_col:
                 edge_col[e] = f"__mfe_{i}"
+                edge_ends[e] = (f"__mfs_{i}", f"__mfd_{i}")
 
         # bare vertex terms bind any still-unbound names against the
         # vertex frame (already-bound names add nothing: endpoints unify)
@@ -405,7 +412,10 @@ class GraphFrame:
                 "left_anti",
             )
 
-        assert cur is not None  # parsed is non-empty and every term binds
+        if cur is None:
+            # e.g. "()" or "(); ()": nothing to generate rows from and
+            # nothing to return -- refuse loudly instead of asserting.
+            raise ValueError(f"motif pattern binds no elements: {pattern!r}")
 
         # attach vertex attribute structs (inner join, like the library:
         # an edge endpoint absent from the vertices frame drops the match)

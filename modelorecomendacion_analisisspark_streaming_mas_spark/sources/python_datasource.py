@@ -32,6 +32,22 @@ class _DatFilePartition(InputPartition):
         self.path = path
 
 
+def _opt(options: dict, key: str, default=None):
+    """Case-insensitive option lookup. Through the real DataFrame API Spark
+    hands readers/writers a CaseInsensitiveDict whose keys arrive
+    LOWERCASED (``.option("eventsPerBatch", n)`` surfaces as
+    ``eventsperbatch``), while unit tests construct them with plain
+    camelCase dicts -- accept both spellings so camelCase option names
+    documented in docstrings work through ``.option(...)``."""
+    if key in options:
+        return options[key]
+    lk = key.lower()
+    for k, v in options.items():
+        if k.lower() == lk:
+            return v
+    return default
+
+
 def _permissive(cast):
     """PERMISSIVE-mode numeric conversion: a malformed field becomes null,
     matching what the csv-reader twin (readers.py::read_dat) does, instead
@@ -168,8 +184,8 @@ from .generators import GENDERS, OCCUPATIONS
 
 class FeedbackBotStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
-        self.batch = int(options.get("eventsPerBatch", 100))
-        self.seed = int(options.get("seed", 42))
+        self.batch = int(_opt(options, "eventsPerBatch", 100))
+        self.seed = int(_opt(options, "seed", 42))
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -259,14 +275,14 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
         self.foreign_tmp_max_age_s = float(
-            options.get("foreignTmpMaxAgeS") or self.FOREIGN_TMP_MAX_AGE_S
+            _opt(options, "foreignTmpMaxAgeS") or self.FOREIGN_TMP_MAX_AGE_S
         )
         # Per-query namespace token: the writer instance is created once per
         # streaming query and shipped to executors, so every tmp file this
         # query writes carries the token.  The commit-time orphan sweep
         # matches ONLY this prefix -- two queries sharing an output path can
         # no longer delete each other's not-yet-renamed tmp files.
-        self.query_token = options.get("queryToken") or _uuid.uuid4().hex[:12]
+        self.query_token = _opt(options, "queryToken") or _uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlFileMessage:
         tmp_dir = _os.path.join(self.path, "_tmp")

@@ -245,10 +245,27 @@ def test_find_struct_field_filters_compose(spark):
     assert got == [("a", "c"), ("b", "a"), ("b", "d"), ("c", "b")]
 
 
+def test_find_repeated_edge_name_unifies(spark):
+    """A reused edge name is an equality constraint on (src, dst): the
+    two occurrences must be the same edge (library semantics)."""
+    g = _triangle_graph(spark)
+    res = g.find("(a)-[e]->(b); (c)-[e]->(d)")
+    assert res.columns == ["a", "e", "b", "c", "d"]
+    rows = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"], r["d"]["id"])
+        for r in res.collect()
+    }
+    # c/d are forced equal to a/b through the shared edge
+    assert rows == {("a", "b", "a", "b"), ("b", "c", "b", "c"),
+                    ("c", "a", "c", "a"), ("c", "d", "c", "d")}
+    # chained reuse demands a self-loop; the triangle graph has none
+    assert g.find("(a)-[e]->(b); (b)-[e]->(c)").count() == 0
+
+
 def test_find_loud_errors(spark):
     g = _triangle_graph(spark)
-    with pytest.raises(NotImplementedError):
-        g.find("(a)-[e]->(b); (b)-[e]->(c)")  # reused edge name
+    with pytest.raises(ValueError, match="binds no elements"):
+        g.find("()")  # anonymous-only pattern binds nothing
     with pytest.raises(ValueError):
         g.find("!(a)-[e]->(b)")  # negated term with a named edge
     with pytest.raises(ValueError):

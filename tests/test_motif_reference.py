@@ -56,6 +56,8 @@ def _ref_find(vertex_ids, edges, pattern):
                     continue
                 if a is not None and a == b and s != d:
                     continue
+                if e is not None and ("e", e) in asg and asg[("e", e)][:2] != (s, d):
+                    continue  # repeated edge name: must be the same edge
                 na = dict(asg)
                 if a is not None:
                     na[a] = s
@@ -125,6 +127,9 @@ _PATTERNS = [
     "(a)-[]->()",
     "(a)-[e]->(a)",
     "(s); (a)-[]->(b); !(s)-[]->(b)",
+    "(a)-[e]->(b); (c)-[e]->(d)",
+    "(a)-[e]->(b); (a)-[e]->(c)",
+    "(a)-[e]->(b); (b)-[e]->(c)",
 ]
 
 

@@ -845,6 +845,56 @@ def test_jsonl_dir_sweep_age_is_an_option(spark):
     assert not os.path.exists(foreign), "default threshold sweeps it"
 
 
+def test_jsonl_dir_camelcase_options_via_real_api(spark):
+    """Regression: through the real ``.option(...)`` API Spark lowercases
+    option keys (CaseInsensitiveDict), so a plain
+    ``options.get("foreignTmpMaxAgeS")`` silently returned None and the
+    documented camelCase options were dead. Drive a real query with
+    camelCase ``foreignTmpMaxAgeS`` + ``queryToken`` and observe both in
+    the commit-time sweep behavior."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.python_datasource import (
+        FeedbackBotStreamReader,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out_dir = tempfile.mkdtemp(prefix="mras_jsonl_ciopt_")
+    tmp = os.path.join(out_dir, "_tmp")
+    os.makedirs(tmp)
+    # 2h-old foreign-token file: the DEFAULT 1h threshold would sweep it;
+    # the raised camelCase option must protect it.
+    old_foreign = os.path.join(tmp, "tokZ-0ld.jsonl")
+    with open(old_foreign, "w") as f:
+        f.write("{}\n")
+    two_hours_ago = time.time() - 7200
+    os.utime(old_foreign, (two_hours_ago, two_hours_ago))
+    # FRESH file carrying OUR token: swept only if queryToken reached the
+    # writer (a random fallback token would leave it alone).
+    ours_fresh = os.path.join(tmp, "tokA-fresh.jsonl")
+    with open(ours_fresh, "w") as f:
+        f.write("{}\n")
+    src = tempfile.mkdtemp(prefix="mras_jsonl_ciopt_src_")
+    spark.range(3).selectExpr("id", "string(id) as v").write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema("id long, v string")
+        .parquet(src)
+        .writeStream.format("jsonl_dir")
+        .option("path", out_dir)
+        .option("queryToken", "tokA")
+        .option("foreignTmpMaxAgeS", "14400")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mras_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert os.path.exists(old_foreign), "camelCase foreignTmpMaxAgeS must apply"
+    assert not os.path.exists(ours_fresh), "camelCase queryToken must apply"
+    # eventsPerBatch rides the same lowercasing path on the bot source.
+    assert FeedbackBotStreamReader({"eventsperbatch": "7", "seed": "3"}).batch == 7
+
+
 def test_local_rows_df_single_slice_equivalence(spark):
     """local_rows_df must return the same rows/schema createDataFrame
     would, in exactly n_slices partitions. The default local-rows path
