@@ -293,6 +293,22 @@ def test_kcore_reaches_fixpoint_and_every_survivor_qualifies(spark, sf_dir):
     assert bad == 0
 
 
+def test_g13_entry_is_multi_hop_and_nonempty(spark, sf_dir):
+    """g13's driver certificate must never be vacuous again (its r8
+    record hash-matched 0 rows vs 0 rows at sf0.01): the nearest-
+    indirect-partner target set excludes nation 0's direct successors,
+    so every returned path has length >= 2 BY CONSTRUCTION, and the
+    entry must return rows on the shipped testdata."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.graphq import (
+        g13_bfs_trade_paths,
+    )
+
+    rows = g13_bfs_trade_paths(spark, sf_dir).collect()
+    assert rows, "g13 must be non-empty on shipped testdata"
+    assert all(r["path_len"] >= 2 for r in rows)
+    assert all(r["n_paths"] >= 1 for r in rows)
+
+
 def test_g09_lpa_matches_python_reference_on_random_graphs(spark):
     """Synchronous LPA with the pinned (count DESC, label ASC)
     tie-break must match a sequential reference on arbitrary small
