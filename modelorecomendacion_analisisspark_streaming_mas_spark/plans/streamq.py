@@ -936,23 +936,44 @@ FROM events WHERE user_id % 4 = 0 GROUP BY event_type
 )
 def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.python_datasource import read_jsonl_sink, register_jsonl_sink
+    from ..sources.readers import load_events
 
     register_jsonl_sink(spark)
-    stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=4)
+    # quarter-slice of the replay, pre-filtered and pre-projected AT THE
+    # STAGE JOB (the staged dir is private to this entry): the sink
+    # serializes row-at-a-time Python (json.dumps per row -- the honest
+    # cost of a PYTHON writer); the contract is identical at any volume,
+    # so the exemplar doesn't need to push the full table through it,
+    # and pushing the filter/projection into staging cuts both the stage
+    # write and the per-batch serialization 4x.
+    key = (sf_dir, "s25_quarter")
+    if key not in _DOC_STAGED:
+        d = tempfile.mkdtemp(prefix="mras_s25_stage_")
+        (
+            load_events(spark, sf_dir)
+            .filter(F.col("user_id") % 4 == 0)
+            .select("event_type", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _DOC_STAGED[key] = d
+    staged = _DOC_STAGED[key]
+    # footer-derived schema, like _staged_replay_stream (regeneration-
+    # proof); 4 files / 2 per trigger = 2 real micro-batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
     out_dir = tempfile.mkdtemp(prefix="mras_jsonl_sink_")
     _SINK_DIRS.append(out_dir)
     q = (
-        # quarter-slice of the replay: the sink serializes row-at-a-time
-        # Python (json.dumps per row -- the honest cost of a PYTHON
-        # writer); the contract is identical at any volume, so the
-        # exemplar doesn't need to push the full table through it
-        stream.filter(F.col("user_id") % 4 == 0)
-        .select("event_type", "value")
         # widen the Python writer: without this the write stage inherits
         # the scan's 2 tasks (one per staged file), serializing the
         # row-at-a-time json.dumps; 8 writer tasks is how the sink is
         # meant to scale (one temp file + manifest entry per task)
-        .repartition(8)
+        stream.repartition(8)
         .writeStream.format("jsonl_dir")
         .option("path", out_dir)
         .option("checkpointLocation", f"{out_dir}/_ckpt")
