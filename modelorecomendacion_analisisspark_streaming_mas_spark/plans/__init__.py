@@ -20,55 +20,199 @@ from . import batch8  # noqa: E402,F401
 from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 8 rotation).
+# Registration-order policy (round 9 rotation).
 #
 # The driver's CORRECTNESS sweep samples exactly 50 queries per round *in
-# registration order* (r1-r7 each recorded 50), so the order of this dict
+# registration order* (r1-r8 each recorded 50), so the order of this dict
 # decides which queries get a hard driver-side oracle run. Policy
 # (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST: queries whose PLAN OR ORACLE changed this round (they
+#   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest). Anything not
 #      in a list below (i.e. brand-new) lands right after automatically.
-#   2. STALE_R4: the oldest official records. r7's window drained the
-#      whole r3 cohort plus s10 (slot 50), leaving these 46 entries last
-#      driver-checked in round 4; 4 brand-new r8 queries (g11, g12, g13,
-#      e13) + 46 = exactly the 50-slot window, so the whole cohort fits
-#      with nothing to spare.
-#   3. FRESH_R5 / FRESH_R6 / FRESH_R7: re-checked last, oldest cohort
-#      first.
-#   4. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
+#      r9 promotes 6: g13 (de-vacuated -- targets reshaped to nearest
+#      indirect partners so the record can never hash-match empty-vs-empty
+#      again), s25 (stage-side filter/projection pushdown), and the four
+#      footer-derived replay streams s26/s28/s29/s30 whose readStream
+#      schema derivation changed late in r8 (plan identity was pinned by
+#      test only; driver-green is the official signal).
+#   2. STALE_R5: the oldest official records -- q62 (slot 51 in r8,
+#      judge-verified r7 AND r8, leads the cohort) plus the 43 remaining
+#      r5-cohort entries (s24 now lives only in FRESH_R6, where its
+#      actual record is). 6 + 1 + 43 = exactly the 50-slot window.
+#   3. NEXT_R10: s32, the fifth changed-schema replay stream, displaced
+#      to slot 51 and first in line for r10 (VERDICT r8 task 6 allows
+#      r9 OR r10 for the five; s32 keeps its r7 record + the schema
+#      pinning test meanwhile).
+#   4. FRESH_R6 / FRESH_R7 / FRESH_R8: re-checked last, oldest cohort
+#      first. FRESH_R8 is the whole r8 window: s13 + the 3 surviving
+#      brand-new r8 entries + the 45-entry drained r4 cohort.
+#   5. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
 #      ALS training -- register(..., rows_only=True)) at the very end: a
 #      window slot spent on them can never upgrade to a hash match, and
 #      their `err: no_oracle` CORRECTNESS rows are by design (see
 #      COVERAGE.md "Rows-only entries").
 #
-# r8 code changes with NO list impact (guard-only, result-identical, the
-# executed plan bytes unchanged for catalog entries): the dat reader's
-# unsupported-type ValueError (q81's long/double/string schema never hits
-# it), the jsonl_dir foreignTmpMaxAgeS option (default unchanged, s25),
-# and item_factor_matrix's limit+1 probe (m02, rows-only tail anyway);
-# each new branch is pytest-covered.
+# Every name appears in exactly one list (asserted in _apply_order): the
+# lists are a PARTITION of the registry, so the window arithmetic above
+# is auditable by len() alone.
 # ---------------------------------------------------------------------------
 
-# The brand-new entries (g11_motif_open_trade_wedges,
-# g12_personalized_pagerank, g13_bfs_trade_paths, e13_knn_nsw_beam) are
-# not listed anywhere, so _apply_order auto-slots them right after this
-# list. s13 is promoted because its replay SETUP changed late in r8:
-# the far-future sentinel row is now written by a one-slice
-# local_rows_df job instead of a 32-slice createDataFrame + coalesce(1)
-# (~4 s of per-process fixed cost; the staged directory holds the
-# identical rows/schema, and s22 -- the other sentinel-replay consumer,
-# out of this window -- reads the same unchanged bytes). To make room,
-# q62_bm25_topk (plan untouched since r4, judge-re-verified r7, and
-# sim-verified at three scales + drift this round) moves to slot 51,
-# first in line for r9.
-_VERIFY_FIRST: list[str] = ["s13_stream_file_sink"]
+_VERIFY_FIRST: list[str] = [
+    "g13_bfs_trade_paths",
+    "s25_stream_jsonl_sink",
+    "s26_stream_lsh_dedup_probe",
+    "s28_stream_ivf_ingest",
+    "s29_stream_semantic_dedup_probe",
+    "s30_stream_cdc_dedup_probe",
+]
 
+_STALE_R5 = [
+    "q62_bm25_topk",
+    "g06_weighted_pagerank_top100",
+    "e02_knn_lsh",
+    "mm02_image_features",
+    "mm06_image_phash_dedup",
+    "q71_kmv_sketch_setops",
+    "e04_knn_pq_adc",
+    "d11_canonical_url_dedup",
+    "q73_event_transition_bigrams",
+    "t09_bpe_pair_counts",
+    "q74_cluster_aware_split",
+    "q75_token_budget_curriculum",
+    "q76_json_roundtrip",
+    "e06_knn_ivfpq",
+    "s23_stream_image_features",
+    "q77_merge_upsert_apply",
+    "m06_cooccurrence_lift",
+    "q78_delete_propagation",
+    "d12_truncation_dedup",
+    "q79_table_profile",
+    "e07_knn_filtered",
+    "q80_source_score_calibration",
+    "g07_kcore_summary",
+    "q22_salted_group_count",
+    "q24_distinct_counts",
+    "q25_pivot_status",
+    "q26_rank_family",
+    "q27_lag_lead_orders",
+    "q28_hash_sample_stats",
+    "q30_grouping_sets",
+    "q31_small_qty_revenue",
+    "q32_full_outer_nation_coverage",
+    "q34_lateral_top_customers",
+    "q35_unpivot_segment_metrics",
+    "q36_listagg_region_nations",
+    "q37_variant_event_props",
+    "q41_range_frame_trailing_spend",
+    "q42_try_arithmetic",
+    "q43_bitmap_distinct",
+    "q46_array_hof_top3",
+    "q47_map_type_roundtrip",
+    "q39_udtf_doc_chunks",
+    "g01_part_in_degrees",
+    "g02_pagerank_top100",
+]
 
-# Last driver-checked in round 4 (oldest-first): the whole cohort fits in
-# the r8 window behind the 2 new entries, closing it out.
-_STALE_R4 = [
+_NEXT_R10 = [
+    "s32_stream_contamination_probe",
+]
+
+_FRESH_R6 = [
+    "e05_knn_truncated_rerank",
+    "mm04_audio_features",
+    "s24_stream_upsert_snapshot",
+    "g08_clustering_coefficient",
+    "g09_label_propagation",
+    "mm07_scene_cuts",
+    "d13_duplicated_spans",
+    "e08_mmr_diversified",
+    "d14_semantic_dedup",
+    "d15_cdc_chunk_dedup",
+    "t11_zipf_fit",
+    "t12_bpe_encode",
+    "q84_token_budget_waterfill",
+    "q85_classifier_quality_filter",
+    "t13_bpe_train_merges",
+    "e09_knn_label_eval",
+    "q86_ewma_anomaly",
+    "e10_rrf_hybrid",
+    "q87_kanon_release",
+    "q21_asof_click_attribution",
+    "q23_salted_join_revenue",
+    "q29_semi_anti_customers",
+    "q33_group_regression",
+    "q40_gap_fill_daily",
+    "q45_recursive_month_spine",
+    "q48_training_data_pipeline",
+    "s01_stream_tumbling_counts",
+    "s14_stream_left_outer_join",
+    "d01_exact_dedup_docs",
+    "d02_minhash_near_dups",
+    "d03_simhash_docs",
+    "t01_text_quality",
+    "t02_lang_id_confusion",
+    "t03_token_stats",
+    "t04_tfidf_top_terms",
+    "e01_knn_bruteforce",
+    "s11_stream_static_join",
+    "s12_stream_dynamic_session",
+    "g03_component_histogram",
+    "g04_trade_triangles",
+    "m03_item_item_cosine",
+    "s15_incremental_rollup",
+]
+
+_FRESH_R7 = [
+    "d08_fuzzy_edit1_join",
+    "s22_stream_timer_sessions",
+    "q81_dat_source_roundtrip",
+    "q82_dsir_importance_weights",
+    "q83_psi_drift",
+    "t10_token_entropy",
+    "m07_ranking_metrics",
+    "s27_stream_psi_cells",
+    "g10_graphframe_notebook_port",
+    "s31_stream_ewma_anomaly",
+    "t14_perplexity_filter",
+    "e11_knn_sq8",
+    "mm08_audio_segments",
+    "d16_soft_dedup_weights",
+    "e12_index_tombstone_hygiene",
+    "s16_stream_quality_router",
+    "s17_stream_static_anti_join",
+    "mm03_video_frame_plan",
+    "t08_bigram_cross_entropy",
+    "d06_contamination_check",
+    "t06_repetition_metrics",
+    "q49_stratified_source_sample",
+    "t07_pii_redaction",
+    "d07_near_dup_clusters",
+    "q50_clustered_scan_pruning",
+    "q51_zorder_scan_pruning",
+    "q52_compaction_roundtrip",
+    "q53_sql_engine_parity",
+    "q54_schema_evolution_read",
+    "q55_dq_expectations",
+    "q56_batch_sessionization",
+    "q57_weighted_sample",
+    "mm05_shard_manifest",
+    "q58_equidepth_histogram",
+    "q59_snapshot_diff",
+    "s02_stream_sliding_counts",
+    "s03_stream_session_counts",
+    "s04_stream_dedup_counts",
+    "s05_stream_latest_topk",
+    "s06_stream_group_counts",
+    "s07_stream_stream_join",
+    "s10_stream_tws_counts",
+]
+
+_FRESH_R8 = [
+    "s13_stream_file_sink",
+    "g11_motif_open_trade_wedges",
+    "g12_personalized_pagerank",
+    "e13_knn_nsw_beam",
     "s18_stream_tws_latest",
     "s19_stream_tws_buckets",
     "g05_bfs_level_histogram",
@@ -116,163 +260,6 @@ _STALE_R4 = [
     "q20_cube_lineitem",
 ]
 
-# Re-checked after the stale cohort, oldest record first. q62 (an r4
-# record, but triple-verified: judge-r7 sample + this round's
-# three-scale + drift sim) leads as slot 51, displaced from the window
-# by s13's promotion; then the r5 cohort (hash-exact in CORRECTNESS_r05
-# and unchanged since; s13 itself moved up to _VERIFY_FIRST).
-_FRESH_R5 = [
-    "q62_bm25_topk",
-    "g06_weighted_pagerank_top100",
-    "e02_knn_lsh",
-    "mm02_image_features",
-    "mm06_image_phash_dedup",
-    "q71_kmv_sketch_setops",
-    "e04_knn_pq_adc",
-    "d11_canonical_url_dedup",
-    "q73_event_transition_bigrams",
-    "t09_bpe_pair_counts",
-    "q74_cluster_aware_split",
-    "q75_token_budget_curriculum",
-    "q76_json_roundtrip",
-    "e06_knn_ivfpq",
-    "s23_stream_image_features",
-    "q77_merge_upsert_apply",
-    "m06_cooccurrence_lift",
-    "q78_delete_propagation",
-    "d12_truncation_dedup",
-    "q79_table_profile",
-    "s24_stream_upsert_snapshot",
-    "e07_knn_filtered",
-    "q80_source_score_calibration",
-    "g07_kcore_summary",
-    "q22_salted_group_count",
-    "q24_distinct_counts",
-    "q25_pivot_status",
-    "q26_rank_family",
-    "q27_lag_lead_orders",
-    "q28_hash_sample_stats",
-    "q30_grouping_sets",
-    "q31_small_qty_revenue",
-    "q32_full_outer_nation_coverage",
-    "q34_lateral_top_customers",
-    "q35_unpivot_segment_metrics",
-    "q36_listagg_region_nations",
-    "q37_variant_event_props",
-    "q41_range_frame_trailing_spend",
-    "q42_try_arithmetic",
-    "q43_bitmap_distinct",
-    "q46_array_hof_top3",
-    "q47_map_type_roundtrip",
-    "q39_udtf_doc_chunks",
-    "g01_part_in_degrees",
-    "g02_pagerank_top100",
-]
-
-# Hash-exact in CORRECTNESS_r06 and unchanged since.
-_FRESH_R6 = [
-    "e05_knn_truncated_rerank",
-    "mm04_audio_features",
-    "s24_stream_upsert_snapshot",
-    "g08_clustering_coefficient",
-    "g09_label_propagation",
-    "mm07_scene_cuts",
-    "d13_duplicated_spans",
-    "e08_mmr_diversified",
-    "d14_semantic_dedup",
-    "d15_cdc_chunk_dedup",
-    "t11_zipf_fit",
-    "t12_bpe_encode",
-    "q84_token_budget_waterfill",
-    "q85_classifier_quality_filter",
-    "t13_bpe_train_merges",
-    "e09_knn_label_eval",
-    "q86_ewma_anomaly",
-    "e10_rrf_hybrid",
-    "q87_kanon_release",
-    "s28_stream_ivf_ingest",
-    "q21_asof_click_attribution",
-    "q23_salted_join_revenue",
-    "q29_semi_anti_customers",
-    "q33_group_regression",
-    "q40_gap_fill_daily",
-    "q45_recursive_month_spine",
-    "q48_training_data_pipeline",
-    "s01_stream_tumbling_counts",
-    "s14_stream_left_outer_join",
-    "d01_exact_dedup_docs",
-    "d02_minhash_near_dups",
-    "d03_simhash_docs",
-    "t01_text_quality",
-    "t02_lang_id_confusion",
-    "t03_token_stats",
-    "t04_tfidf_top_terms",
-    "e01_knn_bruteforce",
-    "s11_stream_static_join",
-    "s12_stream_dynamic_session",
-    "g03_component_histogram",
-    "g04_trade_triangles",
-    "m03_item_item_cosine",
-    "s15_incremental_rollup",
-]
-
-# The r7 window, hash-exact in CORRECTNESS_r07 (47/50 green; the 3
-# remaining rows were the rows-only m01/m02/m05, now in the tail list):
-# r7's VERIFY_FIRST cohort, the 10 brand-new r7 entries, the drained r3
-# cohort, and s10 (slot 50). Freshest official records, re-checked dead
-# last.
-_FRESH_R7 = [
-    "d08_fuzzy_edit1_join",
-    "s22_stream_timer_sessions",
-    "s25_stream_jsonl_sink",
-    "s26_stream_lsh_dedup_probe",
-    "q81_dat_source_roundtrip",
-    "q82_dsir_importance_weights",
-    "q83_psi_drift",
-    "t10_token_entropy",
-    "m07_ranking_metrics",
-    "s27_stream_psi_cells",
-    "g10_graphframe_notebook_port",
-    "s29_stream_semantic_dedup_probe",
-    "s30_stream_cdc_dedup_probe",
-    "s31_stream_ewma_anomaly",
-    "s32_stream_contamination_probe",
-    "t14_perplexity_filter",
-    "e11_knn_sq8",
-    "mm08_audio_segments",
-    "d16_soft_dedup_weights",
-    "e12_index_tombstone_hygiene",
-    "s16_stream_quality_router",
-    "s17_stream_static_anti_join",
-    "mm03_video_frame_plan",
-    "t08_bigram_cross_entropy",
-    "d06_contamination_check",
-    "t06_repetition_metrics",
-    "q49_stratified_source_sample",
-    "t07_pii_redaction",
-    "d07_near_dup_clusters",
-    "q50_clustered_scan_pruning",
-    "q51_zorder_scan_pruning",
-    "q52_compaction_roundtrip",
-    "q53_sql_engine_parity",
-    "q54_schema_evolution_read",
-    "q55_dq_expectations",
-    "q56_batch_sessionization",
-    "q57_weighted_sample",
-    "mm05_shard_manifest",
-    "q58_equidepth_histogram",
-    "q59_snapshot_diff",
-    "s02_stream_sliding_counts",
-    "s03_stream_session_counts",
-    "s04_stream_dedup_counts",
-    "s05_stream_latest_topk",
-    "s06_stream_group_counts",
-    "s07_stream_stream_join",
-    "s10_stream_tws_counts",
-]
-
-# Rows-only by construction (register(..., rows_only=True)): dead last,
-# a slot spent on them can never upgrade to a hash match.
 _ROWS_ONLY_TAIL = [
     "m01_als_top5_recs",
     "m02_cold_start_fold_in",
@@ -281,24 +268,26 @@ _ROWS_ONLY_TAIL = [
     "q44_hll_sketch_distinct",
 ]
 
-
 def _apply_order() -> None:
-    order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
-    placed = (
-        set(order)
-        | set(_STALE_R4)
-        | set(_FRESH_R5)
-        | set(_FRESH_R6)
-        | set(_FRESH_R7)
-        | set(_ROWS_ONLY_TAIL)
+    cohorts = [
+        _VERIFY_FIRST,
+        _STALE_R5,
+        _NEXT_R10,
+        _FRESH_R6,
+        _FRESH_R7,
+        _FRESH_R8,
+        _ROWS_ONLY_TAIL,
+    ]
+    flat = [n for lst in cohorts for n in lst]
+    assert len(flat) == len(set(flat)), sorted(
+        n for n in set(flat) if flat.count(n) > 1
     )
+    order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    placed = set(flat)
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]
-    order += [n for n in _STALE_R4 if n in REGISTRY]
-    order += [n for n in _FRESH_R5 if n in REGISTRY]
-    order += [n for n in _FRESH_R6 if n in REGISTRY]
-    order += [n for n in _FRESH_R7 if n in REGISTRY]
-    order += [n for n in _ROWS_ONLY_TAIL if n in REGISTRY]
+    for lst in cohorts[1:]:
+        order += [n for n in lst if n in REGISTRY]
     reordered = {n: REGISTRY[n] for n in order}
     assert len(reordered) == len(REGISTRY), "reorder dropped queries"
     REGISTRY.clear()

@@ -56,29 +56,29 @@ def test_driver_window_covers_unverified_queries():
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
         _ROWS_ONLY_TAIL,
-        _STALE_R4,
+        _STALE_R5,
         _VERIFY_FIRST,
     )
 
     window = list(REGISTRY)[:50]
-    # r8: front of the window is (a) anything brand-new or changed this
+    # r9: front of the window is (a) anything brand-new or changed this
     # round (plan/oracle edits must re-green under the driver, not just
-    # pytest), (b) the stalest entries (the 46 r4 records -- the r3
-    # cohort drained in r7), rotating forward per the freshness policy.
-    # Membership is asserted only for names actually REGISTERED -- some
-    # registrations are conditional on host capabilities (e.g.
+    # pytest), (b) the stalest entries (q62 + the 43 remaining r5
+    # records), rotating forward per the freshness policy. Membership is
+    # asserted only for names actually REGISTERED -- some registrations
+    # are conditional on host capabilities (e.g.
     # transformWithStateInPandas), and an absent query must skip the
     # slot, not fail the test.
     must_be_early = {n for n in _VERIFY_FIRST if n in REGISTRY}
     missing = must_be_early - set(window)
     assert not missing, f"stale/unverified queries outside driver window: {missing}"
-    # The remaining window slots drain the r4-stale cohort strictly
-    # oldest-first: the r4 entries inside the window must form a prefix
+    # The remaining window slots drain the r5-stale cohort strictly
+    # oldest-first: the r5 entries inside the window must form a prefix
     # of the policy list, so adding new queries this round pushes out the
     # TAIL of the cohort, never skips its head.
-    r4_in_window = [n for n in window if n in set(_STALE_R4)]
-    r4_registered = [n for n in _STALE_R4 if n in REGISTRY]
-    assert r4_in_window == r4_registered[: len(r4_in_window)]
+    r5_in_window = [n for n in window if n in set(_STALE_R5)]
+    r5_registered = [n for n in _STALE_R5 if n in REGISTRY]
+    assert r5_in_window == r5_registered[: len(r5_in_window)]
     # Inherently rows-only samples can never upgrade to hash matches --
     # they must not consume early window slots; the registry flag and the
     # tail list must agree.
