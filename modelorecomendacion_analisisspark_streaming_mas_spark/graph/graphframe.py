@@ -71,6 +71,28 @@ class GraphFrame:
         v, e = self._vertices, self._edges
         return f"GraphFrame(v:[{', '.join(v.columns)}], e:[{', '.join(e.columns)}])"
 
+    # -- persistence (delegates to both frames, returns self like the
+    #    library so notebook chains `g.cache().pageRank(...)` port) -------
+
+    def cache(self) -> "GraphFrame":
+        self._vertices.cache()
+        self._edges.cache()
+        return self
+
+    def persist(self, storageLevel=None) -> "GraphFrame":
+        if storageLevel is None:
+            self._vertices.persist()
+            self._edges.persist()
+        else:
+            self._vertices.persist(storageLevel)
+            self._edges.persist(storageLevel)
+        return self
+
+    def unpersist(self, blocking: bool = False) -> "GraphFrame":
+        self._vertices.unpersist(blocking)
+        self._edges.unpersist(blocking)
+        return self
+
     # -- degrees (vertices with zero degree are omitted, like the library) -
 
     @property
@@ -87,6 +109,46 @@ class GraphFrame:
             self._edges.select(F.col(DST).alias(ID))
         )
         return both.groupBy(ID).agg(F.count(F.lit(1)).alias("degree"))
+
+    # -- triplets / message passing ----------------------------------------
+
+    @property
+    def triplets(self) -> DataFrame:
+        """One row per edge with struct columns ``src``, ``edge``, ``dst``
+        carrying the full vertex/edge attributes (library shape). Inner
+        joins: an edge whose endpoint is absent from the vertex frame is
+        dropped, like the library."""
+        vstruct = F.struct(*[F.col(c) for c in self._vertices.columns])
+        estruct = F.struct(*[F.col(c) for c in self._edges.columns])
+        e = self._edges.select(
+            estruct.alias("edge"), F.col(SRC).alias("__ts"), F.col(DST).alias("__td")
+        )
+        vs = self._vertices.select(vstruct.alias("src"), F.col(ID).alias("__ts"))
+        vd = self._vertices.select(vstruct.alias("dst"), F.col(ID).alias("__td"))
+        return e.join(vs, "__ts").join(vd, "__td").select("src", "edge", "dst")
+
+    def aggregateMessages(self, aggCol, sendToSrc=None, sendToDst=None) -> DataFrame:
+        """GraphX-style message passing (``graphframes.lib.
+        AggregateMessages``): evaluate ``sendToSrc`` / ``sendToDst`` over
+        each triplet (reference fields via ``AggregateMessages.src/dst/
+        edge``), deliver to the corresponding endpoint, and aggregate all
+        messages per vertex with ``aggCol`` (reference the message via
+        ``AggregateMessages.msg``). Returns (id, <agg>) for vertices that
+        received at least one message -- library semantics.
+
+        Compiles to: triplet join -> per-direction projection -> union ->
+        hash aggregate on id. One shuffle for the aggregate; the triplet
+        join shuffles on vertex ids like every other algorithm here."""
+        if sendToSrc is None and sendToDst is None:
+            raise ValueError("aggregateMessages requires sendToSrc and/or sendToDst")
+        trip = self.triplets
+        parts = []
+        if sendToSrc is not None:
+            parts.append(trip.select(F.col("src")[ID].alias(ID), sendToSrc.alias("MSG")))
+        if sendToDst is not None:
+            parts.append(trip.select(F.col("dst")[ID].alias(ID), sendToDst.alias("MSG")))
+        msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return msgs.groupBy(ID).agg(aggCol)
 
     # -- subgraph helpers --------------------------------------------------
 
@@ -219,6 +281,132 @@ class GraphFrame:
         comp = connected_components(self._vertices.select(ID), self._edges, **kw)
         return self._vertices.join(comp, ID, "left").withColumn(
             # vertices absent from the edge set are their own component
+            "component", F.coalesce(F.col("component"), F.col(ID))
+        )
+
+    def stronglyConnectedComponents(self, maxIter: int = 10) -> DataFrame:
+        """Directed strongly connected components; returns the vertex
+        DataFrame plus a ``component`` column = smallest member id of the
+        vertex's SCC (library shape).
+
+        Distributed trim + forward-coloring + backward-confinement
+        peeling (the GraphX family):
+
+        1. TRIM to fixpoint: a vertex with no in-edge or no out-edge in
+           the remaining graph is a singleton SCC -- assign and drop.
+           (Handles chains/DAG tails in O(peel depth) cheap rounds that
+           pure coloring would pay one expensive round each for.)
+        2. COLOR forward to fixpoint: color(v) = min id that reaches v.
+        3. CONFINE backward from each color root c (color(c) = c): every
+           vertex that reaches c within its own color class is in c's
+           SCC -- assign and drop.
+        Repeat. Every round peels at least each root's SCC, so the outer
+        loop is bounded by the peel depth; ``maxIter`` is a loud guard
+        (ValueError on non-convergence, like connected_components), not a
+        silent truncation. All steps are id-keyed joins/aggregates;
+        frontiers are localCheckpointed like bfs/shortestPaths."""
+        ids = self._vertices.select(ID)
+        e_all = (
+            self._edges.select(SRC, DST)
+            .filter(F.col(SRC) != F.col(DST))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        remaining = ids.localCheckpoint(eager=True)
+        done: DataFrame | None = None
+
+        def _assign(frame: DataFrame) -> None:
+            nonlocal done
+            done = frame if done is None else done.unionByName(frame)
+
+        for _ in range(maxIter):
+            if remaining.limit(1).count() == 0:
+                break
+            # edges among remaining vertices
+            e = (
+                e_all.join(remaining.withColumnRenamed(ID, SRC), SRC, "left_semi")
+                .join(remaining.withColumnRenamed(ID, DST), DST, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            # 1. trim to fixpoint
+            while True:
+                have_in = e.select(F.col(DST).alias(ID)).distinct()
+                have_out = e.select(F.col(SRC).alias(ID)).distinct()
+                core = (
+                    remaining.join(have_in, ID, "left_semi")
+                    .join(have_out, ID, "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+                trivial = remaining.join(core, ID, "left_anti")
+                if trivial.limit(1).count() == 0:
+                    break
+                _assign(trivial.select(ID, F.col(ID).alias("component")))
+                remaining = core
+                e = (
+                    e.join(remaining.withColumnRenamed(ID, SRC), SRC, "left_semi")
+                    .join(remaining.withColumnRenamed(ID, DST), DST, "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+            if remaining.limit(1).count() == 0:
+                break
+            # 2. forward min-color propagation to fixpoint
+            color = remaining.withColumn("color", F.col(ID)).localCheckpoint(eager=True)
+            while True:
+                upd = (
+                    e.join(
+                        color.select(F.col(ID).alias(SRC), F.col("color").alias("c_src")),
+                        SRC,
+                    )
+                    .groupBy(DST)
+                    .agg(F.min("c_src").alias("m"))
+                )
+                new = (
+                    color.join(upd.withColumnRenamed(DST, ID), ID, "left")
+                    .select(
+                        ID,
+                        F.least(
+                            F.col("color"), F.coalesce(F.col("m"), F.col("color"))
+                        ).alias("color"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                changed = (
+                    new.alias("n")
+                    .join(color.alias("o"), ID)
+                    .filter(F.col("n.color") != F.col("o.color"))
+                    .limit(1)
+                    .count()
+                )
+                color = new
+                if changed == 0:
+                    break
+            # 3. backward confinement from the color roots
+            scc = color.filter(F.col("color") == F.col(ID)).localCheckpoint(eager=True)
+            while True:
+                cand = e.join(
+                    scc.select(F.col(ID).alias(DST), F.col("color").alias("c_u")), DST
+                ).select(F.col(SRC).alias(ID), "c_u")
+                add = (
+                    cand.join(color, ID)
+                    .filter(F.col("color") == F.col("c_u"))
+                    .select(ID, "color")
+                    .distinct()
+                    .join(scc, ID, "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if add.limit(1).count() == 0:
+                    break
+                scc = scc.unionByName(add).localCheckpoint(eager=True)
+            _assign(scc.select(ID, F.col("color").alias("component")))
+            remaining = remaining.join(scc, ID, "left_anti").localCheckpoint(eager=True)
+        if remaining.limit(1).count() > 0:
+            raise ValueError(
+                f"stronglyConnectedComponents did not converge in {maxIter} "
+                "peeling rounds; raise maxIter"
+            )
+        if done is None:  # empty vertex frame: nothing was ever assigned
+            return self._vertices.withColumn("component", F.col(ID))
+        return self._vertices.join(done, ID, "left").withColumn(
             "component", F.coalesce(F.col("component"), F.col(ID))
         )
 
@@ -508,3 +696,31 @@ class GraphFrame:
         empty = v.sparkSession.createDataFrame([], out_schema)
         es = F.struct(*[F.col(c) for c in v.columns])
         return empty.select(es.alias("from"), es.alias("to"))
+
+
+class _TripletCol:
+    """Lazy ``F.col`` descriptor: building a Column requires an active
+    SparkSession in classic mode, so resolve at ATTRIBUTE ACCESS (inside a
+    running session) rather than at import."""
+
+    def __init__(self, name: str) -> None:
+        self._name = name
+
+    def __get__(self, obj, objtype=None):
+        return F.col(self._name)
+
+
+class AggregateMessages:
+    """Companion to ``GraphFrame.aggregateMessages`` mirroring
+    ``graphframes.lib.AggregateMessages``: column handles into the triplet
+    (``src``/``dst``/``edge``) for message expressions, and ``msg`` for
+    the aggregation column. Class attributes, so notebook code using the
+    library's ``AM.src["attr"]`` idiom ports verbatim."""
+
+    src = _TripletCol("src")
+    dst = _TripletCol("dst")
+    edge = _TripletCol("edge")
+    msg = _TripletCol("MSG")
+
+
+AM = AggregateMessages

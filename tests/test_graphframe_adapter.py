@@ -368,3 +368,167 @@ def test_bfs_multiple_shortest_paths_counted(spark):
     r = GraphFrame(v, e).bfs("id = 'a'", "id = 'd'")
     mids = sorted(row["v1"]["id"] for row in r.collect())
     assert mids == ["b", "c"]
+
+
+# -- r9 surface completion: triplets / aggregateMessages / SCC / cache ----
+
+
+def test_triplets_shape_and_content(spark):
+    g = _triangle_graph(spark)
+    trip = g.triplets
+    assert trip.columns == ["src", "edge", "dst"]
+    rows = {
+        (r["src"]["id"], r["edge"]["w"], r["dst"]["id"], r["dst"]["attr"])
+        for r in trip.collect()
+    }
+    assert rows == {
+        ("a", 1.0, "b", "y"),
+        ("b", 2.0, "c", "z"),
+        ("c", 3.0, "a", "x"),
+        ("c", 4.0, "d", "w"),
+    }
+    # endpoint absent from the vertex frame -> edge dropped (library)
+    g2 = GraphFrame(
+        g.vertices.filter("id != 'd'"),
+        g.edges,
+    )
+    assert g2.triplets.count() == 3
+
+
+def test_aggregate_messages_matches_direct_computation(spark):
+    from modelorecomendacion_analisisspark_streaming_mas_spark.graph.graphframe import (
+        AggregateMessages as AM,
+    )
+
+    g = _triangle_graph(spark)
+    # sum of incoming edge weights per vertex == a direct groupBy
+    got = {
+        r["id"]: r["in_w"]
+        for r in g.aggregateMessages(
+            F.sum(AM.msg).alias("in_w"), sendToDst=AM.edge["w"]
+        ).collect()
+    }
+    want = {
+        r["dst"]: r["w"]
+        for r in g.edges.groupBy("dst").agg(F.sum("w").alias("w")).collect()
+    }
+    assert got == want
+    # bidirectional: count of messages == degree
+    deg = {
+        r["id"]: r["n"]
+        for r in g.aggregateMessages(
+            F.count(AM.msg).alias("n"), sendToSrc=F.lit(1), sendToDst=F.lit(1)
+        ).collect()
+    }
+    assert deg == {r["id"]: r["degree"] for r in g.degrees.collect()}
+    # neighbor-attr access through the struct handles
+    mx = {
+        r["id"]: r["m"]
+        for r in g.aggregateMessages(
+            F.max(AM.msg).alias("m"), sendToSrc=AM.dst["attr"]
+        ).collect()
+    }
+    assert mx == {"a": "y", "b": "z", "c": "x"}  # d sends nothing
+    with pytest.raises(ValueError):
+        g.aggregateMessages(F.count(AM.msg).alias("n"))
+
+
+def _tarjan_scc(vertices, edges):
+    """Iterative Tarjan: vertex -> smallest id of its SCC."""
+    adj = {v: [] for v in vertices}
+    for s, d in edges:
+        adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for m in members:
+                    comp[m] = label
+    return comp
+
+
+@pytest.mark.parametrize("seed", [3, 14, 27])
+def test_scc_matches_tarjan_on_random_digraphs(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(6, 10)
+    ids = [f"v{i}" for i in range(n)]
+    pool = [(a, b) for a in ids for b in ids if a != b]
+    edges = rng.sample(pool, rng.randint(n, 2 * n))
+    want = _tarjan_scc(ids, edges)
+    v = spark.createDataFrame([(i,) for i in ids], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v, e).stronglyConnectedComponents(maxIter=10).collect()
+    }
+    assert got == want, (edges, got, want)
+
+
+def test_scc_planted_structures(spark):
+    # two 2-cycles bridged by a one-way edge + an isolated vertex + chain
+    v = spark.createDataFrame([(c,) for c in "abcdefg"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c"),
+         ("e", "f")],
+        "src string, dst string",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v, e).stronglyConnectedComponents(maxIter=8).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c",
+                   "e": "e", "f": "f", "g": "g"}
+    # non-convergence is loud, not silent: a long chain with maxIter=1
+    # still converges via trimming, so force the coloring path with a
+    # nested cycle structure and maxIter=0
+    with pytest.raises(ValueError):
+        GraphFrame(v, e).stronglyConnectedComponents(maxIter=0)
+
+
+def test_cache_persist_chain(spark):
+    g = _triangle_graph(spark).cache()
+    assert g.vertices.is_cached and g.edges.is_cached
+    assert g.triangleCount().count() == 4
+    g.unpersist()
+    assert not g.vertices.is_cached and not g.edges.is_cached
