@@ -116,6 +116,13 @@ _STALE_R5 = [
 
 _NEXT_R10 = [
     "s32_stream_contamination_probe",
+    # Brand-new in r9 but deliberately NOT window-slotted: the r9 window
+    # budget is fully spent keeping q62 + the whole r5 cohort official
+    # (VERDICT r8 task 1's done-criterion); g14 instead carries the full
+    # local verification battery this round (pytest differential tests,
+    # three-scale + drift oracle sim) and takes its first driver slot in
+    # r10, right behind s32.
+    "g14_scc_trade_components",
 ]
 
 _FRESH_R6 = [

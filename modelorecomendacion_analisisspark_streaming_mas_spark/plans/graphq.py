@@ -1055,3 +1055,52 @@ def g13_bfs_trade_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("to_id", "path_len", "n_paths")
         .orderBy("to_id")
     )
+
+
+# --------------------------------------------------------------------------
+# g14: strongly connected components through the adapter
+# (stronglyConnectedComponents(maxIter), the last algorithm on the
+# library surface without a catalog certificate): per-nation SCC id over
+# the shared top-3 trade graph -- one multi-nation trading bloc plus
+# singleton nations at every shipped scale, so the certificate is never
+# empty or all-trivial. Spark side is the distributed trim + forward-
+# coloring + backward-confinement peeling (graph/graphframe.py, pinned
+# against Tarjan on random digraphs in tests); the oracle computes the
+# 25-vertex transitive closure with a recursive CTE and labels each
+# vertex with the smallest mutually-reachable id -- all-integer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "g14_scc_trade_components",
+    oracle=f"""
+WITH RECURSIVE {_G11_EDGES_SQL},
+reach(s, d) AS (
+  SELECT src, dst FROM ed
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN ed e ON e.src = r.d
+),
+mutual AS (
+  SELECT r1.s AS v, min(r1.d) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+  GROUP BY r1.s
+)
+SELECT n.n_name AS nation,
+       CAST(least(n.n_nationkey, coalesce(m.mn, n.n_nationkey)) AS INT) AS component
+FROM nation n LEFT JOIN mutual m ON m.v = n.n_nationkey
+ORDER BY nation
+""",
+    doc="GraphFrames stronglyConnectedComponents through the drop-in "
+    "adapter over the top-3-partner nation trade graph: per-nation SCC "
+    "id (smallest member), one multi-nation trading bloc + singletons "
+    "at every scale; oracle = recursive-CTE transitive closure with "
+    "min mutually-reachable id.",
+)
+def g14_scc_trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.graphframe import GraphFrame
+
+    v, edges = _top3_trade_graph(spark, sf_dir)
+    scc = GraphFrame(v, edges).stronglyConnectedComponents(maxIter=10)
+    return scc.select(
+        F.col("name").alias("nation"), F.col("component").cast("int").alias("component")
+    ).orderBy("nation")
