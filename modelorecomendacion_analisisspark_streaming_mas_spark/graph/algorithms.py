@@ -287,6 +287,70 @@ def pagerank_personalized(
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
+def pagerank_parallel_personalized(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_ids: list,
+    reset_prob: float = 0.15,
+    max_iter: int = 10,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """All-sources-at-once personalized PageRank (the GraphFrames
+    ``parallelPersonalizedPageRank`` surface): the ``pagerank_personalized``
+    recurrence run jointly for k sources -- the rank frame carries one
+    column per source, so each iteration is ONE edge join + ONE aggregate
+    regardless of k (that is the 'parallel': k single-source runs would
+    scan the edge table k times per round). Returns (id, pageranks
+    array<double>) with entries in ``source_ids`` order. Same semantics
+    per source as the single-source twin (indicator start, reset mass to
+    the source only, dangling mass dropped)."""
+    if not source_ids:
+        raise ValueError("parallel personalized PageRank needs >= 1 source id")
+    damp = 1.0 - reset_prob
+    small = vertices.count() < BROADCAST_VERTEX_LIMIT
+    e = (
+        edges.join(_maybe_broadcast(out_degrees(edges), small), edges.src == F.col("id"))
+        .select("src", "dst", "outDegree")
+        .localCheckpoint(eager=True)
+    )
+    k = len(source_ids)
+    inds = [
+        F.when(F.col("id") == F.lit(s), F.lit(1.0)).otherwise(F.lit(0.0))
+        for s in source_ids
+    ]
+    ranks = vertices.select("id", *[ind.alias(f"r{j}") for j, ind in enumerate(inds)])
+    for i in range(max_iter):
+        contribs = (
+            e.join(_maybe_broadcast(ranks, small), e.src == ranks.id)
+            .select(
+                "dst",
+                *[
+                    (F.col(f"r{j}") / F.col("outDegree")).alias(f"c{j}")
+                    for j in range(k)
+                ],
+            )
+            .groupBy("dst")
+            .agg(*[F.sum(f"c{j}").alias(f"c{j}") for j in range(k)])
+        )
+        ranks = vertices.join(
+            _maybe_broadcast(contribs, small), vertices.id == contribs.dst, "left"
+        ).select(
+            "id",
+            *[
+                (
+                    F.lit(reset_prob) * inds[j]
+                    + F.lit(damp) * F.coalesce(F.col(f"c{j}"), F.lit(0.0))
+                ).alias(f"r{j}")
+                for j in range(k)
+            ],
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "id", F.array(*[F.col(f"r{j}") for j in range(k)]).alias("pageranks")
+    )
+
+
 def pagerank_tol(
     vertices: DataFrame,
     edges: DataFrame,

@@ -32,6 +32,7 @@ from .algorithms import (
     label_propagation,
     out_degrees,
     pagerank,
+    pagerank_parallel_personalized,
     pagerank_personalized,
     pagerank_tol,
     pagerank_weighted,
@@ -272,6 +273,44 @@ class GraphFrame:
         v = self._vertices.join(ranks, ID, "left").withColumn(
             # dangling vertices never receive contributions: reset mass only
             "pagerank", F.coalesce(F.col("pagerank"), F.lit(resetProbability))
+        )
+        return GraphFrame(v, e)
+
+    def parallelPersonalizedPageRank(
+        self,
+        resetProbability: float = 0.15,
+        sourceIds: list | None = None,
+        maxIter: int | None = None,
+    ) -> "GraphFrame":
+        """All sources at once (library surface): vertices carry a
+        ``pageranks`` ml DenseVector with one entry per source in
+        ``sourceIds`` order, edges carry the src-normalized ``weight`` --
+        the library's exact result shape. One edge join + one aggregate
+        per iteration regardless of k (see
+        algorithms.pagerank_parallel_personalized)."""
+        if not sourceIds or maxIter is None:
+            raise ValueError(
+                "parallelPersonalizedPageRank: pass sourceIds (non-empty) "
+                "and maxIter"
+            )
+        from pyspark.ml.functions import array_to_vector
+
+        ranks = pagerank_parallel_personalized(
+            self._vertices.select(ID),
+            self._edges,
+            source_ids=list(sourceIds),
+            reset_prob=resetProbability,
+            max_iter=maxIter,
+        )
+        od = out_degrees(self._edges)
+        e = (
+            self._edges.join(od, self._edges[SRC] == od[ID])
+            .drop(ID)
+            .withColumn("weight", F.lit(1.0) / F.col("outDegree"))
+            .drop("outDegree")
+        )
+        v = self._vertices.join(ranks, ID, "left").withColumn(
+            "pageranks", array_to_vector("pageranks")
         )
         return GraphFrame(v, e)
 

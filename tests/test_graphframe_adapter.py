@@ -532,3 +532,38 @@ def test_cache_persist_chain(spark):
     assert g.triangleCount().count() == 4
     g.unpersist()
     assert not g.vertices.is_cached and not g.edges.is_cached
+
+
+def test_parallel_personalized_pagerank_matches_single_source_runs(spark):
+    """parallelPersonalizedPageRank must equal k independent
+    pageRank(sourceId=...) runs entry-by-entry (same recurrence, jointly
+    iterated), return an ml DenseVector in sourceIds order, and give
+    exactly 0 mass to vertices the walks never reach."""
+    v2 = spark.createDataFrame([(x,) for x in "abcdx"], "id string")
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    g = GraphFrame(v2, e2)
+    sources = ["a", "c"]
+    ppr = g.parallelPersonalizedPageRank(
+        resetProbability=0.15, sourceIds=sources, maxIter=8
+    )
+    got = {r["id"]: r["pageranks"] for r in ppr.vertices.collect()}
+    for j, s in enumerate(sources):
+        single = {
+            r["id"]: r["pagerank"]
+            for r in g.pageRank(
+                resetProbability=0.15, maxIter=8, sourceId=s
+            ).vertices.collect()
+        }
+        for vid, vec in got.items():
+            assert abs(vec[j] - single[vid]) < 1e-12, (s, vid)
+    # isolated vertex x: zero mass from every source
+    assert list(got["x"]) == [0.0, 0.0]
+    # edges carry the src-normalized weight like the other modes
+    w = {(r["src"], r["dst"]): r["weight"] for r in ppr.edges.collect()}
+    assert abs(w[("c", "a")] - 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        g.parallelPersonalizedPageRank(sourceIds=[], maxIter=5)
+    with pytest.raises(ValueError):
+        g.parallelPersonalizedPageRank(sourceIds=["a"])
