@@ -529,3 +529,141 @@ def lsh_probe_index(
         .select("doc_id", "dup_of")
         .distinct()
     )
+
+
+def ngram_prefix_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Static side of INCREMENTAL exact n-gram-Jaccard dedup: the
+    ``ngram_jaccard_join`` shingle sets + rarity-ordered prefix inverted
+    index, factored out so a stream can build them ONCE and probe per
+    micro-batch (the d10/lsh_probe_index ingestion shape, but with the
+    exact PPJoin guarantee instead of MinHash's probabilistic one).
+
+    Returns ``(sets, prefix, dfreq)``: ``sets`` is (doc_id, s, sz) with
+    the distinct shingle array; ``prefix`` is (doc_id, shingle, rn, sz)
+    restricted to each doc's first ``sz - ceil(t*sz) + 1`` shingles in
+    ascending (document frequency, shingle) order, ``rn`` the 1-based
+    position in that order; ``dfreq`` is the (shingle, df) document-
+    frequency table the order derives from -- probes reuse it so BOTH
+    join sides prune under the same global order (a shingle the index
+    has never seen gets df 0, i.e. rarest, which extends the order
+    without disturbing it). All three come back MATERIALIZED
+    (localCheckpoint, in dependency order so the prefix derivation reads
+    the checkpointed sets instead of re-expanding the n-grams): they are
+    probed once per micro-batch, forever. At 100 TB these are tables you
+    persist, bucketed by doc_id / shingle; new docs APPEND to sets and
+    prefix -- df counts only grow, which can lengthen ideal prefixes of
+    OLD docs, but a stale (longer-than-ideal) prefix only admits extra
+    candidates, never loses a pair, so periodic recompaction is a cost
+    optimization, not a correctness event."""
+    from pyspark.sql import Window
+
+    sets_ = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
+        )
+        .withColumn("sz", F.size("s"))
+        .localCheckpoint(eager=True)
+    )
+    exploded = sets_.select("doc_id", "sz", F.explode("s").alias("shingle"))
+    dfreq = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix = (
+        exploded.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "shingle", "rn", "sz")
+        .localCheckpoint(eager=True)
+    )
+    return sets_, prefix, dfreq
+
+
+def ngram_probe_index(
+    index_sets: DataFrame,
+    index_prefix: DataFrame,
+    index_dfreq: DataFrame,
+    probe_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Probe a batch of new docs against an ``ngram_prefix_index`` --
+    COMPLETE at the threshold with BOTH sides prefix-pruned: the probe
+    side orders its shingles under the index's own (df, shingle) global
+    order (unseen shingles take df 0 = rarest, extending the order
+    without disturbing it), so the classic PPJoin guarantee applies
+    cross-side -- a pair with J >= t shares a shingle inside both docs'
+    ``|s| - ceil(t*|s|) + 1`` prefixes, and the length / positional
+    predicates below are each safe for the first common prefix shingle
+    (same argument as the batch self-join in ``ngram_jaccard_join``).
+
+    Cost tracks the batch: probe shingle sets are built once, ranked
+    under the broadcast-size dfreq order, prefix-pruned, and BROADCAST
+    into the posting-list join so the persistent index tables never
+    shuffle (the stream-static join shape). Returns (doc_id, dup_of,
+    jaccard) -- probe id first, every >= threshold pair, rounded 4."""
+    from pyspark.sql import Window
+
+    p_sets = (
+        probe_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("p"),
+        )
+        .withColumn("psz", F.size("p"))
+        .localCheckpoint(eager=True)
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    p_prefix = (
+        p_sets.select("doc_id", "psz", F.explode("p").alias("shingle"))
+        .join(index_dfreq, "shingle", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(
+            F.col("prn") <= F.col("psz") - F.ceil(F.lit(threshold) * F.col("psz")) + 1
+        )
+        .select("doc_id", "psz", "shingle", "prn")
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("psz") + F.col("sz"))
+    )
+    cands = (
+        index_prefix.withColumnRenamed("doc_id", "dup_of")
+        .join(F.broadcast(p_prefix), "shingle")
+        .filter(
+            (F.lit(threshold) * F.greatest("psz", "sz") <= F.least("psz", "sz"))
+            & (
+                F.lit(1)
+                + F.least(F.col("sz") - F.col("rn"), F.col("psz") - F.col("prn"))
+                >= min_overlap
+            )
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    return (
+        index_sets.select(
+            F.col("doc_id").alias("dup_of"), F.col("s").alias("i"), F.col("sz").alias("isz")
+        )
+        .join(F.broadcast(cands.join(p_sets.select("doc_id", "p", "psz"), "doc_id")), "dup_of")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("p", "i")) / F.size(F.array_union("p", "i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "dup_of", "jaccard")
+    )

@@ -123,6 +123,7 @@ _NEXT_R10 = [
     # three-scale + drift oracle sim) and takes its first driver slot in
     # r10, right behind s32.
     "g14_scc_trade_components",
+    "s33_stream_ngram_jaccard_probe",
 ]
 
 _FRESH_R6 = [

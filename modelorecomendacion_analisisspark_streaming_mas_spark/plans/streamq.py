@@ -1916,3 +1916,114 @@ def s32_stream_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_hits").cast("long").alias("n_hits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# s33: STREAMING exact n-gram-Jaccard dedup -- d04's PPJoin shape run at
+# ingestion time, completing the sixth batch<->stream dedup pairing
+# (exact d01/s04, MinHash d02/s26, semantic d14/s29, CDC d15/s30,
+# contamination d06/s32, exact-Jaccard d04/s33). The existing corpus
+# (even doc_ids) is shingled and prefix-indexed ONCE
+# (operators/dedup.py::ngram_prefix_index); new documents (odd doc_ids)
+# arrive as a file-replayed stream and each micro-batch prefix-prunes
+# its own shingles under the INDEX's (df, shingle) order (unseen
+# shingles rank rarest, extending the order without disturbing it) and
+# probes the posting lists with the full PPJoin length + positional
+# predicates (ngram_probe_index) -- complete at the threshold, and
+# incrementally maintainable at 100 TB: new docs append to the index,
+# never reorder it (df growth can only lengthen old prefixes' ideal
+# bound, which admits extra candidates, never loses a pair).
+#
+# Per-doc outputs depend only on the doc's own shingles vs the static
+# index, so batch-local results == the batch lattice (the oracle) and
+# the union over batches is invariant to batching -- same argument as
+# s26. Retried batches collapse via the epoch tag on read-back.
+# --------------------------------------------------------------------------
+
+_S33_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
+           ELSE [array_to_string(t, ' ')] END) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), ex AS (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE doc_id % 2 = 0
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+), prefix AS (
+  SELECT doc_id, shingle FROM (
+    SELECT e.doc_id, e.sz, e.shingle,
+           row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.shingle) AS rn
+    FROM ex e JOIN dfreq d USING (shingle)
+  ) WHERE rn <= sz - ceil(0.5 * sz) + 1
+), pex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 2 = 1
+), cands AS (
+  SELECT DISTINCT p.doc_id AS doc_id, x.doc_id AS dup_of
+  FROM pex p JOIN prefix x USING (shingle)
+)
+SELECT c.doc_id, c.dup_of,
+       round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+             / len(list_distinct(sa.s || sb.s)), 4) AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.doc_id
+JOIN sh sb ON sb.doc_id = c.dup_of
+WHERE len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+      / len(list_distinct(sa.s || sb.s)) >= 0.5
+"""
+
+
+@register(
+    "s33_stream_ngram_jaccard_probe",
+    oracle=_S33_ORACLE,
+    doc="Streaming twin of d04 (exact n-gram-Jaccard PPJoin): even docs "
+    "prefix-indexed once, odd docs replayed as a stream, per-batch "
+    "probe under the index's own rarity order with two-sided PPJoin "
+    "length + positional pruning (complete at threshold 0.5), exact "
+    "verify, epoch-tagged idempotent append; oracle = the batch "
+    "lattice restricted to odd-probe x even-index pairs.",
+)
+def s33_stream_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import ngram_prefix_index, ngram_probe_index
+    from ..sources.readers import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    # the persistent index triple: built + materialized once (inside
+    # ngram_prefix_index), probed by every micro-batch
+    sets_i, prefix_i, dfreq_i = ngram_prefix_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", threshold=0.5
+    )
+    staged = _staged_new_docs(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="mras_s33_out_")
+    _SINK_DIRS.append(out_dir)
+    stream = _staged_replay_stream(spark, staged)
+
+    def probe(batch_df, epoch_id):
+        batch = batch_df.localCheckpoint(eager=True)
+        matches = ngram_probe_index(
+            sets_i, prefix_i, dfreq_i, batch, "doc_id", "text", threshold=0.5
+        ).withColumn("epoch", F.lit(int(epoch_id)))
+        matches.write.mode("append").parquet(out_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    raw = spark.read.parquet(out_dir)
+    wr = Window.partitionBy("doc_id", "dup_of").orderBy(F.asc("epoch"))
+    return (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )

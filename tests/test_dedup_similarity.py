@@ -366,3 +366,63 @@ def test_cdc_chunk_identity_survives_head_insertion(spark):
     assert len(h1 & h2) >= len(h1) - 2, (len(h1), len(h1 & h2))
     # and the docs are NOT identical chunk-wise (the head chunk differs)
     assert h1 != h2
+
+
+def test_ngram_probe_index_matches_bruteforce_on_random_corpora(spark):
+    """EXACTNESS of the incremental probe (s33's operator pair): on random
+    small corpora split into an indexed half and a probe half,
+    ngram_prefix_index + ngram_probe_index must return EXACTLY the
+    cross-half pairs a brute-force O(n*m) Jaccard returns -- the
+    two-sided prefix pruning reuses the index's (df, shingle) order with
+    unseen probe shingles ranked rarest, and any ordering inconsistency
+    or over-aggressive predicate loses pairs here."""
+    import random
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        ngram_prefix_index,
+        ngram_probe_index,
+    )
+
+    rng = random.Random(4321)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(26):
+        n = rng.randint(3, 14)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((i, " ".join(words)))
+        if rng.random() < 0.5:  # plant a near-dup with a small edit
+            mutated = list(words)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mutated)))
+
+    def shingle_set(text: str) -> frozenset:
+        toks = text.lower().split()
+        if len(toks) < 3:
+            return frozenset({" ".join(toks)})
+        return frozenset(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+
+    index_docs = [(i, t) for i, t in docs if i % 2 == 0]
+    probe_docs = [(i, t) for i, t in docs if i % 2 == 1]
+    idx_df = spark.createDataFrame(index_docs, "doc_id long, text string")
+    prb_df = spark.createDataFrame(probe_docs, "doc_id long, text string")
+
+    for threshold in (0.5, 0.8):
+        sets_i, prefix_i, dfreq_i = ngram_prefix_index(
+            idx_df, "doc_id", "text", threshold=threshold
+        )
+        got = {
+            (r["doc_id"], r["dup_of"]): r["jaccard"]
+            for r in ngram_probe_index(
+                sets_i, prefix_i, dfreq_i, prb_df, "doc_id", "text",
+                threshold=threshold,
+            ).collect()
+        }
+        expect = {}
+        for p, pt in probe_docs:
+            sp = shingle_set(pt)
+            for x, xt in index_docs:
+                sx = shingle_set(xt)
+                j = len(sp & sx) / len(sp | sx)
+                if j >= threshold:
+                    expect[(p, x)] = round(j, 4)
+        assert got == expect, (threshold, got, expect)
