@@ -201,7 +201,9 @@ def fold_in_batch(
     joined = seed_df.join(factors, "itemId")
     rank = model.rank
 
-    def solve(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # no type hints: under postponed annotations they reach PySpark as
+    # strings, and the eval-type inference warns on every registration
+    def solve(key, pdf):
         Yr = np.array(pdf["features"].tolist(), dtype=np.float64)
         r = pdf["rating"].to_numpy(dtype=np.float64)
         A = Yr.T @ Yr + reg * len(r) * np.eye(rank)

@@ -102,7 +102,9 @@ def q33_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand", "l_quantity", "l_extendedprice"
     )
 
-    def ols(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # no type hints: under postponed annotations they reach PySpark as
+    # strings, and the eval-type inference warns on every registration
+    def ols(key, pdf):
         x = pdf["l_quantity"].to_numpy(dtype=np.float64)
         y = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
         n = len(x)
