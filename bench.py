@@ -272,9 +272,10 @@ def main() -> None:
         REGISTRY[warm_q].fn(spark, sf_dir).count()
 
     # First-scan warm-up for the two tables the above don't touch: the
-    # registration order leads with streaming entries whose stage jobs
-    # read events/documents, so without this slot 2 absorbs the one-time
-    # footer/statistics/codegen cost of each table's first scan.
+    # timed suite iterates alphabetically, so without this the first
+    # alphabetical consumer of events/documents (a d*/s* entry) absorbs
+    # the one-time footer/statistics/codegen cost of each table's first
+    # scan.
     from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
         load_events,
         load_table,

@@ -537,7 +537,7 @@ def ngram_prefix_index(
     text_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Static side of INCREMENTAL exact n-gram-Jaccard dedup: the
     ``ngram_jaccard_join`` shingle sets + rarity-ordered prefix inverted
     index, factored out so a stream can build them ONCE and probe per
@@ -653,17 +653,14 @@ def ngram_probe_index(
         .distinct()
     )
     return (
-        index_sets.select(
-            F.col("doc_id").alias("dup_of"), F.col("s").alias("i"), F.col("sz").alias("isz")
-        )
-        .join(F.broadcast(cands.join(p_sets.select("doc_id", "p", "psz"), "doc_id")), "dup_of")
+        index_sets.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("i"))
+        .join(F.broadcast(cands.join(p_sets.select("doc_id", "p"), "doc_id")), "dup_of")
+        # filter on the UNROUNDED ratio (the oracle's WHERE clause does
+        # too); rounding only for presentation -- filtering on the rounded
+        # value would admit pairs in [t - 5e-5, t) the oracle rejects
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("p", "i")) / F.size(F.array_union("p", "i")),
-                4,
-            ),
+            "_j", F.size(F.array_intersect("p", "i")) / F.size(F.array_union("p", "i"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "dup_of", "jaccard")
+        .filter(F.col("_j") >= threshold)
+        .select("doc_id", "dup_of", F.round("_j", 4).alias("jaccard"))
     )

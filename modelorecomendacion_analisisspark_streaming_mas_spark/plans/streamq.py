@@ -946,7 +946,7 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the exemplar doesn't need to push the full table through it,
     # and pushing the filter/projection into staging cuts both the stage
     # write and the per-batch serialization 4x.
-    key = (sf_dir, "s25_quarter")
+    key = f"{sf_dir}#s25_quarter"
     if key not in _DOC_STAGED:
         d = tempfile.mkdtemp(prefix="mras_s25_stage_")
         (
@@ -958,14 +958,9 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(d)
         )
         _DOC_STAGED[key] = d
-    staged = _DOC_STAGED[key]
-    # footer-derived schema, like _staged_replay_stream (regeneration-
-    # proof); 4 files / 2 per trigger = 2 real micro-batches
-    stream = (
-        spark.readStream.schema(spark.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(staged)
-    )
+    # footer-derived schema via the shared helper (regeneration-proof);
+    # 4 files / 2 per trigger = 2 real micro-batches
+    stream = _staged_replay_stream(spark, _DOC_STAGED[key], max_files_per_trigger=2)
     out_dir = tempfile.mkdtemp(prefix="mras_jsonl_sink_")
     _SINK_DIRS.append(out_dir)
     q = (
@@ -1016,7 +1011,9 @@ def _cleanup_doc_staged() -> None:
     _DOC_STAGED.clear()
 
 
-def _staged_replay_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+def _staged_replay_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """File-replay stream over a staged parquet dir, schema read from the
     staged files' own footer (a driver-side footer sniff -- no inference
     job, the dir is already materialized).
@@ -1035,7 +1032,7 @@ def _staged_replay_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     schema = spark.read.parquet(staged_dir).schema
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(staged_dir)
     )
 

@@ -393,7 +393,11 @@ def test_ngram_probe_index_matches_bruteforce_on_random_corpora(spark):
         if rng.random() < 0.5:  # plant a near-dup with a small edit
             mutated = list(words)
             mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
-            docs.append((100 + i, " ".join(mutated)))
+            # 101 + i FLIPS parity, so every planted pair crosses the
+            # even-index/odd-probe split below -- with 100 + i (same
+            # parity) the expected cross-half pair set is EMPTY and the
+            # test can no longer catch pruning that loses true pairs
+            docs.append((101 + i, " ".join(mutated)))
 
     def shingle_set(text: str) -> frozenset:
         toks = text.lower().split()
@@ -425,4 +429,5 @@ def test_ngram_probe_index_matches_bruteforce_on_random_corpora(spark):
                 j = len(sp & sx) / len(sp | sx)
                 if j >= threshold:
                     expect[(p, x)] = round(j, 4)
+        assert expect, "vacuous: no true cross-half pair to lose"
         assert got == expect, (threshold, got, expect)
