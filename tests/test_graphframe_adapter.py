@@ -567,3 +567,37 @@ def test_parallel_personalized_pagerank_matches_single_source_runs(spark):
         g.parallelPersonalizedPageRank(sourceIds=[], maxIter=5)
     with pytest.raises(ValueError):
         g.parallelPersonalizedPageRank(sourceIds=["a"])
+
+
+def test_scc_self_loops_and_denser_graph(spark):
+    # self-loops must not merge anything (a self-loop vertex is its own
+    # SCC unless a real cycle includes it), and a denser random graph
+    # exercises multi-round peeling
+    import random
+
+    rng = random.Random(99)
+    n = 12
+    ids = [f"v{i}" for i in range(n)]
+    pool = [(a, b) for a in ids for b in ids]  # self-loops included
+    edges = rng.sample(pool, 30)
+    want = _tarjan_scc(ids, [(a, b) for a, b in edges if a != b])
+    v = spark.createDataFrame([(i,) for i in ids], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["component"]
+        for r in GraphFrame(v, e).stronglyConnectedComponents(maxIter=12).collect()
+    }
+    assert got == want
+
+
+def test_parallel_personalized_pagerank_absent_source(spark):
+    # a sourceId absent from the graph contributes a column of zeros
+    # (no indicator ever matches), mirroring single-source semantics
+    v = spark.createDataFrame([("a",), ("b",)], "id string")
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ppr = GraphFrame(v, e).parallelPersonalizedPageRank(
+        sourceIds=["a", "zz"], maxIter=4
+    )
+    got = {r["id"]: list(r["pageranks"]) for r in ppr.vertices.collect()}
+    assert all(vec[1] == 0.0 for vec in got.values())
+    assert got["a"][0] > 0.0 and got["b"][0] > 0.0
