@@ -944,3 +944,35 @@ def test_staged_replay_schemas_match_r7_literals(spark, sf_dir):
         st = _staged_replay_stream(spark, staged)
         assert st.isStreaming
         assert st.schema == _parse_datatype_string(literal), (literal, st.schema)
+
+
+def test_s33_readback_collapses_duplicate_appends(spark, sf_dir, monkeypatch):
+    """foreachBatch is at-least-once: a retried micro-batch whose append
+    already committed re-appends the same rows. Simulate it by doubling
+    every probe result (same rows, same epoch) and assert the entry's
+    epoch-window read-back collapse returns the identical final answer."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators import (
+        dedup as D,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.streamq import (
+        s33_stream_ngram_jaccard_probe,
+    )
+
+    want = sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in s33_stream_ngram_jaccard_probe(spark, sf_dir).collect()
+    )
+    assert want, "vacuous: the entry must be non-empty on shipped testdata"
+
+    orig = D.ngram_probe_index
+
+    def doubled(*a, **k):
+        r = orig(*a, **k)
+        return r.unionByName(r)
+
+    monkeypatch.setattr(D, "ngram_probe_index", doubled)
+    got = sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in s33_stream_ngram_jaccard_probe(spark, sf_dir).collect()
+    )
+    assert got == want
