@@ -572,6 +572,23 @@ class GraphFrame:
             note("vertex", a)
             note("edge", e)
             note("vertex", b)
+            if e is not None and e in edge_ends:
+                # repeated edge name = the SAME edge ELEMENT (library
+                # semantics): no second edge occurrence is generated --
+                # the term's endpoints bind to / filter against the FIRST
+                # occurrence's src/dst columns. Exact on multigraphs too:
+                # a parallel same-endpoint edge is a DIFFERENT element,
+                # and a (src, dst)-only self-join would wrongly match it
+                # (duplicated rows, e showing the first edge).
+                s0, d0 = edge_ends[e]
+                for vname, col0 in ((a, s0), (b, d0)):
+                    if vname is None:
+                        continue
+                    if vname in bound and bound[vname] != col0:
+                        cur = cur.filter(F.col(bound[vname]) == F.col(col0))
+                    else:
+                        bound.setdefault(vname, col0)
+                continue
             t = self._edges.select(
                 F.struct(*[F.col(c) for c in ecols]).alias(f"__mfe_{i}"),
                 F.col(SRC).alias(f"__mfs_{i}"),
@@ -587,15 +604,6 @@ class GraphFrame:
                     cond.append(cur[bound[a]] == t[f"__mfs_{i}"])
                 if b in bound:
                     cond.append(cur[bound[b]] == t[f"__mfd_{i}"])
-                if e is not None and e in edge_ends:
-                    # edge-name unification (library semantics): a repeated
-                    # edge name is an equality constraint -- this
-                    # occurrence must be the SAME edge as the first one,
-                    # expressed as (src, dst) equality between the two
-                    # self-join sides.
-                    s0, d0 = edge_ends[e]
-                    cond.append(cur[s0] == t[f"__mfs_{i}"])
-                    cond.append(cur[d0] == t[f"__mfd_{i}"])
                 if cond:
                     c = cond[0]
                     for extra in cond[1:]:

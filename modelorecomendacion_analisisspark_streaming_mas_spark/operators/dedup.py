@@ -296,16 +296,18 @@ def ngram_jaccard_join(
     return (
         cands.join(sets_.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a")), "doc_a")
         .join(sets_.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b")), "doc_b")
+        # filter on the UNROUNDED ratio (the d04 oracle's WHERE clause
+        # does too); rounding only for presentation -- filtering on the
+        # rounded value would admit pairs with true jaccard in
+        # [t - 5e-5, t) that the oracle rejects (needs >= 10k-shingle
+        # unions to fire, but the semantics must match at any scale)
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("set_a", "set_b"))
-                / F.size(F.array_union("set_a", "set_b")),
-                4,
-            ),
+            "_j",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
     )
 
 
@@ -589,6 +591,21 @@ def ngram_prefix_index(
     return sets_, prefix, dfreq
 
 
+# Per-batch broadcast bound for ngram_probe_index (the d05/matmul guard
+# regime, see similarity.MATMUL_QUERY_ROW_LIMIT): the probe side of the
+# posting-list join is broadcast so the persistent index never shuffles --
+# the right shape for steady-state micro-batches, but an earliest-offsets
+# backfill makes batch 1 the whole topic (the reference's update+earliest
+# baseline replays 146,626 messages in its first micro-batch), and at
+# 100 TB that first batch would blow the broadcast. A bounded limit+1
+# probe on the batch's exploded shingle rows decides: broadcast below the
+# bound, plain shuffled joins above it (identical results -- AQE picks
+# the join strategy for the oversized batch). ~2M shingle rows of
+# (long, int, short string, int) is tens of MB, well inside executor
+# memory; the limit+1 count never scans past the bound.
+PROBE_BROADCAST_SHINGLE_LIMIT = 2_000_000
+
+
 def ngram_probe_index(
     index_sets: DataFrame,
     index_prefix: DataFrame,
@@ -610,10 +627,12 @@ def ngram_probe_index(
     (same argument as the batch self-join in ``ngram_jaccard_join``).
 
     Cost tracks the batch: probe shingle sets are built once, ranked
-    under the broadcast-size dfreq order, prefix-pruned, and BROADCAST
-    into the posting-list join so the persistent index tables never
-    shuffle (the stream-static join shape). Returns (doc_id, dup_of,
-    jaccard) -- probe id first, every >= threshold pair, rounded 4."""
+    under the broadcast-size dfreq order, prefix-pruned, and (below
+    ``PROBE_BROADCAST_SHINGLE_LIMIT``) BROADCAST into the posting-list
+    join so the persistent index tables never shuffle (the stream-static
+    join shape); a backfill-sized batch falls back to plain shuffled
+    joins with identical results. Returns (doc_id, dup_of, jaccard) --
+    probe id first, every >= threshold pair, rounded 4."""
     from pyspark.sql import Window
 
     p_sets = (
@@ -624,6 +643,15 @@ def ngram_probe_index(
         .withColumn("psz", F.size("p"))
         .localCheckpoint(eager=True)
     )
+    # bounded size probe (limit+1, never a full count) on the checkpointed
+    # batch decides both broadcasts below; the scan stops at the bound
+    over = (
+        p_sets.select(F.explode("p").alias("x"))
+        .limit(PROBE_BROADCAST_SHINGLE_LIMIT + 1)
+        .count()
+        > PROBE_BROADCAST_SHINGLE_LIMIT
+    )
+    maybe_bcast = (lambda d: d) if over else F.broadcast
     wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
     p_prefix = (
         p_sets.select("doc_id", "psz", F.explode("p").alias("shingle"))
@@ -640,7 +668,7 @@ def ngram_probe_index(
     )
     cands = (
         index_prefix.withColumnRenamed("doc_id", "dup_of")
-        .join(F.broadcast(p_prefix), "shingle")
+        .join(maybe_bcast(p_prefix), "shingle")
         .filter(
             (F.lit(threshold) * F.greatest("psz", "sz") <= F.least("psz", "sz"))
             & (
@@ -654,7 +682,7 @@ def ngram_probe_index(
     )
     return (
         index_sets.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("i"))
-        .join(F.broadcast(cands.join(p_sets.select("doc_id", "p"), "doc_id")), "dup_of")
+        .join(maybe_bcast(cands.join(p_sets.select("doc_id", "p"), "doc_id")), "dup_of")
         # filter on the UNROUNDED ratio (the oracle's WHERE clause does
         # too); rounding only for presentation -- filtering on the rounded
         # value would admit pairs in [t - 5e-5, t) the oracle rejects

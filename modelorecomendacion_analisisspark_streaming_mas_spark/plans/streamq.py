@@ -588,6 +588,18 @@ def _cleanup_sinks() -> None:
     _SINK_DIRS.clear()
 
 
+def _sink_readback(spark: SparkSession, out_dir: str, schema_ddl: str) -> DataFrame:
+    """Read a foreachBatch parquet sink back with an EXPLICIT schema: if
+    every micro-batch yielded zero matches the sink holds no part files
+    and schema inference fails ('unable to infer schema') instead of
+    returning an empty frame -- safe on the shipped corpora (every probe
+    entry matches something at every scale) but brittle under drift. The
+    declared DDL is pinned to what the probe writes (verified non-empty
+    at 3 scales: a type mismatch would fail the vectorized parquet read
+    outright), so an empty stream degrades to an empty DataFrame."""
+    return spark.read.schema(schema_ddl).parquet(out_dir)
+
+
 # --------------------------------------------------------------------------
 # s16: streaming quality-gate ROUTER -- the ingest-curation shape: one
 # stream fans out to accept/reject parquet sinks inside a single
@@ -1143,7 +1155,9 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    raw = spark.read.parquet(out_dir)
+    raw = _sink_readback(
+        spark, out_dir, "doc_id BIGINT, dup_of BIGINT, jaccard DOUBLE, epoch INT"
+    )
     wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"), F.asc("dup_of"))
     return (
         raw.withColumn("rn", F.row_number().over(wr))
@@ -1581,7 +1595,9 @@ def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    raw = spark.read.parquet(out_dir)
+    raw = _sink_readback(
+        spark, out_dir, "vec_id BIGINT, dup_of BIGINT, cos DOUBLE, epoch INT"
+    )
     # retries re-append identical per-epoch rows (deterministic file
     # replay): collapse on (vec_id, epoch)-first ordering
     wr = Window.partitionBy("vec_id").orderBy(
@@ -1735,7 +1751,12 @@ def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    raw = spark.read.parquet(out_dir)
+    raw = _sink_readback(
+        spark,
+        out_dir,
+        "doc_id BIGINT, n_chunks BIGINT, n_dup_chunks BIGINT,"
+        " dup_tokens BIGINT, dup_token_frac DOUBLE, epoch INT",
+    )
     # retries re-append identical per-epoch rows; collapse before ranking
     wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"))
     return (
@@ -1901,7 +1922,9 @@ def s32_stream_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFram
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    raw = spark.read.parquet(out_dir)
+    raw = _sink_readback(
+        spark, out_dir, "doc_id BIGINT, source STRING, n_hits BIGINT, epoch INT"
+    )
     wr = Window.partitionBy("doc_id").orderBy(F.asc("epoch"))
     return (
         raw.withColumn("rn", F.row_number().over(wr))
@@ -2017,7 +2040,9 @@ def s33_stream_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFram
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    raw = spark.read.parquet(out_dir)
+    raw = _sink_readback(
+        spark, out_dir, "doc_id BIGINT, dup_of BIGINT, jaccard DOUBLE, epoch INT"
+    )
     wr = Window.partitionBy("doc_id", "dup_of").orderBy(F.asc("epoch"))
     return (
         raw.withColumn("rn", F.row_number().over(wr))

@@ -114,16 +114,70 @@ def test_ngram_jaccard_exact_vs_bruteforce(spark, sf_dir):
     brute = (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # unrounded filter, rounded presentation -- same semantics as the
+        # operator (and the d04 oracle's WHERE clause)
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 4
-            ),
+            "_j",
+            F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("_j") >= 0.5)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
     )
     want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+def test_ngram_jaccard_threshold_boundary_filters_unrounded(spark):
+    """d04 rounding-asymmetry regression (r9 self-review): a pair whose
+    TRUE jaccard lies in [t - 5e-5, t) rounds4 to t but must be REJECTED,
+    because the oracle's WHERE clause filters the unrounded ratio.
+
+    Construction (all tokens unique, so consecutive-triple shingles are
+    distinct and countable exactly): a common block of N tokens shared by
+    both docs contributes N-2 shared shingles; disjoint 5000-token
+    suffixes contribute only doc-local shingles (the 2 junction triples
+    mix common+suffix tokens and differ between docs).
+      reject pair: N=10001 -> J = 9999/19999 = 0.4999749... (rounds to 0.5)
+      accept pair: N=10002 -> J = 10000/20000 = 0.5 exactly
+    The reject pair IS a prefix-filter candidate (its 7500-shingle prefix
+    holds ~2500 shared shingles), so only the verify filter decides."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        ngram_jaccard_join,
+        ngram_prefix_index,
+        ngram_probe_index,
+    )
+
+    def doc(ns: str, n_common: int, suffix_ns: str) -> str:
+        return " ".join(
+            [f"{ns}{i}" for i in range(n_common)]
+            + [f"{suffix_ns}{i}" for i in range(5000)]
+        )
+
+    rows = [
+        (1, doc("c", 10001, "ra")),  # reject pair: J just under 0.5
+        (2, doc("c", 10001, "rb")),
+        (3, doc("k", 10002, "aa")),  # accept pair: J exactly 0.5
+        (4, doc("k", 10002, "ab")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_join(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == {(3, 4): 0.5}  # (1, 2) rounds to 0.5 but is sub-threshold
+
+    # Same boundary through the streaming probe path (s33): index doc_a,
+    # probe doc_b -- identical accept/reject decision.
+    index = df.filter(F.col("doc_id").isin(1, 3))
+    probes = df.filter(F.col("doc_id").isin(2, 4))
+    sets_, prefix, dfreq = ngram_prefix_index(index, "doc_id", "text", threshold=0.5)
+    hits = {
+        (r["doc_id"], r["dup_of"]): r["jaccard"]
+        for r in ngram_probe_index(
+            sets_, prefix, dfreq, probes, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert hits == {(4, 3): 0.5}
 
 
 def test_cosine_matmul_agrees_with_hof_bruteforce(spark, sf_dir):
@@ -431,3 +485,37 @@ def test_ngram_probe_index_matches_bruteforce_on_random_corpora(spark):
                     expect[(p, x)] = round(j, 4)
         assert expect, "vacuous: no true cross-half pair to lose"
         assert got == expect, (threshold, got, expect)
+
+
+def test_ngram_probe_index_overbound_batch_takes_shuffled_fallback(spark, monkeypatch):
+    """The per-batch broadcast guard (PROBE_BROADCAST_SHINGLE_LIMIT): an
+    earliest-offsets backfill can make micro-batch 1 the whole topic, so
+    an over-bound batch must go through plain shuffled joins -- with
+    results IDENTICAL to the broadcast path. Force the fallback by
+    shrinking the bound to 1 shingle row and compare against the default
+    (broadcast) path on the same corpus; also pin the plan shape: no
+    broadcast exchange of the probe side under the shrunken bound."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators import dedup
+
+    docs = [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(10))) for i in range(40)]
+    docs += [(100 + i, t) for i, t in docs[:8]]  # planted exact dups
+    idx_df = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 0], "doc_id long, text string"
+    )
+    prb_df = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 1], "doc_id long, text string"
+    )
+    sets_i, prefix_i, dfreq_i = dedup.ngram_prefix_index(idx_df, "doc_id", "text")
+
+    def run():
+        return dedup.ngram_probe_index(
+            sets_i, prefix_i, dfreq_i, prb_df, "doc_id", "text"
+        )
+
+    broadcast_rows = {tuple(r) for r in run().collect()}
+    assert dedup.PROBE_BROADCAST_SHINGLE_LIMIT > 10_000  # default = broadcast path
+    monkeypatch.setattr(dedup, "PROBE_BROADCAST_SHINGLE_LIMIT", 1)
+    fallback = run()
+    assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
+    fallback_rows = {tuple(r) for r in fallback.collect()}
+    assert broadcast_rows and fallback_rows == broadcast_rows

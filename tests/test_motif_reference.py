@@ -56,8 +56,10 @@ def _ref_find(vertex_ids, edges, pattern):
                     continue
                 if a is not None and a == b and s != d:
                     continue
-                if e is not None and ("e", e) in asg and asg[("e", e)][:2] != (s, d):
-                    continue  # repeated edge name: must be the same edge
+                if e is not None and ("e", e) in asg and asg[("e", e)] != (s, d, idx):
+                    continue  # repeated edge name: must be the SAME element
+                    # (idx included: a parallel same-endpoint edge is a
+                    # different element on multigraphs)
                 na = dict(asg)
                 if a is not None:
                     na[a] = s
@@ -141,6 +143,42 @@ def test_find_matches_bruteforce_reference(spark, seed):
     g = GraphFrame(v, e)
     for pattern in _PATTERNS:
         order, want = _ref_find(ids, edges, pattern)
+        got = _spark_find_counter(g.find(pattern), order)
+        assert got == want, f"pattern {pattern!r} seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [7, 13])
+def test_find_matches_bruteforce_on_multigraphs(spark, seed):
+    """Parallel same-endpoint edges are DISTINCT elements: a repeated
+    edge name must match only the element itself, never a parallel twin
+    ((src, dst)-only unification would square the multiplicity). Edges
+    are sampled WITH replacement so parallels occur, and the repeated-
+    name patterns assert a count >= 2 somewhere so the multigraph case
+    is actually exercised, not vacuously green."""
+    rng = random.Random(seed)
+    ids = [f"v{i}" for i in range(5)]
+    edges = [
+        (rng.choice(ids), rng.choice(ids)) for _ in range(12)
+    ]  # with replacement: parallel edges likely...
+    # ...but plant guaranteed multiplicity anyway: a parallel copy of an
+    # existing edge, and TWO parallel self-loops (the (b)-[e]->(c) chain
+    # pattern forces a self-loop element, so only a duplicated self-loop
+    # can multiply its counts)
+    edges += [edges[0], (ids[0], ids[0]), (ids[0], ids[0])]
+    assert len(set(edges)) < len(edges), "no parallel edge present"
+    v = spark.createDataFrame([(i,) for i in ids], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    g = GraphFrame(v, e)
+    repeated = {
+        "(a)-[e]->(b); (c)-[e]->(d)",
+        "(a)-[e]->(b); (a)-[e]->(c)",
+        "(a)-[e]->(b); (b)-[e]->(c)",
+    }
+    for pattern in _PATTERNS:
+        order, want = _ref_find(ids, edges, pattern)
+        if pattern in repeated:
+            # non-vacuous: some parallel pair actually multiplies counts
+            assert any(c >= 2 for c in want.values()), (pattern, seed)
         got = _spark_find_counter(g.find(pattern), order)
         assert got == want, f"pattern {pattern!r} seed {seed}"
 
