@@ -589,14 +589,18 @@ def _cleanup_sinks() -> None:
 
 
 def _sink_readback(spark: SparkSession, out_dir: str, schema_ddl: str) -> DataFrame:
-    """Read a foreachBatch parquet sink back with an EXPLICIT schema: if
-    every micro-batch yielded zero matches the sink holds no part files
-    and schema inference fails ('unable to infer schema') instead of
-    returning an empty frame -- safe on the shipped corpora (every probe
-    entry matches something at every scale) but brittle under drift. The
-    declared DDL is pinned to what the probe writes (verified non-empty
-    at 3 scales: a type mismatch would fail the vectorized parquet read
-    outright), so an empty stream degrades to an empty DataFrame."""
+    """Read a foreachBatch parquet sink back with an EXPLICIT schema.
+
+    With inference, a sink holding no footer-bearing part files fails
+    with 'unable to infer schema' instead of returning an empty frame.
+    A zero-MATCH batch still leaves one empty footer file (Spark writes
+    >= 1 file even for an AQE-empty result, verified on this version),
+    so the live trigger is a stream with zero micro-batches (e.g. an
+    empty staging dir under drift or a new scale) -- plus any future
+    Spark that stops writing empty files. The declared DDL is pinned to
+    what the probe writes (verified non-empty at 3 scales: a type
+    mismatch would fail the vectorized parquet read outright), so an
+    empty stream degrades to an empty DataFrame."""
     return spark.read.schema(schema_ddl).parquet(out_dir)
 
 
