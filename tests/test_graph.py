@@ -370,3 +370,48 @@ def test_g09_lpa_matches_python_reference_on_random_graphs(spark):
             )
         got = {r["v"]: r["lab"] for r in labels.collect()}
         assert got == lab, (trial, edges, got, lab)
+
+
+def test_trade_graph_cache_is_session_keyed(spark, sf_dir):
+    """g11-g15 share the top-3 trade graph: the same (session, sf_dir)
+    must return the SAME materialized frames (no duplicated 4-table
+    build), while a foreign/dead session identity in the cache forces a
+    rebuild -- the checkpointed blocks live in ONE session's block
+    manager, so handing them to another session would dangle."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import graphq
+
+    graphq._TRADE_GRAPH_CACHE.clear()
+    v1, e1 = graphq._top3_trade_graph(spark, sf_dir)
+    v2, e2 = graphq._top3_trade_graph(spark, sf_dir)
+    assert v1 is v2 and e1 is e2
+    graphq._TRADE_GRAPH_CACHE[sf_dir] = (object(), (v1, e1))
+    v3, e3 = graphq._top3_trade_graph(spark, sf_dir)
+    assert v3 is not v1
+    assert v3.count() == 25 and 0 < e3.count() <= 75  # <=3 partners/nation
+    graphq._TRADE_GRAPH_CACHE.clear()
+
+
+def test_g15_entry_structural_invariants(spark, sf_dir):
+    """g15 acceptance, structural at ANY data: 25 nations out, each
+    source nation keeps at least its reset mass (0.15 teleports only to
+    the source), per-source rank mass never exceeds 1 (dangling mass is
+    dropped, never redistributed), and the in-degree column (computed
+    via aggregateMessages) totals exactly |E|."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY, graphq
+
+    df = REGISTRY["g15_parallel_personalized_pagerank"].fn(spark, sf_dir).toPandas()
+    assert len(df) == 25
+    assert list(df.columns) == ["nation", "ppr_0", "ppr_1", "ppr_2", "in_deg"]
+    _, edges = graphq._top3_trade_graph(spark, sf_dir)
+    nation = {
+        r["id"]: r["name"]
+        for r in graphq._top3_trade_graph(spark, sf_dir)[0].collect()
+    }
+    by_nation = df.set_index("nation")
+    for j, src in enumerate(graphq._G15_SOURCES):
+        col = f"ppr_{j}"
+        assert by_nation.loc[nation[src], col] >= 0.15 - 1e-9
+        # ranks are presented rounded to 6dp: 25 values can each carry
+        # up to 5e-7 of rounding, so the mass bound gets that allowance
+        assert (df[col] >= 0).all() and df[col].sum() <= 1.0 + 25 * 5e-7
+    assert int(df["in_deg"].sum()) == edges.count()
