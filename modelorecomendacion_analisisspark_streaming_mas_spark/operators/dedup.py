@@ -490,44 +490,104 @@ def lsh_probe_index(
     band signature, so a probe doc that truly matches the bucket matches
     its representatives. None = complete candidates (the oracle-exact
     catalog setting; the cap is for planted-skew regimes).
+
+    One-shot shape (d10: one probe batch, band both sides inline and
+    let Catalyst pick the join). A STREAM probing the same index every
+    micro-batch should instead band the index ONCE with
+    ``lsh_band_index`` and call ``lsh_probe_banded`` per batch, which
+    also broadcasts the (small) banded batch so the persistent index
+    table never shuffles.
     """
-
-    def banded(sigs: DataFrame, id_out: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(id_out),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band_idx"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("band_key"),
-                    ),
-                )
-            ).alias("band"),
-        ).select(id_out, "band.band_idx", "band.band_key")
-
-    probe_b = banded(probe_sigs, "doc_id")
-    index_b = banded(index_sigs, "dup_of")
-    if index_bucket_cap is not None:
-        # representative selection per bucket: the window sorts only ids
-        # within one bucket (O(H log H) of 8-byte rows), which replaces
-        # the H x P pair blow-up the join would otherwise emit
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_key").orderBy("dup_of")
-        index_b = (
-            index_b.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= index_bucket_cap)
-            .drop("rn")
-        )
+    probe_b = _banded(probe_sigs, "doc_id", bands, rows_per_band)
+    index_b = _cap_buckets(
+        _banded(index_sigs, "dup_of", bands, rows_per_band), index_bucket_cap
+    )
     return (
         probe_b.join(index_b, ["band_idx", "band_key"])
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+
+
+def _banded(
+    sigs: DataFrame, id_out: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) posting rows: the signature sliced
+    into ``bands`` runs of ``rows_per_band`` hashes, each run rendered
+    as a comma-joined key (exact-equality bucketing, no hashing loss)."""
+    return sigs.select(
+        F.col("doc_id").alias(id_out),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_out, "band.band_idx", "band.band_key")
+
+
+def _cap_buckets(index_b: DataFrame, index_bucket_cap: int | None) -> DataFrame:
+    if index_bucket_cap is None:
+        return index_b
+    # representative selection per bucket: the window sorts only ids
+    # within one bucket (O(H log H) of 8-byte rows), which replaces
+    # the H x P pair blow-up the join would otherwise emit
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_key").orderBy("dup_of")
+    return (
+        index_b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= index_bucket_cap)
+        .drop("rn")
+    )
+
+
+def lsh_band_index(
+    index_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    index_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Static side of STREAMING LSH dedup: the banded posting table of
+    the existing corpus, built ONCE and materialized (localCheckpoint)
+    so micro-batches probe it without re-banding -- the
+    ``ngram_prefix_index`` treatment for the MinHash family. At 100 TB
+    this is a persistent table bucketed by (band_idx, band_key); new
+    docs APPEND their band rows."""
+    return _cap_buckets(
+        _banded(index_sigs, "dup_of", bands, rows_per_band), index_bucket_cap
+    ).localCheckpoint(eager=True)
+
+
+def lsh_probe_banded(
+    index_banded: DataFrame,
+    probe_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Per-micro-batch probe against an ``lsh_band_index`` table: band
+    only the batch and equi-join the pre-banded index. With
+    ``broadcast_probe`` the (|batch| x bands)-row probe side is
+    broadcast so the persistent index NEVER shuffles -- callers gate the
+    flag on batch size exactly like ``ngram_probe_index``'s limit+1
+    probe (an earliest-offsets backfill batch = the whole topic; the
+    shuffled fallback is result-identical). Returns distinct
+    (doc_id, dup_of) candidate pairs, probe id first."""
+    probe_b = _banded(probe_sigs, "doc_id", bands, rows_per_band)
+    if broadcast_probe:
+        probe_b = F.broadcast(probe_b)
+    return (
+        index_banded.join(probe_b, ["band_idx", "band_key"])
         .select("doc_id", "dup_of")
         .distinct()
     )

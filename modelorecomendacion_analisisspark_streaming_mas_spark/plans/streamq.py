@@ -1094,16 +1094,25 @@ def _s26_oracle() -> str:
 def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.dedup import lsh_probe_index, minhash_signatures
+    from ..operators.dedup import (
+        PROBE_BROADCAST_SHINGLE_LIMIT,
+        lsh_band_index,
+        lsh_probe_banded,
+        minhash_signatures,
+    )
     from ..sources.readers import load_table as _lt
 
     docs = _lt(spark, sf_dir, "documents")
     idx_sigs = (
         minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
-        # the persistent index: banded/minhashed ONCE, reused by every
+        # the persistent index: minhashed ONCE, reused by every
         # micro-batch (at scale this is the bucketed table you maintain)
         .localCheckpoint(eager=True)
     )
+    # ...and BANDED once too: re-banding (and re-shuffling) the corpus
+    # posting table per micro-batch would make per-batch cost track the
+    # corpus, not the batch (the r9 VERDICT's s26 audit item)
+    idx_banded = lsh_band_index(idx_sigs)
     sets_i = idx_sigs.select(
         F.col("doc_id").alias("dup_of"), F.col("shingle_set").alias("set_i")
     )
@@ -1114,12 +1123,28 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def probe(batch_df, epoch_id):
         batch = batch_df.localCheckpoint(eager=True)
-        probe_sigs = minhash_signatures(batch, "doc_id", "text")
-        cands = lsh_probe_index(idx_sigs, probe_sigs)
+        # checkpointed: probed three times below (size gate, banding,
+        # verify sets) -- recomputing the minhash per use triples the
+        # batch's dominant CPU cost
+        probe_sigs = minhash_signatures(batch, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        # per-batch broadcast gate (the ngram_probe_index regime): a
+        # bounded limit+1 probe decides; below the bound the batch side
+        # is broadcast into BOTH joins so the index never shuffles, and
+        # a backfill-sized batch falls back to shuffled joins with
+        # identical results
+        small = (
+            probe_sigs.select(F.explode("shingle_set").alias("x"))
+            .limit(PROBE_BROADCAST_SHINGLE_LIMIT + 1)
+            .count()
+            <= PROBE_BROADCAST_SHINGLE_LIMIT
+        )
+        maybe_bcast = F.broadcast if small else (lambda d: d)
+        cands = lsh_probe_banded(idx_banded, probe_sigs, broadcast_probe=small)
         sets_p = probe_sigs.select("doc_id", F.col("shingle_set").alias("set_p"))
         verified = (
-            cands.join(sets_p, "doc_id")
-            .join(sets_i, "dup_of")
+            sets_i.join(maybe_bcast(cands.join(sets_p, "doc_id")), "dup_of")
             .withColumn(
                 "jaccard",
                 F.round(

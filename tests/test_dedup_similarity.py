@@ -519,3 +519,44 @@ def test_ngram_probe_index_overbound_batch_takes_shuffled_fallback(spark, monkey
     assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
     fallback_rows = {tuple(r) for r in fallback.collect()}
     assert broadcast_rows and fallback_rows == broadcast_rows
+
+
+def test_lsh_band_index_probe_matches_one_shot_join(spark):
+    """s26's band-once/probe-per-batch pair must return EXACTLY the
+    one-shot lsh_probe_index candidates -- with the probe side broadcast
+    AND through the shuffled fallback (the backfill-batch path), and
+    with a bucket cap applied at index-build time."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_probe_banded,
+        lsh_probe_index,
+        minhash_signatures,
+    )
+
+    docs = [(i, " ".join(f"w{(i * 5 + k) % 17}" for k in range(9))) for i in range(30)]
+    docs += [(200 + i, t) for i, t in docs[:10]]  # planted dups across halves
+    idx = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 0], "doc_id long, text string"
+    )
+    prb = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 1], "doc_id long, text string"
+    )
+    idx_sigs = minhash_signatures(idx, "doc_id", "text").localCheckpoint(eager=True)
+    prb_sigs = minhash_signatures(prb, "doc_id", "text").localCheckpoint(eager=True)
+    for cap in (None, 2):
+        want = {
+            tuple(r)
+            for r in lsh_probe_index(
+                idx_sigs, prb_sigs, index_bucket_cap=cap
+            ).collect()
+        }
+        assert want, "vacuous: no candidate pairs"
+        banded = lsh_band_index(idx_sigs, index_bucket_cap=cap)
+        for bcast in (True, False):
+            got = {
+                tuple(r)
+                for r in lsh_probe_banded(
+                    banded, prb_sigs, broadcast_probe=bcast
+                ).collect()
+            }
+            assert got == want, (cap, bcast)
