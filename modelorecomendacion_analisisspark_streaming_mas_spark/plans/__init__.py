@@ -36,7 +36,9 @@ from . import batch9  # noqa: E402,F401
 #      r9 ADVICE; s33 additionally gets the per-batch broadcast gate in
 #      ngram_probe_index and its FIRST driver slot, judge-r9 verified;
 #      s26 additionally banded-once + gated-broadcast probe, the r9
-#      VERDICT audit item -- the index never re-bands or re-shuffles),
+#      VERDICT audit item -- the index never re-bands or re-shuffles;
+#      s29/s30 get the same gated batch-side broadcast so their
+#      persistent indexes are scanned, never shuffled, per batch),
 #      s32 also taking its first post-schema-change record (judge-r9
 #      verified), g11/g12/g13/g14 (shared top-3 trade graph now built
 #      once per session and localCheckpointed -- _TRADE_GRAPH_CACHE), and

@@ -1592,9 +1592,22 @@ def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
             .filter(F.col("crn") == 1)
             .select("vec_id", "v", "nrm", "cid")
         )
+        # gated broadcast of the (small) routed batch into the
+        # persistent index join, so idx never shuffles per batch (the
+        # s26/s33 regime; MATMUL_QUERY_ROW_LIMIT is the d05 precedent
+        # for how many embedding rows fit a broadcast comfortably). A
+        # backfill-sized batch falls back to the shuffled join --
+        # result-identical, and the downstream vec_id window only ever
+        # carries candidate rows (bounded by _S29_MAX_LIST per list).
+        from ..operators.similarity import MATMUL_QUERY_ROW_LIMIT
+
+        small = (
+            batch.limit(MATMUL_QUERY_ROW_LIMIT + 1).count() <= MATMUL_QUERY_ROW_LIMIT
+        )
+        maybe_bcast = F.broadcast if small else (lambda d: d)
         wb = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("dup_of"))
         best = (
-            assigned.join(idx, "cid")
+            idx.join(maybe_bcast(assigned), "cid")
             .withColumn(
                 "cos",
                 F.round(
@@ -1733,7 +1746,6 @@ def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # the persistent chunk index: chunked ONCE, joined by every batch
         .localCheckpoint(eager=True)
-        .withColumn("is_dup", F.lit(1))
     )
     staged = _staged_new_docs(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="mras_s30_out_")
@@ -1741,28 +1753,47 @@ def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _staged_replay_stream(spark, staged)
 
     def probe(batch_df, epoch_id):
-        ch = cdc_chunk_frame(batch_df)
-        per_doc = (
-            ch.join(idx, "chash", "left")
-            .groupBy("doc_id", "n")
+        from ..operators.dedup import PROBE_BROADCAST_SHINGLE_LIMIT
+
+        # checkpointed: the rolling-hash chunking is the batch's dominant
+        # CPU cost and the frame is read twice below (totals + dup join)
+        ch = cdc_chunk_frame(batch_df).localCheckpoint(eager=True)
+        # The probe-vs-index match used to be a LEFT join with ch (the
+        # preserved batch side) on the left -- Spark cannot broadcast the
+        # preserved side, so the corpus-sized chunk index re-shuffled
+        # every micro-batch. Split instead: an INNER dup join (batch side
+        # broadcast under the s26/s33 limit+1 gate, so the index is only
+        # SCANNED, never shuffled) plus a batch-local totals aggregate,
+        # recombined by a tiny per-doc left join -- result-identical.
+        small = (
+            ch.limit(PROBE_BROADCAST_SHINGLE_LIMIT + 1).count()
+            <= PROBE_BROADCAST_SHINGLE_LIMIT
+        )
+        maybe_bcast = F.broadcast if small else (lambda d: d)
+        dup = (
+            idx.join(maybe_bcast(ch.select("doc_id", "chash", "clen")), "chash")
+            .groupBy("doc_id")
             .agg(
-                F.count(F.lit(1)).cast("long").alias("n_chunks"),
-                F.count("is_dup").cast("long").alias("n_dup_chunks"),
-                F.coalesce(
-                    F.sum(F.when(F.col("is_dup").isNotNull(), F.col("clen"))),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("dup_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_dup_chunks"),
+                F.sum("clen").cast("long").alias("dup_tokens"),
             )
+        )
+        per_doc = (
+            ch.groupBy("doc_id", "n")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+            .join(dup, "doc_id", "left")
             .select(
                 "doc_id",
                 "n_chunks",
-                "n_dup_chunks",
-                "dup_tokens",
-                F.round(F.col("dup_tokens") / F.col("n").cast("double"), 4).alias(
-                    "dup_token_frac"
+                F.coalesce("n_dup_chunks", F.lit(0).cast("long")).alias(
+                    "n_dup_chunks"
                 ),
+                F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    / F.col("n").cast("double"),
+                    4,
+                ).alias("dup_token_frac"),
             )
             .withColumn("epoch", F.lit(int(epoch_id)))
         )
