@@ -976,3 +976,45 @@ def test_s33_readback_collapses_duplicate_appends(spark, sf_dir, monkeypatch):
         for r in s33_stream_ngram_jaccard_probe(spark, sf_dir).collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "entry, result_schema",
+    [
+        (
+            "s33_stream_ngram_jaccard_probe",
+            "struct<doc_id:bigint,dup_of:bigint,jaccard:double>",
+        ),
+        (
+            "s26_stream_lsh_dedup_probe",
+            "struct<doc_id:bigint,dup_of:bigint,jaccard:double>",
+        ),
+    ],
+)
+def test_probe_stream_with_no_new_docs_degrades_to_empty(
+    spark, sf_dir, monkeypatch, entry, result_schema
+):
+    """Extreme-drift regression for the r9 ADVICE read-back item: a corpus
+    with NO new (odd-id) documents must flow through the WHOLE probe path
+    -- staged replay, foreachBatch probes that match nothing, explicit-
+    schema sink read-back -- and return an EMPTY frame with the declared
+    result schema, never a schema-inference error. The staged dir holds
+    one footer-bearing empty part file (what write.parquet emits for an
+    empty frame), so the stream replays one zero-row micro-batch."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
+        REGISTRY,
+        streamq,
+    )
+
+    d = tempfile.mkdtemp(prefix="mras_empty_staged_")
+    streamq._SINK_DIRS.append(d)
+    (
+        spark.createDataFrame([], "doc_id bigint, text string")
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    monkeypatch.setitem(streamq._DOC_STAGED, sf_dir, d)
+    out = REGISTRY[entry].fn(spark, sf_dir)
+    assert out.schema.simpleString() == result_schema
+    assert out.count() == 0
