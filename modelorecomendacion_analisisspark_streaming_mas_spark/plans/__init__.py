@@ -39,18 +39,23 @@ from . import batch9  # noqa: E402,F401
 #      VERDICT audit item -- the index never re-bands or re-shuffles;
 #      s29/s30 get the same gated batch-side broadcast so their
 #      persistent indexes are scanned, never shuffled, per batch),
+#      q07 (mean computed from an exact integer-cents sum) and e04/e06
+#      (fixed-order ADC total: per-subspace CASE-sums added
+#      left-associated) -- two cross-engine FP divergences a harsher
+#      40%-drop drift variant exposed late in r10, fixed and re-greened
+#      at 3 scales + both drift variants,
 #      s32 also taking its first post-schema-change record (judge-r9
 #      verified), g11/g12/g13/g14 (shared top-3 trade graph now built
 #      once per session and localCheckpointed -- _TRADE_GRAPH_CACHE), and
 #      g15 (brand-new: parallelPersonalizedPageRank + aggregateMessages
 #      certificate, closing the adapter matrix).
-#   2. FRESH_R6 (39): the r6 cohort minus the three displaced entries
-#      below -- 11 + 39 = exactly the 50-slot window.
-#   3. NEXT_R11: the three r6-cohort entries displaced by the 11-wide
-#      VERIFY_FIRST, at slots 51-53. All three are in the r9 judge's own
-#      30-query re-verification sample (e05/mm04/g08), so displacing
-#      them cannot break a judge done-criterion; they lead the r11
-#      window.
+#   2. FRESH_R6 (36): the r6 cohort minus the six displaced entries
+#      below -- 14 + 36 = exactly the 50-slot window.
+#   3. NEXT_R11: the six r6-cohort entries displaced by the 14-wide
+#      VERIFY_FIRST, at slots 51-56. All six are in the r9 judge's own
+#      30-query re-verification sample (e05/mm04/g08/g04/m03/s15), so
+#      displacing them cannot break a judge done-criterion; they lead
+#      the r11 window.
 #   4. FRESH_R7 / FRESH_R8 / FRESH_R9: re-checked last, oldest cohort
 #      first. FRESH_R9 is the r9 window (q62 + the r5 cohort +
 #      s25/s28, whose records are r9-fresh).
@@ -77,12 +82,18 @@ _VERIFY_FIRST: list[str] = [
     "g12_personalized_pagerank",
     "g13_bfs_trade_paths",
     "g14_scc_trade_components",
+    "q07_regex_brand_etl",
+    "e04_knn_pq_adc",
+    "e06_knn_ivfpq",
 ]
 
 _NEXT_R11 = [
     "e05_knn_truncated_rerank",
     "mm04_audio_features",
     "g08_clustering_coefficient",
+    "g04_trade_triangles",
+    "m03_item_item_cosine",
+    "s15_incremental_rollup",
 ]
 
 _FRESH_R6 = [
@@ -122,9 +133,6 @@ _FRESH_R6 = [
     "s11_stream_static_join",
     "s12_stream_dynamic_session",
     "g03_component_histogram",
-    "g04_trade_triangles",
-    "m03_item_item_cosine",
-    "s15_incremental_rollup",
 ]
 
 _FRESH_R7 = [
@@ -206,7 +214,6 @@ _FRESH_R8 = [
     "q04_star_join_revenue",
     "q05_balance_buckets",
     "q06_map_lookup_regions",
-    "q07_regex_brand_etl",
     "q08_daily_events",
     "q09_quantiles",
     "q10_dedup_pairs_histogram",
@@ -230,14 +237,12 @@ _FRESH_R9 = [
     "mm02_image_features",
     "mm06_image_phash_dedup",
     "q71_kmv_sketch_setops",
-    "e04_knn_pq_adc",
     "d11_canonical_url_dedup",
     "q73_event_transition_bigrams",
     "t09_bpe_pair_counts",
     "q74_cluster_aware_split",
     "q75_token_budget_curriculum",
     "q76_json_roundtrip",
-    "e06_knn_ivfpq",
     "s23_stream_image_features",
     "q77_merge_upsert_apply",
     "m06_cooccurrence_lift",

@@ -283,7 +283,8 @@ def q06_map_lookup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
        count(*)                                         AS n_parts,
        count(DISTINCT string_split(p_name, ' ')[1])     AS n_first_words,
-       round(avg(p_retailprice), 2)                     AS avg_price
+       round(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+             / (1e2 * count(*)), 2)                     AS avg_price
 FROM part
 GROUP BY brand_num
 """,
@@ -296,7 +297,17 @@ def q07_regex_brand_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etl.groupBy("brand_num").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.countDistinct("first_word").alias("n_first_words"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        # prices are money (exactly 2dp), so the mean is computed from an
+        # EXACT integer-cents sum: avg() over doubles adds in each
+        # engine's own order, and a group mean one ulp either side of a
+        # .xx5 boundary rounds differently per engine (seen under a
+        # 40%-drop drift variant). Integer sum + one division = identical
+        # bits on both sides.
+        F.round(
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            / (F.lit(1e2) * F.count(F.lit(1))),
+            2,
+        ).alias("avg_price"),
     )
 
 

@@ -416,6 +416,36 @@ _E04_SUB_L2 = (
     "list_sum(list_transform({a}, (x, i) -> (x - {b}[i]) * (x - {b}[i])))"
 )
 
+def _adist_fixed_sql(prefix: str) -> str:
+    """Fixed-order ADC total: one single-row CASE-sum per subspace, added
+    left-associated -- ((pd0 + pd1) + pd2) + pd3 for M=4. A plain
+    ``sum(pd)`` over the M rows adds in each engine's own order, and the
+    resulting ulp differences reorder ranks whenever two neighbors'
+    totals are within an ulp (seen under a 40%-drop drift variant); with
+    per-subspace pd already bit-identical (_pq_sub_l2's indexed fold),
+    this makes the TOTAL bit-identical too, on both engines."""
+    expr = f"sum(CASE WHEN {prefix}.m = 0 THEN {prefix}.pd END)"
+    for m in range(1, _E04_M):
+        expr = f"({expr} + sum(CASE WHEN {prefix}.m = {m} THEN {prefix}.pd END))"
+    return expr
+
+
+def _adist_fixed_agg():
+    """Spark twin of ``_adist_fixed_sql``: the per-subspace CASE-sums to
+    pass to ``agg`` plus the left-associated total column."""
+    import functools
+    import operator
+
+    sums = [
+        F.sum(F.when(F.col("m") == m, F.col("pd"))).alias(f"_pd{m}")
+        for m in range(_E04_M)
+    ]
+    total = functools.reduce(
+        operator.add, [F.col(f"_pd{m}") for m in range(_E04_M)]
+    ).alias("adist")
+    return sums, total
+
+
 _E04_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -441,7 +471,7 @@ WITH e AS (
   FROM sub_e s JOIN sub_cb c USING (m)
   WHERE s.vec_id < 10
 ), approx AS (
-  SELECT q.query_id, x.vec_id AS neighbor_id, sum(q.pd) AS adist
+  SELECT q.query_id, x.vec_id AS neighbor_id, {_adist_fixed_sql('q')} AS adist
   FROM codes x JOIN qd q ON q.m = x.m AND q.cid = x.cid
   WHERE x.vec_id <> q.query_id
   GROUP BY q.query_id, x.vec_id
@@ -536,11 +566,13 @@ def pq_adc_topk(
             sub_l2(F.col("sv"), F.col("cv")).alias("pd"),
         )
     )
+    sums, total = _adist_fixed_agg()
     approx = (
         codes.join(F.broadcast(qd), ["m", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("pd").alias("adist"))
+        .agg(*sums)
+        .select("query_id", "neighbor_id", total)
     )
     rank_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
@@ -691,7 +723,7 @@ scored AS (
   FROM sub_e s JOIN sub_cb c USING (m)
   WHERE s.vec_id < 10
 ), approx AS (
-  SELECT c.query_id, c.neighbor_id, sum(q.pd) AS adist
+  SELECT c.query_id, c.neighbor_id, {_adist_fixed_sql('q')} AS adist
   FROM cand c
   JOIN codes x ON x.vec_id = c.neighbor_id
   JOIN qd q ON q.query_id = c.query_id AND q.m = x.m AND q.cid = x.cid
@@ -761,11 +793,13 @@ def e06_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_sub_l2(F.col("sv"), F.col("cv")).alias("pd"),
         )
     )
+    sums, total = _adist_fixed_agg()
     approx = (
         cand.join(codes, "neighbor_id")
         .join(F.broadcast(qd), ["query_id", "m", "cid"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("pd").alias("adist"))
+        .agg(*sums)
+        .select("query_id", "neighbor_id", total)
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
