@@ -26,7 +26,7 @@ from ..functions.etl import (
 )
 from ..operators.topk import global_rank, grouped_top_k, top_k
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import money_mean_spark, register
 
 # --------------------------------------------------------------------------
 # q01: TPC-H Q1-shaped pricing summary.
@@ -224,7 +224,7 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
             ELSE 'high' END      AS balance_bin,
        c_mktsegment,
        count(*)                  AS n_customers,
-       round(avg(c_acctbal), 2)  AS avg_balance
+       (CASE WHEN sum(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_balance
 FROM customer
 GROUP BY balance_bin, c_mktsegment
 """,
@@ -234,7 +234,8 @@ def q05_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = customer.withColumn("balance_bin", when_chain(F.col("c_acctbal"), BALANCE_BINS))
     return binned.groupBy("balance_bin", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        # integer-cents mean, no double round() (see catalog.money_mean_spark)
+        money_mean_spark("c_acctbal").alias("avg_balance"),
     )
 
 
@@ -283,8 +284,7 @@ def q06_map_lookup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
        count(*)                                         AS n_parts,
        count(DISTINCT string_split(p_name, ' ')[1])     AS n_first_words,
-       round(sum(CAST(round(p_retailprice * 100) AS BIGINT))
-             / (1e2 * count(*)), 2)                     AS avg_price
+       (CASE WHEN sum(CAST(round(p_retailprice * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_price
 FROM part
 GROUP BY brand_num
 """,
@@ -297,17 +297,12 @@ def q07_regex_brand_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etl.groupBy("brand_num").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.countDistinct("first_word").alias("n_first_words"),
-        # prices are money (exactly 2dp), so the mean is computed from an
-        # EXACT integer-cents sum: avg() over doubles adds in each
-        # engine's own order, and a group mean one ulp either side of a
-        # .xx5 boundary rounds differently per engine (seen under a
-        # 40%-drop drift variant). Integer sum + one division = identical
-        # bits on both sides.
-        F.round(
-            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
-            / (F.lit(1e2) * F.count(F.lit(1))),
-            2,
-        ).alias("avg_price"),
+        # prices are money (exactly 2dp): integer-cents mean with integer
+        # half-away rounding -- engine-independent by construction, where
+        # round(avg(x), 2) diverges under drift both via engine-order
+        # double sums AND via the two engines' round() at exact
+        # half-cents (see catalog.money_mean_spark)
+        money_mean_spark("p_retailprice").alias("avg_price"),
     )
 
 

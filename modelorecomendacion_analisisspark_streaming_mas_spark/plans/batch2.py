@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_attribute
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import money_mean_spark, register
 
 
 @register(
@@ -272,7 +272,7 @@ def q27_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 2) AS avg_price,
+       (CASE WHEN sum(CAST(round(o_totalprice * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_price,
        round(sum(o_totalprice), 2) AS sum_price
 FROM orders
 WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 10 = 0
@@ -288,7 +288,8 @@ def q28_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            # integer-cents mean (see catalog.money_mean_spark)
+            money_mean_spark("o_totalprice").alias("avg_price"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )

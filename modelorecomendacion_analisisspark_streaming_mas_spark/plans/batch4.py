@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import money_mean_spark, register
 
 
 @register(
@@ -160,7 +160,7 @@ def q34_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH agg AS (
   SELECT c_mktsegment,
          round(sum(c_acctbal), 2) AS sum_bal,
-         round(avg(c_acctbal), 2) AS avg_bal,
+         (CASE WHEN sum(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_bal,
          round(min(c_acctbal), 2) AS min_bal,
          round(max(c_acctbal), 2) AS max_bal
   FROM customer GROUP BY c_mktsegment
@@ -181,7 +181,8 @@ def q35_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            # integer-cents mean (see catalog.money_mean_spark)
+            money_mean_spark("c_acctbal").alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )

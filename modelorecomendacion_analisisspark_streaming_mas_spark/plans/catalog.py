@@ -81,3 +81,41 @@ def query_map() -> dict[str, QueryFn]:
 
 def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+
+
+def money_mean_spark(col: str):
+    """Group mean of a 2dp money column, rounded to the cent with PURE
+    INTEGER arithmetic -- engine-independent by construction.
+
+    round(avg(x), 2) is unsafe twice over for money doubles: (a) avg()
+    sums in each engine's own order, so group means one ulp apart round
+    differently, and (b) even with bit-identical quotients, Spark's
+    round (Java HALF_UP on the double's exact decimal expansion) and
+    DuckDB's round disagree when the TRUE mean lands exactly on a
+    half-cent (sum_cents odd * n even -- common in small groups; both
+    observed under drift variants). Instead: exact integer cents sum,
+    then half-away-from-zero integer rounding q = floor((2|s| + n) /
+    (2n)) (the double divisions are exact-decidable here: numerators
+    < 2^53 and any non-integer quotient is >= 1/(2n) away from an
+    integer, far beyond one ulp), and one final division by 100 --
+    identical bits on both engines, no double round() anywhere."""
+    from pyspark.sql import functions as F
+
+    s = F.sum(F.round(F.col(col) * 100).cast("long"))
+    n = F.count(F.lit(1))
+    q = F.when(s >= 0, F.floor((2 * s + n) / (2 * n))).otherwise(
+        -F.floor((-2 * s + n) / (2 * n))
+    )
+    return q / F.lit(1e2)
+
+
+def money_mean_sql(col: str) -> str:
+    """DuckDB twin of ``money_mean_spark`` -- the identical integer
+    half-away-from-zero cents mean, for oracle SQL strings."""
+    s = f"sum(CAST(round({col} * 100) AS BIGINT))"
+    return (
+        f"(CASE WHEN {s} >= 0"
+        f" THEN floor((2 * {s} + count(*)) / (2e0 * count(*)))"
+        f" ELSE -floor((-2 * {s} + count(*)) / (2e0 * count(*)))"
+        f" END / 1e2)"
+    )

@@ -72,3 +72,41 @@ def test_approx_quantile_api(spark, sf_dir):
         f"SELECT quantile_disc(l_quantity, 0.5) FROM '{sf_dir}/lineitem.parquet'"
     ).fetchone()[0]
     assert abs(med - exact) < 1e-9
+
+
+def test_money_mean_half_cent_is_engine_independent(spark):
+    """catalog.money_mean_spark/_sql: a group whose TRUE mean lands
+    exactly on a half-cent must round away from zero in BOTH engines.
+    This is the case where round(avg(x), 2) silently diverges -- Spark's
+    round is Java HALF_UP on the double's exact decimal expansion while
+    DuckDB's rounds the scaled float -- observed live under drift
+    variants (q05: -297.965 -> Spark -297.97 vs DuckDB -297.96)."""
+    import duckdb
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.catalog import (
+        money_mean_spark,
+        money_mean_sql,
+    )
+
+    rows = [
+        ("pos_half", 1.00), ("pos_half", 1.01),    # mean 1.005 -> 1.01
+        ("neg_half", -1.00), ("neg_half", -1.01),  # mean -1.005 -> -1.01
+        ("exact", 2.00), ("exact", 2.02),          # mean 2.01 exactly
+        ("plain", 3.10), ("plain", 3.17),          # mean 3.135 -> 3.14
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(money_mean_spark("x").alias("m")).collect()
+    }
+    assert got == {"pos_half": 1.01, "neg_half": -1.01, "exact": 2.01, "plain": 3.14}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT col0 AS g, col1::DOUBLE AS x FROM (VALUES "
+        + ", ".join(f"('{g}', {x}e0)" for g, x in rows)
+        + ") v(col0, col1)"
+    )
+    want = dict(
+        con.execute(f"SELECT g, {money_mean_sql('x')} AS m FROM t GROUP BY g").fetchall()
+    )
+    assert want == got
