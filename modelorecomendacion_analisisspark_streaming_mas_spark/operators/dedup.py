@@ -665,6 +665,14 @@ def ngram_prefix_index(
 # memory; the limit+1 count never scans past the bound.
 PROBE_BROADCAST_SHINGLE_LIMIT = 2_000_000
 
+# Same bound, same units (exploded shingle rows), for the CANDIDATE-side
+# broadcast inside ngram_probe_index: that payload is one probe shingle
+# array per (probe, index-candidate) pair, so its size tracks corpus-side
+# collision multiplicity rather than batch size and needs its own gate (a
+# tiny batch against a dup-heavy corpus can exceed it while the batch
+# gate passes). Separate name so tests can force exactly one fallback.
+PROBE_BROADCAST_CAND_SHINGLE_LIMIT = 2_000_000
+
 
 def ngram_probe_index(
     index_sets: DataFrame,
@@ -740,9 +748,29 @@ def ngram_probe_index(
         .select("doc_id", "dup_of")
         .distinct()
     )
+    # The verify join's broadcast payload is one probe-shingle ARRAY per
+    # (probe, index-candidate) pair -- its row count scales with how many
+    # index docs each probe collides with (corpus-side multiplicity), NOT
+    # with the batch, so the batch-level gate above says nothing about it:
+    # on a dup-heavy corpus a tiny batch can match a corpus-scale number
+    # of index docs and blow the driver. Materialize the candidate join
+    # once (it is consumed exactly once below either way, and the
+    # checkpoint keeps the bounded probe from recomputing it) and gate
+    # ITS broadcast on its own exploded payload; an over-bound candidate
+    # set takes the shuffled join with identical results.
+    cjoin = cands.join(p_sets.select("doc_id", "p"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    cands_over = (
+        cjoin.select(F.explode("p").alias("x"))
+        .limit(PROBE_BROADCAST_CAND_SHINGLE_LIMIT + 1)
+        .count()
+        > PROBE_BROADCAST_CAND_SHINGLE_LIMIT
+    )
+    maybe_bcast_c = (lambda d: d) if cands_over else F.broadcast
     return (
         index_sets.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("i"))
-        .join(maybe_bcast(cands.join(p_sets.select("doc_id", "p"), "doc_id")), "dup_of")
+        .join(maybe_bcast_c(cjoin), "dup_of")
         # filter on the UNROUNDED ratio (the oracle's WHERE clause does
         # too); rounding only for presentation -- filtering on the rounded
         # value would admit pairs in [t - 5e-5, t) the oracle rejects

@@ -26,7 +26,7 @@ from ..functions.etl import (
 )
 from ..operators.topk import global_rank, grouped_top_k, top_k
 from ..sources.readers import load_table
-from .catalog import money_mean_spark, register
+from .catalog import money_mean_sql, money_mean_spark, register
 
 # --------------------------------------------------------------------------
 # q01: TPC-H Q1-shaped pricing summary.
@@ -217,14 +217,14 @@ BALANCE_BINS = [
 
 @register(
     "q05_balance_buckets",
-    oracle="""
+    oracle=f"""
 SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
             WHEN c_acctbal < 2500 THEN 'low'
             WHEN c_acctbal < 7500 THEN 'mid'
             ELSE 'high' END      AS balance_bin,
        c_mktsegment,
        count(*)                  AS n_customers,
-       (CASE WHEN sum(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_balance
+       {money_mean_sql('c_acctbal')} AS avg_balance
 FROM customer
 GROUP BY balance_bin, c_mktsegment
 """,
@@ -280,11 +280,11 @@ def q06_map_lookup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q07_regex_brand_etl",
-    oracle="""
+    oracle=f"""
 SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
        count(*)                                         AS n_parts,
        count(DISTINCT string_split(p_name, ' ')[1])     AS n_first_words,
-       (CASE WHEN sum(CAST(round(p_retailprice * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_price
+       {money_mean_sql('p_retailprice')} AS avg_price
 FROM part
 GROUP BY brand_num
 """,

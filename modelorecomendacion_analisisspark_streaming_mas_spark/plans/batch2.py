@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_attribute
 from ..sources.readers import load_table
-from .catalog import money_mean_spark, register
+from .catalog import money_mean_sql, money_mean_spark, register
 
 
 @register(
@@ -269,10 +269,10 @@ def q27_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_hash_sample_stats",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       (CASE WHEN sum(CAST(round(o_totalprice * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_price,
+       {money_mean_sql('o_totalprice')} AS avg_price,
        round(sum(o_totalprice), 2) AS sum_price
 FROM orders
 WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 10 = 0

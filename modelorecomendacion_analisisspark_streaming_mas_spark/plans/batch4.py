@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import money_mean_spark, register
+from .catalog import money_mean_sql, money_mean_spark, register
 
 
 @register(
@@ -156,11 +156,11 @@ def q34_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q35_unpivot_segment_metrics",
-    oracle="""
+    oracle=f"""
 WITH agg AS (
   SELECT c_mktsegment,
          round(sum(c_acctbal), 2) AS sum_bal,
-         (CASE WHEN sum(CAST(round(c_acctbal * 100) AS BIGINT)) >= 0 THEN floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) ELSE -floor((-2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) + count(*)) / (2e0 * count(*))) END / 1e2) AS avg_bal,
+         {money_mean_sql('c_acctbal')} AS avg_bal,
          round(min(c_acctbal), 2) AS min_bal,
          round(max(c_acctbal), 2) AS max_bal
   FROM customer GROUP BY c_mktsegment

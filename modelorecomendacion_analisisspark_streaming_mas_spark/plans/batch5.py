@@ -77,7 +77,7 @@ def q53_sql_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staging itself is proven lossless.
 # --------------------------------------------------------------------------
 
-_STAGED: dict[str, str] = {}
+_STAGED: dict[tuple, str] = {}
 
 
 @atexit.register
@@ -88,9 +88,13 @@ def _cleanup_staged() -> None:
 
 
 def _evolved_part_dir(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _STAGED:
+    from ..sources.readers import table_fingerprint
+
+    # fingerprinted key: in-place regeneration of part re-stages (r10 ADVICE)
+    key = (sf_dir, table_fingerprint(sf_dir, ("part",)))
+    if key not in _STAGED:
         d = tempfile.mkdtemp(prefix="mras_evolve_")
-        _STAGED[sf_dir] = d
+        _STAGED[key] = d
         part = load_table(spark, sf_dir, "part")
         old_gen = part.filter(F.col("p_partkey") % 2 == 0).select(
             "p_partkey", "p_name", "p_brand", "p_type", "p_size"
@@ -98,7 +102,7 @@ def _evolved_part_dir(spark: SparkSession, sf_dir: str) -> str:
         new_gen = part.filter(F.col("p_partkey") % 2 == 1)
         old_gen.write.mode("overwrite").parquet(f"{d}/gen=1")
         new_gen.write.mode("overwrite").parquet(f"{d}/gen=2")
-    return _STAGED[sf_dir]
+    return _STAGED[key]
 
 
 @register(

@@ -37,8 +37,17 @@ from ..sources.readers import load_table
 from .catalog import register
 
 # One clustered copy per (sf_dir) per process, reclaimed at exit
-# (same lifecycle pattern as streamq's replay staging).
-_CLUSTERED: dict[str, str] = {}
+# (same lifecycle pattern as streamq's replay staging). Keys carry a
+# content fingerprint of the source table (r10 ADVICE, applied uniformly):
+# in-place regeneration of the parquet re-stages instead of silently
+# reusing a stale clustered copy.
+_CLUSTERED: dict[tuple, str] = {}
+
+
+def _li_fp(sf_dir: str) -> tuple:
+    from ..sources.readers import table_fingerprint
+
+    return table_fingerprint(sf_dir, ("lineitem",))
 
 
 @atexit.register
@@ -63,11 +72,12 @@ def write_clustered(
 
 
 def clustered_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _CLUSTERED:
+    key = (sf_dir, _li_fp(sf_dir))
+    if key not in _CLUSTERED:
         d = tempfile.mkdtemp(prefix="mras_clustered_")
         write_clustered(load_table(spark, sf_dir, "lineitem"), d, "l_shipdate")
-        _CLUSTERED[sf_dir] = d
-    return _CLUSTERED[sf_dir]
+        _CLUSTERED[key] = d
+    return _CLUSTERED[key]
 
 
 def zorder_key(col_a: F.Column, col_b: F.Column, bits: int = 16) -> F.Column:
@@ -135,7 +145,7 @@ def write_zordered(
 
 
 def zordered_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
-    key = f"z::{sf_dir}"
+    key = (f"z::{sf_dir}", _li_fp(sf_dir))
     if key not in _CLUSTERED:
         d = tempfile.mkdtemp(prefix="mras_zorder_")
         li = load_table(spark, sf_dir, "lineitem").withColumn(
@@ -248,11 +258,11 @@ def compact_parquet(
 def _fragmented_then_compacted(spark: SparkSession, sf_dir: str) -> str:
     """Stage q52's fixture: lineitem shattered into 64 shards, then
     compacted back down by byte-size target."""
-    key = f"c::{sf_dir}"
+    key = (f"c::{sf_dir}", _li_fp(sf_dir))
     if key not in _CLUSTERED:
         frag = tempfile.mkdtemp(prefix="mras_frag_")
         comp = tempfile.mkdtemp(prefix="mras_compact_")
-        _CLUSTERED[f"cf::{sf_dir}"] = frag
+        _CLUSTERED[(f"cf::{sf_dir}", _li_fp(sf_dir))] = frag
         _CLUSTERED[key] = comp
         load_table(spark, sf_dir, "lineitem").repartition(64).write.mode(
             "overwrite"
@@ -300,11 +310,11 @@ def q52_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rarely controls its upstream: a lakehouse reads what it is given.
 # --------------------------------------------------------------------------
 
-_ORC: dict[str, str] = {}
+_ORC: dict[tuple, str] = {}
 
 
 def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
-    key = sf_dir
+    key = (sf_dir, _li_fp(sf_dir))
     if key not in _ORC:
         d = tempfile.mkdtemp(prefix="mras_orc_")
         load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(d)
@@ -348,11 +358,13 @@ def q72_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proving longs/doubles/strings/dates survive the text round-trip.
 # --------------------------------------------------------------------------
 
-_JSONL: dict[str, str] = {}
+_JSONL: dict[tuple, tuple] = {}
 
 
 def _jsonl_copy(spark: SparkSession, sf_dir: str):
-    key = sf_dir
+    from ..sources.readers import table_fingerprint
+
+    key = (sf_dir, table_fingerprint(sf_dir, ("orders",)))
     if key not in _JSONL:
         d = tempfile.mkdtemp(prefix="mras_jsonl_")
         src = load_table(spark, sf_dir, "orders")
@@ -399,11 +411,14 @@ def q76_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unit-tested.
 # --------------------------------------------------------------------------
 
-_DAT: dict[str, str] = {}
+_DAT: dict[tuple, str] = {}
 
 
 def _dat_copy(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _DAT:
+    from ..sources.readers import table_fingerprint
+
+    key = (sf_dir, table_fingerprint(sf_dir, ("orders",)))
+    if key not in _DAT:
         d = tempfile.mkdtemp(prefix="mras_dat_")
         orders = load_table(spark, sf_dir, "orders")
         (
@@ -423,9 +438,9 @@ def _dat_copy(spark: SparkSession, sf_dir: str) -> str:
         # drop Spark's _SUCCESS marker: the dat reader globs every file
         for junk in glob.glob(os.path.join(d, "_*")):
             os.remove(junk)
-        _DAT[sf_dir] = d
+        _DAT[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return _DAT[sf_dir]
+    return _DAT[key]
 
 
 @register(

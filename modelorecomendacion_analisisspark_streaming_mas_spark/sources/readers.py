@@ -79,6 +79,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def table_fingerprint(sf_dir: str, names: tuple[str, ...]) -> tuple:
+    """Cheap driver-side content key for process-lifetime caches of
+    frames/staging dirs DERIVED from an sf_dir's tables: the sorted
+    (relative path, size, mtime_ns) of every data file under each
+    ``{table}.parquet`` (file or directory). A path-only cache key would
+    silently serve stale derived data if the parquet under an sf_dir is
+    regenerated in-place within one process (e.g. a drift-variant sweep
+    reusing a directory) -- regeneration changes mtimes at minimum, so a
+    fingerprinted key can never hit stale. The os.scandir walk touches
+    only directory metadata, never file bytes: O(files) stat calls, no
+    Spark job."""
+    import os
+
+    out = []
+    for name in names:
+        root = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(root):
+            st = os.stat(root)
+            out.append((name, st.st_size, st.st_mtime_ns))
+        elif os.path.isdir(root):
+            for dirpath, _dirs, files in os.walk(root):
+                rel = os.path.relpath(dirpath, root)
+                for f in sorted(files):
+                    st = os.stat(os.path.join(dirpath, f))
+                    out.append((f"{name}/{rel}/{f}", st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize the events table's ``ts`` to session-tz TIMESTAMP whatever
     the generator wrote: TIMESTAMP(NANOS) (Spark 4 refuses outright,

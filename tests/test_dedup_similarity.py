@@ -514,7 +514,50 @@ def test_ngram_probe_index_overbound_batch_takes_shuffled_fallback(spark, monkey
 
     broadcast_rows = {tuple(r) for r in run().collect()}
     assert dedup.PROBE_BROADCAST_SHINGLE_LIMIT > 10_000  # default = broadcast path
+    # a real backfill batch trips BOTH gates (batch shingles and the
+    # candidate payload both exceed the bound) -- shrink both
     monkeypatch.setattr(dedup, "PROBE_BROADCAST_SHINGLE_LIMIT", 1)
+    monkeypatch.setattr(dedup, "PROBE_BROADCAST_CAND_SHINGLE_LIMIT", 1)
+    fallback = run()
+    assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
+    fallback_rows = {tuple(r) for r in fallback.collect()}
+    assert broadcast_rows and fallback_rows == broadcast_rows
+
+
+def test_ngram_probe_index_overbound_candidates_take_shuffled_verify(
+    spark, monkeypatch
+):
+    """r10 ADVICE (medium): the verify join's broadcast payload is one
+    probe shingle array per (probe, index-candidate) PAIR, so it scales
+    with corpus-side collision multiplicity, not batch size -- a tiny
+    batch probing a dup-heavy corpus can blow it while the batch-level
+    gate passes. Force ONLY the candidate gate (batch gate left at its
+    default, so the posting-list join still broadcasts) and pin result
+    equality; also pin the plan shape both ways: the returned frame's
+    lineage starts at the checkpointed candidate join, so it carries a
+    broadcast hint iff the candidate gate chose to broadcast."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators import dedup
+
+    docs = [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(10))) for i in range(40)]
+    docs += [(100 + i, t) for i, t in docs[:8]]  # planted exact dups
+    idx_df = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 0], "doc_id long, text string"
+    )
+    prb_df = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 1], "doc_id long, text string"
+    )
+    sets_i, prefix_i, dfreq_i = dedup.ngram_prefix_index(idx_df, "doc_id", "text")
+
+    def run():
+        return dedup.ngram_probe_index(
+            sets_i, prefix_i, dfreq_i, prb_df, "doc_id", "text"
+        )
+
+    assert dedup.PROBE_BROADCAST_CAND_SHINGLE_LIMIT > 10_000
+    bcast = run()
+    assert "ResolvedHint" in bcast._jdf.queryExecution().logical().toString()
+    broadcast_rows = {tuple(r) for r in bcast.collect()}
+    monkeypatch.setattr(dedup, "PROBE_BROADCAST_CAND_SHINGLE_LIMIT", 1)
     fallback = run()
     assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
     fallback_rows = {tuple(r) for r in fallback.collect()}
