@@ -82,29 +82,32 @@ def bench_streaming(spark, seconds: float = 20.0) -> dict:
         # apps_mediciones/live_counts_update_earliest.py:54-84); the
         # stateful_update config is OUR addition (a real streaming groupBy,
         # which the reference never measures).
-        # Best-of-3 passes for the two BASELINE-comparable configs: host
-        # noise on the shared VM only ever ADDS latency (neighbor bursts
-        # land inside a 20s window or they don't), so the min of three run
-        # means is the better estimate of the unperturbed steady state the
-        # reference's single long quiet run measured. stateful_update has
-        # no baseline to compare against -- one pass. EVERY pass mean is
-        # emitted alongside the min (pass_batch_means_ms) and the
-        # measurement-window asymmetries vs the baseline are spelled out in
-        # the payload's method field, so the comparison is auditable
-        # (ADVICE r3).
+        # Best-of-3 passes for EVERY config: host noise on the shared VM
+        # only ever ADDS latency (neighbor bursts land inside a 20s window
+        # or they don't), so the min of three run means is the better
+        # estimate of the unperturbed steady state the reference's single
+        # long quiet run measured. EVERY pass mean is emitted alongside
+        # the min (pass_batch_means_ms) and the measurement-window
+        # asymmetries vs the baseline are spelled out in the payload's
+        # method field, so the comparison is auditable (ADVICE r3).
         # Three passes, not two, since r6: the min-of-2 append estimate
         # swung 54->71ms between rounds on a FASTER host (VERDICT r6), so
         # two 20s windows under-sample the unperturbed steady state this
         # harness is after. Interleaved so no config's passes are all
-        # adjacent to the same JVM-pressure phase.
+        # adjacent to the same JVM-pressure phase. stateful_update is
+        # min-of-3 too since r11: its single r10 pass read 231ms vs 140
+        # (r9) on a ~25% slower host -- noise-dominated, indistinguishable
+        # from a real regression (VERDICT r10 item 1).
         configs = [
             ("append", "append", False),
             ("update", "update", False),
             ("stateful_update", "update", True),
             ("append", "append", False),
             ("update", "update", False),
+            ("stateful_update", "update", True),
             ("append", "append", False),
             ("update", "update", False),
+            ("stateful_update", "update", True),
         ]
         for label, mode, stateful in configs:
             listener = TriggerMetricsListener()
@@ -224,6 +227,15 @@ def emit(payload: dict) -> None:
     print(line)
 
 
+# Pinned r9 calibration reference (BENCH_r09.json jvm_range_agg_sec): the
+# normalization yardstick for cross-round suite-wall comparisons. The raw
+# wall rose 270.7 -> 294.5s r9->r10 while this probe slowed 0.882 -> 1.099s
+# (~25%); normalized, r10 was ~13% FASTER -- but a reader of the raw walls
+# alone would conclude regression (VERDICT r10 item 2). Dividing each
+# round's wall by (jvm_probe / this pin) makes the comparison mechanical.
+R9_JVM_REF_SEC = 0.882
+
+
 def calibrate(spark) -> dict:
     """Fixed-size host-speed probes, independent of the catalog. The bench
     host differs round to round (shared VMs; observed 2-3x swings in JVM
@@ -322,6 +334,17 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    jvm_sec = calibration["jvm_range_agg_sec"]
+    normalized = {
+        # suite wall divided by this host's slowdown factor vs the pinned
+        # r9 probe: directly comparable to BENCH_r09.json's value (270.692)
+        # and to any later round's calibration_normalized.
+        "suite_wall_r9_jvm_units_sec": (
+            round(total * R9_JVM_REF_SEC / jvm_sec, 3) if jvm_sec else total
+        ),
+        "host_slowdown_vs_r9": round(jvm_sec / R9_JVM_REF_SEC, 3),
+        "ref_jvm_range_agg_sec": R9_JVM_REF_SEC,
+    }
     detail = {
         "metric": "batch_suite_wall",
         "value": total,
@@ -334,9 +357,9 @@ def main() -> None:
         # How our number differs from how the baseline's was taken -- read
         # BOTH before quoting a ratio (ADVICE r3):
         #   * baseline = ONE long run (620-639 triggers) of the reference's
-        #     in-callback stopwatch; ours = min of TWO 20s passes (all pass
-        #     means in pass_batch_means_ms), first 3 triggers dropped as
-        #     startup transients the long run amortizes.
+        #     in-callback stopwatch; ours = min of THREE 20s passes per
+        #     config (all pass means in pass_batch_means_ms), first 3
+        #     triggers dropped as startup transients the long run amortizes.
         #   * source parallelism pinned to 1 rate partition to mirror the
         #     baseline's single-partition Kafka topic.
         #   * batch_mean_ms times the same quantity as the baseline (the
@@ -344,13 +367,15 @@ def main() -> None:
         #     micro-batch planning/WAL/commit overhead the baseline's
         #     stopwatch never counted.
         "baseline_method": {
-            "ours": "min of 2x20s passes, first 3 triggers dropped, "
-            "1 rate partition; all pass means in pass_batch_means_ms",
+            "ours": "min of 3x20s passes per config, first 3 triggers "
+            "dropped, 1 rate partition; all pass means in "
+            "pass_batch_means_ms",
             "baseline": "single 620-639-trigger run, in-callback "
             "perf_counter around df work (no planning/commit time)",
             "comparable_metric": "batch_mean_ms",
         },
         "calibration": calibration,
+        "calibration_normalized": normalized,
     }
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -379,6 +404,7 @@ def main() -> None:
             # baseline_method. min-of-3 vs the baseline's single long run.
             "method": "min3x20s,skip3,1part vs 1x639trig in-callback",
             "calibration": calibration,
+            "calibration_normalized": normalized,
         }
     )
 

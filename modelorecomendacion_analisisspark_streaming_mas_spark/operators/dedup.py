@@ -753,24 +753,25 @@ def ngram_probe_index(
     # index docs each probe collides with (corpus-side multiplicity), NOT
     # with the batch, so the batch-level gate above says nothing about it:
     # on a dup-heavy corpus a tiny batch can match a corpus-scale number
-    # of index docs and blow the driver. Materialize the candidate join
-    # once (it is consumed exactly once below either way, and the
-    # checkpoint keeps the bounded probe from recomputing it) and gate
-    # ITS broadcast on its own exploded payload; an over-bound candidate
-    # set takes the shuffled join with identical results.
-    cjoin = cands.join(p_sets.select("doc_id", "p"), "doc_id").localCheckpoint(
-        eager=True
+    # of index docs and blow the driver. Checkpoint the PAIR list (two
+    # longs per row -- the posting join + distinct had to run exactly
+    # once either way, and truncating lineage here keeps the gate job
+    # from re-running it), then gate the verify join's broadcast on its
+    # exact payload: sum of the probe shingle-set sizes over the pairs,
+    # a scalar aggregate that never touches an array. Over-bound
+    # candidate sets take the shuffled join with identical results.
+    cands = cands.localCheckpoint(eager=True)
+    payload = (
+        cands.join(p_sets.select("doc_id", "psz"), "doc_id")
+        .agg(F.coalesce(F.sum("psz"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
     )
-    cands_over = (
-        cjoin.select(F.explode("p").alias("x"))
-        .limit(PROBE_BROADCAST_CAND_SHINGLE_LIMIT + 1)
-        .count()
-        > PROBE_BROADCAST_CAND_SHINGLE_LIMIT
+    maybe_bcast_c = (
+        F.broadcast if payload <= PROBE_BROADCAST_CAND_SHINGLE_LIMIT else (lambda d: d)
     )
-    maybe_bcast_c = (lambda d: d) if cands_over else F.broadcast
     return (
         index_sets.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("i"))
-        .join(maybe_bcast_c(cjoin), "dup_of")
+        .join(maybe_bcast_c(cands.join(p_sets.select("doc_id", "p"), "doc_id")), "dup_of")
         # filter on the UNROUNDED ratio (the oracle's WHERE clause does
         # too); rounding only for presentation -- filtering on the rounded
         # value would admit pairs in [t - 5e-5, t) the oracle rejects

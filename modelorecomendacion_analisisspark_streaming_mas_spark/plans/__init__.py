@@ -20,48 +20,35 @@ from . import batch8  # noqa: E402,F401
 from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 10 rotation).
+# Registration-order policy (round 11 rotation).
 #
 # The driver's CORRECTNESS sweep samples exactly 50 queries per round *in
-# registration order* (r1-r9 each recorded 50), so the order of this dict
+# registration order* (r1-r10 each recorded 50), so the order of this dict
 # decides which queries get a hard driver-side oracle run. Policy
 # (documented so it survives refactors):
 #
 #   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r10 promotes 11: d04 (threshold now filters the
-#      UNROUNDED jaccard, matching its oracle -- the r9 VERDICT's one
-#      latent-correctness item), s26/s29/s30/s32/s33 (explicit-schema
-#      sink read-back so an empty stream degrades to an empty frame, per
-#      r9 ADVICE; s33 additionally gets the per-batch broadcast gate in
-#      ngram_probe_index and its FIRST driver slot, judge-r9 verified;
-#      s26 additionally banded-once + gated-broadcast probe, the r9
-#      VERDICT audit item -- the index never re-bands or re-shuffles;
-#      s29/s30 get the same gated batch-side broadcast so their
-#      persistent indexes are scanned, never shuffled, per batch),
-#      q07/q05/q28/q35 (2dp money means now computed with PURE INTEGER
-#      cents arithmetic -- catalog.money_mean_spark/_sql -- because both
-#      engine-order double sums AND the two engines' round() at exact
-#      half-cents diverge) and e04/e06 (fixed-order ADC total:
-#      per-subspace CASE-sums added left-associated) -- cross-engine FP
-#      divergences that harsher drift variants (40% drop, and 23% after
-#      the first-cut fix) exposed late in r10; all re-greened at 3
-#      scales + both drift variants,
-#      s32 also taking its first post-schema-change record (judge-r9
-#      verified), g11/g12/g13/g14 (shared top-3 trade graph now built
-#      once per session and localCheckpointed -- _TRADE_GRAPH_CACHE), and
-#      g15 (brand-new: parallelPersonalizedPageRank + aggregateMessages
-#      certificate, closing the adapter matrix).
-#   2. FRESH_R6 (33): the r6 cohort minus the nine displaced entries
-#      below -- 17 + 33 = exactly the 50-slot window.
-#   3. NEXT_R11: the nine r6-cohort entries displaced by the 17-wide
-#      VERIFY_FIRST, at slots 51-59. All nine are in the r9 judge's own
-#      30-query re-verification sample (e05/mm04/g08/g04/m03/s15/mm07/
-#      d14/d15), so displacing them cannot break a judge done-criterion;
-#      they lead the r11 window.
-#   4. FRESH_R7 / FRESH_R8 / FRESH_R9: re-checked last, oldest cohort
-#      first. FRESH_R9 is the r9 window (q62 + the r5 cohort +
-#      s25/s28, whose records are r9-fresh).
+#      brand-new entries. r11 promotes 2: s26 and s33, whose per-batch
+#      verify joins now gate the CANDIDATE-side broadcast on its own
+#      bounded limit+1 payload probe (the r10 ADVICE medium item) with a
+#      checkpointed candidate join -- same results (equivalence-tested +
+#      sim-matched), different physical path. Nothing else changed paths:
+#      the cache-fingerprint keys and the money_mean_sql interpolation
+#      are keying/provenance changes whose rendered plans and oracle
+#      strings are byte-identical (q05/q07/q28/q35 sim-matched).
+#   2. NEXT_R11 (9): the r6-cohort entries the 17-wide r10 VERIFY_FIRST
+#      displaced from the r10 window (all in the judge-r9 sample, so the
+#      displacement rule held); they lead this window per the r10 VERDICT.
+#   3. FRESH_R7 (42): the stalest official cohort (last driver records
+#      r7; every member re-verified by judge-r9 or judge-r10 at sf0.01).
+#      Slots 2+9+39 = 50 fit its first 39; the tail three
+#      (s06/s07/s10 -- s06/s07 judge-r10-verified, s10 judge-r9-verified)
+#      land at slots 51-53 and lead the r12 window.
+#   4. FRESH_R8 / FRESH_R9 / FRESH_R10: re-checked oldest-first.
+#      FRESH_R10 is the union of r10's VERIFY_FIRST (minus the two
+#      re-promoted) and the r6 cohort re-greened in r10 -- the freshest
+#      records, checked last.
 #   5. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
 #      ALS training -- register(..., rows_only=True)) at the very end: a
 #      window slot spent on them can never upgrade to a hash match, and
@@ -74,23 +61,8 @@ from . import batch9  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST: list[str] = [
-    "d04_ngram_jaccard_dedup",
     "s26_stream_lsh_dedup_probe",
-    "s29_stream_semantic_dedup_probe",
-    "s30_stream_cdc_dedup_probe",
-    "s32_stream_contamination_probe",
     "s33_stream_ngram_jaccard_probe",
-    "g15_parallel_personalized_pagerank",
-    "g11_motif_open_trade_wedges",
-    "g12_personalized_pagerank",
-    "g13_bfs_trade_paths",
-    "g14_scc_trade_components",
-    "q07_regex_brand_etl",
-    "e04_knn_pq_adc",
-    "e06_knn_ivfpq",
-    "q05_balance_buckets",
-    "q28_hash_sample_stats",
-    "q35_unpivot_segment_metrics",
 ]
 
 _NEXT_R11 = [
@@ -105,7 +77,24 @@ _NEXT_R11 = [
     "d15_cdc_chunk_dedup",
 ]
 
-_FRESH_R6 = [
+# r10's VERIFY_FIRST (minus the two re-promoted) + the r6 cohort: all 48
+# carry r10 driver records, the freshest in the catalog.
+_FRESH_R10 = [
+    "d04_ngram_jaccard_dedup",
+    "s29_stream_semantic_dedup_probe",
+    "s30_stream_cdc_dedup_probe",
+    "s32_stream_contamination_probe",
+    "g15_parallel_personalized_pagerank",
+    "g11_motif_open_trade_wedges",
+    "g12_personalized_pagerank",
+    "g13_bfs_trade_paths",
+    "g14_scc_trade_components",
+    "q07_regex_brand_etl",
+    "e04_knn_pq_adc",
+    "e06_knn_ivfpq",
+    "q05_balance_buckets",
+    "q28_hash_sample_stats",
+    "q35_unpivot_segment_metrics",
     "s24_stream_upsert_snapshot",
     "g09_label_propagation",
     "d13_duplicated_spans",
@@ -289,11 +278,11 @@ _ROWS_ONLY_TAIL = [
 def _apply_order() -> None:
     cohorts = [
         _VERIFY_FIRST,
-        _FRESH_R6,
         _NEXT_R11,
         _FRESH_R7,
         _FRESH_R8,
         _FRESH_R9,
+        _FRESH_R10,
         _ROWS_ONLY_TAIL,
     ]
     flat = [n for lst in cohorts for n in lst]

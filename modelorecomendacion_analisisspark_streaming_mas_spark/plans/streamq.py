@@ -1157,22 +1157,30 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             <= PROBE_BROADCAST_SHINGLE_LIMIT
         )
-        cands = lsh_probe_banded(idx_banded, probe_sigs, broadcast_probe=small)
-        sets_p = probe_sigs.select("doc_id", F.col("shingle_set").alias("set_p"))
         # The verify join's broadcast payload is one probe shingle-set
         # per band-collision PAIR -- cardinality scales with index-side
         # bucket multiplicity, not batch size, so the batch gate above
         # says nothing about it (the ngram_probe_index residual, fixed
-        # the same way): checkpoint the candidate join once and gate its
-        # broadcast on ITS OWN bounded limit+1 payload probe; over-bound
-        # candidate sets take the shuffled join, result-identical.
-        cjoin = cands.join(sets_p, "doc_id").localCheckpoint(eager=True)
-        cand_small = (
-            cjoin.select(F.explode("set_p").alias("x"))
-            .limit(PROBE_BROADCAST_SHINGLE_LIMIT + 1)
-            .count()
-            <= PROBE_BROADCAST_SHINGLE_LIMIT
+        # the same way): checkpoint the PAIR list (two longs per row,
+        # computed exactly once either way) and gate the verify join's
+        # broadcast on its exact payload -- a scalar sum of probe
+        # shingle-set sizes over the pairs, never touching an array.
+        # Over-bound candidate sets take the shuffled join,
+        # result-identical.
+        cands = lsh_probe_banded(
+            idx_banded, probe_sigs, broadcast_probe=small
+        ).localCheckpoint(eager=True)
+        payload = (
+            cands.join(
+                probe_sigs.select("doc_id", F.size("shingle_set").alias("psz")),
+                "doc_id",
+            )
+            .agg(F.coalesce(F.sum("psz"), F.lit(0)).alias("n"))
+            .collect()[0]["n"]
         )
+        cand_small = payload <= PROBE_BROADCAST_SHINGLE_LIMIT
+        sets_p = probe_sigs.select("doc_id", F.col("shingle_set").alias("set_p"))
+        cjoin = cands.join(sets_p, "doc_id")
         verified = (
             sets_i.join(F.broadcast(cjoin) if cand_small else cjoin, "dup_of")
             .withColumn(

@@ -32,11 +32,22 @@ def _payload(timings: dict[str, float]) -> dict:
         "detail": "BENCH_DETAIL.json",
         "sf": 0.1,
         "streaming_trigger_ms": {
-            k: {"batch_mean_ms": 201.66, "trigger_mean_ms": 473.21}
+            k: {
+                "batch_mean_ms": 201.66,
+                "trigger_mean_ms": 473.21,
+                # r11 shape: min-of-3 for every config incl. stateful
+                "pass_batch_means_ms": [201.66, 214.32, 209.87],
+            }
             for k in ("append", "update", "stateful_update")
         },
         "baseline_trigger_ms": {"append_mean": 70.40, "update_mean": 82.97},
+        "method": "min3x20s,skip3,1part vs 1x639trig in-callback",
         "calibration": {"jvm_range_agg_sec": 1.234, "py_loop_sec": 0.567},
+        "calibration_normalized": {
+            "suite_wall_r9_jvm_units_sec": 212.345,
+            "host_slowdown_vs_r9": 1.399,
+            "ref_jvm_range_agg_sec": bench.R9_JVM_REF_SEC,
+        },
     }
 
 
