@@ -29,22 +29,30 @@ from . import batch9  # noqa: E402,F401
 #
 #   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r11 promotes 2: s26 and s33, whose per-batch
-#      verify joins now gate the CANDIDATE-side broadcast on its own
-#      bounded limit+1 payload probe (the r10 ADVICE medium item) with a
-#      checkpointed candidate join -- same results (equivalence-tested +
-#      sim-matched), different physical path. Nothing else changed paths:
-#      the cache-fingerprint keys and the money_mean_sql interpolation
-#      are keying/provenance changes whose rendered plans and oracle
-#      strings are byte-identical (q05/q07/q28/q35 sim-matched).
+#      brand-new entries. r11 promotes 12: s26 and s33, whose per-batch
+#      verify joins now gate the CANDIDATE-side broadcast on the exact
+#      pair-payload sum (the r10 ADVICE medium item) with a checkpointed
+#      pair list -- same results (equivalence-tested + sim-matched),
+#      different physical path; plus the ten integer-grid-mean
+#      conversions not already in the window (q01/q09/q15/q42/q56/q72/
+#      q80/q85/t01/t03 -- the r11 fresh-salt drift sweep caught t14's
+#      round(avg(6dp-grid), 6) diverging at an exact half-microunit, and
+#      the fix was applied to every mean over grid-aligned inputs; the
+#      other four changed queries, t14/m07/d16/t08, sit inside the r7
+#      prefix below). The cache-fingerprint keys and the money_mean_sql
+#      interpolation are keying/provenance changes whose rendered plans
+#      and oracle strings are byte-identical (q05/q07/q28/q35
+#      sim-matched).
 #   2. NEXT_R11 (9): the r6-cohort entries the 17-wide r10 VERIFY_FIRST
 #      displaced from the r10 window (all in the judge-r9 sample, so the
-#      displacement rule held); they lead this window per the r10 VERDICT.
-#   3. FRESH_R7 (42): the stalest official cohort (last driver records
-#      r7; every member re-verified by judge-r9 or judge-r10 at sf0.01).
-#      Slots 2+9+39 = 50 fit its first 39; the tail three
-#      (s06/s07/s10 -- s06/s07 judge-r10-verified, s10 judge-r9-verified)
-#      land at slots 51-53 and lead the r12 window.
+#      displacement rule held); the r10 VERDICT's plan has them early.
+#   3. FRESH_R7 (41 after q56's promotion): the stalest official cohort
+#      (last driver records r7; every member re-verified by judge-r9 or
+#      judge-r10 at sf0.01). Slots 12+9+29 = 50 fit its first 29
+#      (through q54, including changed t14/m07/d16/t08); the displaced
+#      tail twelve (q55/q57/mm05/q58/q59/s02-s07/s10 -- each in the
+#      judge-r9 or judge-r10 sample, per the displacement rule) lead
+#      the r12 window.
 #   4. FRESH_R8 / FRESH_R9 / FRESH_R10: re-checked oldest-first.
 #      FRESH_R10 is the union of r10's VERIFY_FIRST (minus the two
 #      re-promoted) and the r6 cohort re-greened in r10 -- the freshest
@@ -63,6 +71,23 @@ from . import batch9  # noqa: E402,F401
 _VERIFY_FIRST: list[str] = [
     "s26_stream_lsh_dedup_probe",
     "s33_stream_ngram_jaccard_probe",
+    # The r11 fresh-salt drift sweep caught t14's round(avg(6dp), 6)
+    # diverging at an exact half-microunit; the fix (integer-grid means,
+    # catalog.grid_mean_spark/_sql) was applied to every mean over
+    # GRID-ALIGNED inputs in the catalog -- 14 queries. The four already
+    # inside the window via the r7 cohort (t14/m07/d16/t08) stay there;
+    # the other ten promote here. All 14 re-simmed MATCH at sf0.01
+    # before the rotation (and at 3 scales + fresh drift after).
+    "q01_pricing_summary",
+    "q09_quantiles",
+    "q15_json_props",
+    "q42_try_arithmetic",
+    "q56_batch_sessionization",
+    "q72_orc_roundtrip",
+    "q80_source_score_calibration",
+    "q85_classifier_quality_filter",
+    "t01_text_quality",
+    "t03_token_stats",
 ]
 
 _NEXT_R11 = [
@@ -102,7 +127,6 @@ _FRESH_R10 = [
     "t11_zipf_fit",
     "t12_bpe_encode",
     "q84_token_budget_waterfill",
-    "q85_classifier_quality_filter",
     "t13_bpe_train_merges",
     "e09_knn_label_eval",
     "q86_ewma_anomaly",
@@ -120,9 +144,7 @@ _FRESH_R10 = [
     "d01_exact_dedup_docs",
     "d02_minhash_near_dups",
     "d03_simhash_docs",
-    "t01_text_quality",
     "t02_lang_id_confusion",
-    "t03_token_stats",
     "t04_tfidf_top_terms",
     "e01_knn_bruteforce",
     "s11_stream_static_join",
@@ -161,7 +183,6 @@ _FRESH_R7 = [
     "q53_sql_engine_parity",
     "q54_schema_evolution_read",
     "q55_dq_expectations",
-    "q56_batch_sessionization",
     "q57_weighted_sample",
     "mm05_shard_manifest",
     "q58_equidepth_histogram",
@@ -194,7 +215,6 @@ _FRESH_R8 = [
     "d09_canonical_keep_best",
     "q70_curation_pipeline_v2",
     "d10_incremental_index_dedup",
-    "q72_orc_roundtrip",
     "q60_sequence_packing",
     "s08_stream_dedup_watermark",
     "s09_stream_longest_run",
@@ -202,20 +222,17 @@ _FRESH_R8 = [
     "e03_knn_ivf",
     "t05_doc_fingerprints",
     "mm01_resize_plan",
-    "q01_pricing_summary",
     "q02_flagship_top_tokens",
     "q38_robust_stats",
     "q03_global_rank_customers",
     "q04_star_join_revenue",
     "q06_map_lookup_regions",
     "q08_daily_events",
-    "q09_quantiles",
     "q10_dedup_pairs_histogram",
     "q11_set_ops_nationkeys",
     "q12_null_fill_activity",
     "q13_top_orders",
     "q14_running_spend",
-    "q15_json_props",
     "q16_segment_top_customers",
     "q18_range_lookup_tiers",
     "q19_rollup_orders",
@@ -244,7 +261,6 @@ _FRESH_R9 = [
     "d12_truncation_dedup",
     "q79_table_profile",
     "e07_knn_filtered",
-    "q80_source_score_calibration",
     "g07_kcore_summary",
     "q22_salted_group_count",
     "q24_distinct_counts",
@@ -258,7 +274,6 @@ _FRESH_R9 = [
     "q36_listagg_region_nations",
     "q37_variant_event_props",
     "q41_range_frame_trailing_spend",
-    "q42_try_arithmetic",
     "q43_bitmap_distinct",
     "q46_array_hof_top3",
     "q47_map_type_roundtrip",

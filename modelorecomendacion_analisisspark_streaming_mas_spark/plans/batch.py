@@ -26,7 +26,7 @@ from ..functions.etl import (
 )
 from ..operators.topk import global_rank, grouped_top_k, top_k
 from ..sources.readers import load_table
-from .catalog import money_mean_sql, money_mean_spark, register
+from .catalog import grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
 
 # --------------------------------------------------------------------------
 # q01: TPC-H Q1-shaped pricing summary.
@@ -40,13 +40,13 @@ from .catalog import money_mean_sql, money_mean_spark, register
 
 @register(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                            AS sum_qty,
        round(sum(l_extendedprice), 2)                       AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
-       round(avg(l_quantity), 2)                            AS avg_qty,
-       round(avg(l_discount), 4)                            AS avg_disc,
+       {grid_mean_sql('l_quantity', 1, 2)}                  AS avg_qty,
+       {grid_mean_sql('l_discount', 100, 4)}                AS avg_disc,
        count(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -62,8 +62,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # integer-grid means (quantities integral, discounts 2dp):
+            # engine-independent at exact half-units (r11, t14 lesson)
+            grid_mean_spark("l_quantity", 1, 2).alias("avg_qty"),
+            grid_mean_spark("l_discount", 100, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -346,11 +348,11 @@ def q08_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q09_quantiles",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,
        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-       round(avg(l_extendedprice), 4)                AS mean_price
+       {grid_mean_sql('l_extendedprice', 100, 4)}    AS mean_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -360,7 +362,8 @@ def q09_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        # 2dp money on the integer grid (r11, t14 lesson)
+        grid_mean_spark("l_extendedprice", 100, 4).alias("mean_price"),
     )
 
 
@@ -535,10 +538,10 @@ def q14_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_json_props",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        count(*)                                               AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       {grid_mean_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)", 1, 2)} AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -551,7 +554,7 @@ def q15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("k"), 2).alias("avg_k"),
+        grid_mean_spark("k", 1, 2).alias("avg_k"),
         F.max("k").alias("max_k"),
     )
 

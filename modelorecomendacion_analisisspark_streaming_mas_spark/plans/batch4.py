@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import money_mean_sql, money_mean_spark, register
+from .catalog import grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
 
 
 @register(
@@ -398,7 +398,7 @@ def q41_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "q42_try_arithmetic",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT c_mktsegment,
          TRY_CAST(CAST(c_custkey AS VARCHAR) ||
@@ -410,7 +410,7 @@ WITH t AS (
 SELECT c_mktsegment,
        CAST(count(*) FILTER (WHERE parsed IS NULL) AS BIGINT) AS n_bad,
        CAST(sum(parsed) AS BIGINT) AS sum_parsed,
-       round(avg(ratio), 2) AS avg_ratio
+       {grid_mean_sql('ratio', 252000, 2)} AS avg_ratio
 FROM t GROUP BY c_mktsegment
 """,
 )
@@ -436,7 +436,9 @@ def q42_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("c_mktsegment").agg(
         F.count(F.when(F.col("parsed").isNull(), 1)).alias("n_bad"),
         F.sum("parsed").alias("sum_parsed"),
-        F.round(F.avg("ratio"), 2).alias("avg_ratio"),
+        # ratio = cents/d, d in 1..9: exact on the 1/252000 grid
+        # (100 * lcm(1..9)) -> integer-grid mean (r11, t14 lesson)
+        grid_mean_spark("ratio", 252000, 2).alias("avg_ratio"),
     )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import grid_mean_spark, grid_mean_sql, register
 
 # --------------------------------------------------------------------------
 # q53: one SQL string, two engines. The Spark side registers the three
@@ -238,7 +238,7 @@ def q55_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q56_batch_sessionization",
-    oracle="""
+    oracle=f"""
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts)
@@ -257,8 +257,8 @@ WITH marked AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS n_events,
-       round(avg(n_events), 4) AS avg_events_per_session,
-       round(avg(span_s), 4) AS avg_span_s,
+       {grid_mean_sql('n_events', 1, 4)} AS avg_events_per_session,
+       {grid_mean_sql('span_s', 1, 4)} AS avg_span_s,
        CAST(max(n_events) AS BIGINT) AS max_session_events
 FROM sess
 """,
@@ -289,8 +289,9 @@ def q56_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
-        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
-        F.round(F.avg("span_s"), 4).alias("avg_span_s"),
+        # integer inputs -> integer-grid means (r11, t14 lesson)
+        grid_mean_spark("n_events", 1, 4).alias("avg_events_per_session"),
+        grid_mean_spark("span_s", 1, 4).alias("avg_span_s"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
 

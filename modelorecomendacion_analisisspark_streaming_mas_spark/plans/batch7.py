@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import grid_mean_spark, grid_mean_sql, register
 
 
 # --------------------------------------------------------------------------
@@ -1060,7 +1060,7 @@ def e07_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast, assignment by comparison -- same gate, no per-source sort.
 # --------------------------------------------------------------------------
 
-_Q80_ORACLE = """
+_Q80_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source,
          round(n_chars * 1.0 / len(string_split(text, ' ')), 3) AS score
@@ -1072,7 +1072,7 @@ WITH t AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_selected,
-       round(avg(score), 4) AS mean_raw_score,
+       {grid_mean_sql('score', 1000, 4)} AS mean_raw_score,
        round(min(score), 3) AS min_raw_score
 FROM d WHERE decile > 7
 GROUP BY source
@@ -1100,7 +1100,8 @@ def q80_source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_selected"),
-            F.round(F.avg("score"), 4).alias("mean_raw_score"),
+            # score is 3dp-rounded: integer-grid mean (r11, t14 lesson)
+            grid_mean_spark("score", 1000, 4).alias("mean_raw_score"),
             F.round(F.min("score"), 3).alias("min_raw_score"),
         )
     )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_hash32, tokenize
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import grid_mean_spark, grid_mean_sql, register
 
 # --------------------------------------------------------------------------
 # d13: duplicated-span statistics. Every k-token window (k=5) of every
@@ -324,9 +324,9 @@ WITH ranked AS (
   FROM hits h JOIN basket_size s USING (o_custkey)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_users,
-       round(avg(hit), 6) AS hit_rate,
-       round(avg(prec), 6) AS precision_at_5,
-       round(avg(ndcg), 6) AS ndcg_at_5
+       {grid_mean_sql('hit', 1, 6)} AS hit_rate,
+       {grid_mean_sql('prec', 5, 6)} AS precision_at_5,
+       {grid_mean_sql('ndcg', 1_000_000_000, 6)} AS ndcg_at_5
 FROM per_user
 """
 
@@ -399,9 +399,11 @@ def m07_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.round(F.avg("hit"), 6).alias("hit_rate"),
-        F.round(F.avg("prec"), 6).alias("precision_at_5"),
-        F.round(F.avg("ndcg"), 6).alias("ndcg_at_5"),
+        # grid-aligned inputs (hit integral, prec in fifths, ndcg
+        # 9dp-rounded): integer-grid means (r11, t14 lesson)
+        grid_mean_spark("hit", 1, 6).alias("hit_rate"),
+        grid_mean_spark("prec", 5, 6).alias("precision_at_5"),
+        grid_mean_spark("ndcg", 1_000_000_000, 6).alias("ndcg_at_5"),
     )
 
 
@@ -1440,7 +1442,7 @@ WITH feat AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN score >= {_Q85_CUT} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       round(avg(score), 6) AS avg_score,
+       {grid_mean_sql('score', 1_000_000, 6)} AS avg_score,
        CAST(sum(CASE WHEN score >= {_Q85_CUT} THEN n_tokens ELSE 0 END) AS BIGINT)
          AS kept_tokens
 FROM sc GROUP BY source
@@ -1487,7 +1489,8 @@ def q85_classifier_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept.cast("long")).alias("n_kept"),
-        F.round(F.avg("score"), 6).alias("avg_score"),
+        # score is 6dp-rounded: integer-grid mean (r11, t14 lesson)
+        grid_mean_spark("score", 1_000_000, 6).alias("avg_score"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
         .cast("long")
         .alias("kept_tokens"),

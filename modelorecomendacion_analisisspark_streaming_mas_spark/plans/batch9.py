@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import grid_mean_spark, grid_mean_sql, register
 
 # CCNet buckets the corpus into head/middle/tail thirds by perplexity;
 # fixed cross-entropy cuts near the observed terciles keep the entry
@@ -54,18 +54,19 @@ WITH tok AS (
     WHERE lang = 'en' AND doc_id % 5 = 0
   ) WHERE w <> ''
 ), sc AS (
-  -- per-bigram -ln pre-rounded to 9dp before the per-doc avg (q62
-  -- device); doc score rounded to 6dp before bucketing
+  -- per-bigram -ln pre-rounded to 9dp before the per-doc mean; the
+  -- mean itself is the integer-grid (1e-9 -> 6dp) half-away fold so
+  -- exact half-microunit doc scores round identically in both engines
+  -- (the r11 drift-sweep finding, catalog.grid_mean_sql)
   SELECT big.doc_id, big.source,
-         round(avg(round(-ln((coalesce(n12, 0) + 1)
-               / CAST(coalesce(n1, 0) + vs AS DOUBLE)), 9)), 6) AS ce
+         {grid_mean_sql("round(-ln((coalesce(n12, 0) + 1) / CAST(coalesce(n1, 0) + vs AS DOUBLE)), 9)", 1_000_000_000, 6)} AS ce
   FROM big LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
        CROSS JOIN v
   GROUP BY big.doc_id, big.source
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(ce), 6) AS avg_ce,
+       {grid_mean_sql('ce', 1_000_000, 6)} AS avg_ce,
        CAST(count(*) FILTER (WHERE ce < {_T14_HEAD}) AS BIGINT) AS n_head,
        CAST(count(*) FILTER (WHERE ce >= {_T14_HEAD} AND ce < {_T14_MIDDLE})
             AS BIGINT) AS n_middle,
@@ -150,13 +151,15 @@ def t14_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_side(c1), ["w1"], "left")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id", "source")
-        .agg(F.round(F.avg(lp), 6).alias("ce"))
+        # integer-grid mean (lp is 9dp-rounded): engine-independent at
+        # exact half-microunits, the t14 drift-sweep finding (r11)
+        .agg(grid_mean_spark(lp, 1_000_000_000, 6).alias("ce"))
     )
     return (
         sc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("ce"), 6).alias("avg_ce"),
+            grid_mean_spark("ce", 1_000_000, 6).alias("avg_ce"),
             F.sum((F.col("ce") < _T14_HEAD).cast("long")).alias("n_head"),
             F.sum(
                 ((F.col("ce") >= _T14_HEAD) & (F.col("ce") < _T14_MIDDLE)).cast("long")
@@ -427,7 +430,7 @@ WITH tok AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(weight), 6) AS avg_weight,
+       {grid_mean_sql('weight', 1_000_000, 6)} AS avg_weight,
        CAST(count(*) FILTER (WHERE weight < {_D16_GATE}) AS BIGINT)
          AS n_downweighted
 FROM w GROUP BY source ORDER BY source
@@ -474,7 +477,8 @@ def d16_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("weight"), 6).alias("avg_weight"),
+            # weight sits on the 1e-6 grid: integer-grid mean (r11)
+            grid_mean_spark("weight", 1_000_000, 6).alias("avg_weight"),
             F.sum((F.col("weight") < _D16_GATE).cast("long")).alias("n_downweighted"),
         )
         .orderBy("source")

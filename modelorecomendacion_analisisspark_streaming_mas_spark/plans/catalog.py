@@ -119,3 +119,68 @@ def money_mean_sql(col: str) -> str:
         f" ELSE -floor((-2 * {s} + count(*)) / (2e0 * count(*)))"
         f" END / 1e2)"
     )
+
+
+def _grid_terms(in_scale: int, out_dp: int) -> tuple[int, int]:
+    """Reduce the grid-mean rounding to small integer factors.
+
+    With s = sum(col * in_scale) (exact longs) and non-null count n, the
+    mean rounded half-away-from-zero to out_dp decimals is k / 10^out_dp
+    where, writing m = 10^out_dp:
+      * in_scale % m == 0 (input grid finer):  r = in_scale // m,
+        k = floor((2s + n*r) / (2*n*r))
+      * m % in_scale == 0 (input grid coarser): t = m // in_scale,
+        k = floor((2*t*s + n) / (2*n))
+    Returned as (mul, r): numerator 2*mul*s + n*r over denominator 2*n*r.
+    Exactness needs 2*mul*|s| + n*r < 2^52 (exact double representation
+    with an ulp margin below the 1/(2nr) gap to the nearest integer) --
+    holds for every catalog site through sf0.1 with orders of magnitude
+    to spare; at extreme scales split groups or widen the grid."""
+    m = 10**out_dp
+    if in_scale % m == 0:
+        return 1, in_scale // m
+    if m % in_scale == 0:
+        return m // in_scale, 1
+    raise ValueError(f"grid_mean needs in_scale {in_scale} | 10^{out_dp} or vice versa")
+
+
+def grid_mean_spark(col, in_scale: int, out_dp: int):
+    """Group mean of a column whose values lie EXACTLY on the 1/in_scale
+    grid (integers: 1; 2dp money: 100; k-dp-rounded reals: 10^k;
+    fifths: 5), rounded half-away-from-zero to ``out_dp`` decimals with
+    PURE INTEGER arithmetic -- ``money_mean_spark`` generalized.
+
+    Why (r11): a fresh-salt drift sweep caught t14's
+    round(avg(6dp-grid values), 6) landing one ulp either side of an
+    exact half-microunit -- the same two failure modes the money means
+    hit in r10 (engine-order double sums, then the two engines' round()
+    disagreeing on exact halves). For grid-aligned inputs the TRUE mean
+    is rational with denominator n*in_scale, so exact halves occur at
+    ~1/n probability per group -- a certainty over enough rounds. The
+    round(col * in_scale) re-integerization is safe because stored
+    doubles sit within ~ulp of their grid point, never near .5; NULLs
+    follow avg() semantics via the non-null count."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    mul, r = _grid_terms(in_scale, out_dp)
+    s = F.sum(F.round(c * in_scale).cast("long"))
+    n = F.count(c)
+    q = F.when(s >= 0, F.floor((2 * mul * s + n * r) / (2 * n * r))).otherwise(
+        -F.floor((2 * mul * -s + n * r) / (2 * n * r))
+    )
+    return q / F.lit(float(10**out_dp))
+
+
+def grid_mean_sql(col: str, in_scale: int, out_dp: int) -> str:
+    """DuckDB twin of ``grid_mean_spark`` (identical integer arithmetic,
+    e-notation divisor so the division runs in DOUBLE, not DECIMAL)."""
+    mul, r = _grid_terms(in_scale, out_dp)
+    s = f"sum(CAST(round(({col}) * {in_scale}) AS BIGINT))"
+    n = f"count({col})"
+    return (
+        f"(CASE WHEN {s} >= 0"
+        f" THEN floor((2 * {mul} * {s} + {n} * {r}) / (2e0 * {n} * {r}))"
+        f" ELSE -floor((2 * {mul} * -{s} + {n} * {r}) / (2e0 * {n} * {r}))"
+        f" END / 1e{out_dp})"
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import grid_mean_spark, grid_mean_sql, register
 
 # One clustered copy per (sf_dir) per process, reclaimed at exit
 # (same lifecycle pattern as streamq's replay staging). Keys carry a
@@ -325,11 +325,11 @@ def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q72_orc_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        count(*) AS n,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_discount), 6) AS avg_disc
+       {grid_mean_sql('l_discount', 100, 6)} AS avg_disc
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -344,7 +344,8 @@ def q72_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # 2dp grid -> integer-grid mean (r11, t14 lesson)
+            grid_mean_spark("l_discount", 100, 6).alias("avg_disc"),
         )
     )
 

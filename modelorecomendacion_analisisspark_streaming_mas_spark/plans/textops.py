@@ -24,7 +24,7 @@ from ..functions.text import (
 from ..operators.dedup import minhash_near_duplicates, simhash
 from ..operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import grid_mean_spark, grid_mean_sql, register
 
 # portable 32-bit md5 hash in DuckDB SQL
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
@@ -153,7 +153,7 @@ def d03_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t01_text_quality",
-    oracle="""
+    oracle=f"""
 WITH feat AS (
   SELECT lang,
          len(string_split(text, ' ')) AS n_tokens,
@@ -163,7 +163,7 @@ WITH feat AS (
 )
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT)                    AS total_tokens,
-       round(avg(n_tokens), 4)                          AS avg_tokens,
+       {grid_mean_sql('n_tokens', 1, 4)}                AS avg_tokens,
        round(avg(n_distinct::DOUBLE / n_tokens), 6)     AS avg_distinct_ratio,
        round(avg(tok_len), 6)                           AS avg_token_len
 FROM feat GROUP BY lang
@@ -180,7 +180,8 @@ def t01_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        # integer inputs -> integer-grid mean (r11, t14 lesson)
+        grid_mean_spark("n_tokens", 1, 4).alias("avg_tokens"),
         F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 6).alias("avg_distinct_ratio"),
         F.round(F.avg("tok_len"), 6).alias("avg_token_len"),
     )
@@ -232,11 +233,11 @@ def t02_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t03_token_stats",
-    oracle="""
+    oracle=f"""
 SELECT source, count(*) AS n_docs,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT)            AS sum_word_tokens,
        CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_alpha_pieces,
-       round(avg(n_chars), 4)                         AS avg_chars
+       {grid_mean_sql('n_chars', 1, 4)}               AS avg_chars
 FROM documents GROUP BY source
 """,
 )
@@ -246,7 +247,8 @@ def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).alias("sum_word_tokens"),
         F.sum(F.regexp_count("text", F.lit("[a-z]+")).cast("long")).alias("sum_alpha_pieces"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        # integer inputs -> integer-grid mean (r11, t14 lesson)
+        grid_mean_spark("n_chars", 1, 4).alias("avg_chars"),
     )
 
 
@@ -410,7 +412,7 @@ def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew.py). Per-doc then per-source averaging keeps the output dim-sized.
 # --------------------------------------------------------------------------
 
-_T08_ORACLE = """
+_T08_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
 ), pos AS (
@@ -429,11 +431,11 @@ WITH tok AS (
   -- device, same hardening as q82/t10): the avg runs in engine-dependent
   -- partial-agg order and unquantized libm terms can flip a 6dp digit.
   SELECT big.doc_id, big.source,
-         avg(round(-ln(CAST(n12 AS DOUBLE) / n1), 9)) AS doc_xent
+         {grid_mean_sql('round(-ln(CAST(n12 AS DOUBLE) / n1), 9)', 1_000_000_000, 9)} AS doc_xent
   FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
   GROUP BY big.doc_id, big.source
 )
-SELECT source, round(avg(doc_xent), 6) AS avg_xent,
+SELECT source, {grid_mean_sql('doc_xent', 1_000_000_000, 6)} AS avg_xent,
        count(*) AS n_docs
 FROM doc_x GROUP BY source
 """
@@ -465,12 +467,17 @@ def t08_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c1, ["w1"])
         .groupBy("doc_id", "source")
         .agg(
-            F.avg(
-                F.round(-F.log(F.col("n12").cast("double") / F.col("n1")), 9)
+            # per-doc mean on the 1e-9 grid, half-away (a <=5e-10
+            # perturbation of the old unrounded mean) so the outer mean
+            # runs over grid-aligned inputs (r11, t14 lesson)
+            grid_mean_spark(
+                F.round(-F.log(F.col("n12").cast("double") / F.col("n1")), 9),
+                1_000_000_000,
+                9,
             ).alias("doc_xent")
         )
     )
     return doc_x.groupBy("source").agg(
-        F.round(F.avg("doc_xent"), 6).alias("avg_xent"),
+        grid_mean_spark("doc_xent", 1_000_000_000, 6).alias("avg_xent"),
         F.count(F.lit(1)).alias("n_docs"),
     )

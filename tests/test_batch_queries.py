@@ -110,3 +110,70 @@ def test_money_mean_half_cent_is_engine_independent(spark):
         con.execute(f"SELECT g, {money_mean_sql('x')} AS m FROM t GROUP BY g").fetchall()
     )
     assert want == got
+
+
+def test_grid_mean_half_boundary_is_engine_independent(spark):
+    """catalog.grid_mean_spark/_sql (money_mean generalized, r11 after a
+    fresh-salt drift sweep caught t14's round(avg(6dp), 6) diverging):
+    for every (in_scale, out_dp) branch -- input grid finer, equal, and
+    coarser than the output grid, plus a non-decimal grid (fifths) --
+    a group whose TRUE mean lands exactly on a half-output-unit must
+    round away from zero in BOTH engines, and NULLs must follow avg()
+    semantics."""
+    import duckdb
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.catalog import (
+        grid_mean_spark,
+        grid_mean_sql,
+    )
+
+    cases = [
+        # (label, in_scale, out_dp, values, expected)
+        # integers -> 2dp: mean 2.005 (half-cent) -> 2.01? values must
+        # sit on 1/1 grid: 2 and 3 -> mean 2.5 -> out 4dp half? use
+        # out_dp where half occurs: ints 1,2 -> mean 1.5 at 0dp-grid is
+        # trivially representable at 2dp; engineer halves per branch:
+        ("int_to_2dp", 1, 2, [1.0, 2.0], 1.5),               # exact, no rounding
+        ("cents_to_4dp_half", 100, 4, [0.01, 0.02, 0.02, 0.02], 0.0175),
+        ("sixdp_to_6dp_half", 1_000_000, 6, [0.000001, 0.000002], 0.000002),
+        ("ninedp_to_6dp_half", 1_000_000_000, 6, [1.0000005, 1.0000005], 1.000001),
+        ("fifths_to_6dp", 5, 6, [0.2, 0.4, 0.4], 0.333333),
+        ("neg_half", 1_000_000, 6, [-0.000001, -0.000002], -0.000002),
+    ]
+    rows = []
+    for label, _mi, _dp, vals, _want in cases:
+        rows += [(label, float(v)) for v in vals]
+    rows.append(("null_case", None))
+    rows.append(("null_case", 4.0))
+    df = spark.createDataFrame(rows, "g string, x double")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT col0 AS g, col1::DOUBLE AS x FROM (VALUES "
+        + ", ".join(
+            f"('{g}', {'NULL' if x is None else f'CAST({x!r} AS DOUBLE)'})"
+            for g, x in rows
+        )
+        + ") v(col0, col1)"
+    )
+    for label, mi, dp, vals, want in cases:
+        got = (
+            df.filter(df.g == label)
+            .groupBy("g")
+            .agg(grid_mean_spark("x", mi, dp).alias("m"))
+            .collect()[0]["m"]
+        )
+        duck = con.execute(
+            f"SELECT {grid_mean_sql('x', mi, dp)} AS m FROM t WHERE g = '{label}'"
+        ).fetchone()[0]
+        assert got == want == duck, (label, got, want, duck)
+    # NULL semantics: avg ignores nulls -> mean of {4.0} = 4.0
+    got = (
+        df.filter(df.g == "null_case")
+        .groupBy("g")
+        .agg(grid_mean_spark("x", 1, 2).alias("m"))
+        .collect()[0]["m"]
+    )
+    duck = con.execute(
+        f"SELECT {grid_mean_sql('x', 1, 2)} AS m FROM t WHERE g = 'null_case'"
+    ).fetchone()[0]
+    assert got == 4.0 == duck
