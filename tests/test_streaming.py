@@ -1014,7 +1014,14 @@ def test_probe_stream_with_no_new_docs_degrades_to_empty(
         .write.mode("overwrite")
         .parquet(d)
     )
-    monkeypatch.setitem(streamq._DOC_STAGED, sf_dir, d)
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    # staged keys carry a content fingerprint since r11 (stale-cache fix)
+    monkeypatch.setitem(
+        streamq._DOC_STAGED, (sf_dir, table_fingerprint(sf_dir, ("documents",))), d
+    )
     out = REGISTRY[entry].fn(spark, sf_dir)
     assert out.schema.simpleString() == result_schema
     assert out.count() == 0
