@@ -29,7 +29,7 @@ from . import batch9  # noqa: E402,F401
 #
 #   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r11 promotes 12: s26 and s33, whose per-batch
+#      brand-new entries. r11 promotes 15: s26 and s33, whose per-batch
 #      verify joins now gate the CANDIDATE-side broadcast on the exact
 #      pair-payload sum (the r10 ADVICE medium item) with a checkpointed
 #      pair list -- same results (equivalence-tested + sim-matched),
@@ -42,17 +42,19 @@ from . import batch9  # noqa: E402,F401
 #      prefix below). The cache-fingerprint keys and the money_mean_sql
 #      interpolation are keying/provenance changes whose rendered plans
 #      and oracle strings are byte-identical (q05/q07/q28/q35
-#      sim-matched).
+#      sim-matched). Late-r11: t04/q62/e10 join after a dup-heavy
+#      hostile variant exposed rank keys that were unrounded float
+#      aggregates of grid values (see the list's inline note).
 #   2. NEXT_R11 (9): the r6-cohort entries the 17-wide r10 VERIFY_FIRST
 #      displaced from the r10 window (all in the judge-r9 sample, so the
 #      displacement rule held); the r10 VERDICT's plan has them early.
 #   3. FRESH_R7 (41 after q56's promotion): the stalest official cohort
 #      (last driver records r7; every member re-verified by judge-r9 or
-#      judge-r10 at sf0.01). Slots 12+9+29 = 50 fit its first 29
-#      (through q54, including changed t14/m07/d16/t08); the displaced
-#      tail twelve (q55/q57/mm05/q58/q59/s02-s07/s10 -- each in the
-#      judge-r9 or judge-r10 sample, per the displacement rule) lead
-#      the r12 window.
+#      judge-r10 at sf0.01). Slots 15+9+26 = 50 fit its first 26
+#      (through q51, including changed t14/m07/d16/t08); the displaced
+#      tail fifteen (q52/q53/q54/q55/q57/mm05/q58/q59/s02-s07/s10 --
+#      each in the judge-r9 or judge-r10 sample, per the displacement
+#      rule) lead the r12 window.
 #   4. FRESH_R8 / FRESH_R9 / FRESH_R10: re-checked oldest-first.
 #      FRESH_R10 is the union of r10's VERIFY_FIRST (minus the two
 #      re-promoted) and the r6 cohort re-greened in r10 -- the freshest
@@ -88,6 +90,18 @@ _VERIFY_FIRST: list[str] = [
     "q85_classifier_quality_filter",
     "t01_text_quality",
     "t03_token_stats",
+    # A dup-heavy hostile variant (1/3 of docs sharing one text) caught
+    # t04 swapping rank 1/2 between two terms whose tf-idf is
+    # mathematically EQUAL: the rank key was the UNROUNDED float mean,
+    # which lands one ulp apart per engine on tied groups. t04 now ranks
+    # on the 8dp grid-mean of 9dp-rounded contributions; q62/e10 carried
+    # the same latent class in their BM25 sum (rank on an unrounded
+    # float sum of 9dp-grid contributions) and now rank on the exact
+    # integer nano sum. All three re-verified at 3 scales + both drift
+    # salts + the dup-heavy variant.
+    "t04_tfidf_top_terms",
+    "q62_bm25_topk",
+    "e10_rrf_hybrid",
 ]
 
 _NEXT_R11 = [
@@ -130,7 +144,6 @@ _FRESH_R10 = [
     "t13_bpe_train_merges",
     "e09_knn_label_eval",
     "q86_ewma_anomaly",
-    "e10_rrf_hybrid",
     "q87_kanon_release",
     "q21_asof_click_attribution",
     "q23_salted_join_revenue",
@@ -145,7 +158,6 @@ _FRESH_R10 = [
     "d02_minhash_near_dups",
     "d03_simhash_docs",
     "t02_lang_id_confusion",
-    "t04_tfidf_top_terms",
     "e01_knn_bruteforce",
     "s11_stream_static_join",
     "s12_stream_dynamic_session",
@@ -242,7 +254,6 @@ _FRESH_R8 = [
 _FRESH_R9 = [
     "s25_stream_jsonl_sink",
     "s28_stream_ivf_ingest",
-    "q62_bm25_topk",
     "g06_weighted_pagerank_top100",
     "e02_knn_lsh",
     "mm02_image_features",

@@ -147,9 +147,15 @@ WITH base AS (
            9) AS c
   FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats
 )
-SELECT doc_id, round(sum(c), 6) AS bm25
-FROM contrib GROUP BY doc_id
-ORDER BY sum(c) DESC, doc_id LIMIT {_Q62_TOPK}
+, lexs AS (
+  SELECT doc_id, sum(CAST(round(c * 1000000000) AS BIGINT)) AS s
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       (CASE WHEN s >= 0 THEN floor((2 * s + 1000) / (2e0 * 1000))
+             ELSE -floor((-2 * s + 1000) / (2e0 * 1000)) END / 1e6) AS bm25
+FROM lexs
+ORDER BY s DESC, doc_id LIMIT {_Q62_TOPK}
 """
 
 
@@ -186,7 +192,14 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(idf * (F.col("tf") * (_Q62_K1 + 1.0)) / denom, 9).alias("c"),
     )
-    return contrib.groupBy("doc_id").agg(F.sum("c").alias("_s"))
+    # exact integer NANO sum: c sits on the 1e-9 grid, so summing the
+    # re-integerized values makes _s a bit-exact long -- rank boundaries
+    # and ties are engine-independent (the t04/dup-heavy lesson: an
+    # unrounded float sum of grid values diverges at one ulp between
+    # engines exactly when two docs tie mathematically)
+    return contrib.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("c") * 1_000_000_000).cast("long")).alias("_s")
+    )
 
 
 @register(
@@ -196,11 +209,20 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-filter before explode, broadcast df table, TakeOrdered top-k.",
 )
 def q62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s_ = F.col("_s")
+    # half-away 6dp of the exact nano sum (no double round(): see
+    # catalog.grid_mean_spark's rationale)
+    bm25 = (
+        F.when(s_ >= 0, F.floor((2 * s_ + 1000) / (2 * 1000))).otherwise(
+            -F.floor((-2 * s_ + 1000) / (2 * 1000))
+        )
+        / F.lit(1e6)
+    )
     return (
         bm25_doc_scores(spark, sf_dir)
         .orderBy(F.desc("_s"), "doc_id")
         .limit(_Q62_TOPK)
-        .select("doc_id", F.round("_s", 6).alias("bm25"))
+        .select("doc_id", bm25.alias("bm25"))
     )
 
 

@@ -1937,7 +1937,9 @@ WITH base AS (
            9) AS c
   FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats
 ), lexs AS (
-  SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id
+  -- exact integer nano sum, tracking bm25_doc_scores' _s (t04 lesson)
+  SELECT doc_id, sum(CAST(round(c * 1000000000) AS BIGINT)) AS s
+  FROM contrib GROUP BY doc_id
 ), lex AS (
   SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_lex
   FROM lexs QUALIFY rank_lex <= {_E10_LIST}

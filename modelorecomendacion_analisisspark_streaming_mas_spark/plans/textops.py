@@ -339,7 +339,7 @@ def e02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t04_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term,
          len(string_split(text, ' ')) AS n_tokens
@@ -351,12 +351,17 @@ WITH tok AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
 ), n_docs AS (SELECT count(*) AS n FROM documents),
 scored AS (
+  -- per-doc tf-idf pre-rounded to 9dp, mean on the integer grid at 8dp
+  -- (grid_mean): avg_tfidf is bit-identical across engines, so the
+  -- rank's (value, term) tie-break fires identically -- a dup-heavy
+  -- variant exposed two terms with mathematically EQUAL scores whose
+  -- unrounded engine-order sums differed at one ulp, swapping rn 1/2
   SELECT tf.lang, tf.term,
-         avg((tf.n::DOUBLE / tf.n_tokens) * (ln((n_docs.n + 1.0) / (df_t.df + 1.0)) + 1.0)) AS avg_tfidf
+         {grid_mean_sql("round((tf.n::DOUBLE / tf.n_tokens) * (ln((n_docs.n + 1.0) / (df_t.df + 1.0)) + 1.0), 9)", 1_000_000_000, 8)} AS avg_tfidf
   FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN n_docs
   GROUP BY tf.lang, tf.term
 )
-SELECT lang, term, round(avg_tfidf, 8) AS tfidf,
+SELECT lang, term, avg_tfidf AS tfidf,
        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_tfidf DESC, term) AS BIGINT) AS rn
 FROM scored
 QUALIFY rn <= 5
@@ -379,18 +384,27 @@ def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df_t, "term")
         .withColumn(
             "tfidf_doc",
-            (F.col("n") / F.col("n_tokens"))
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            # pre-rounded at 9dp so the grid mean below is exact (the
+            # q62 device); the 8dp grid-mean aggregate is bit-identical
+            # across engines, making the rank's (value, term) tie-break
+            # deterministic -- a dup-heavy variant showed two terms with
+            # mathematically equal scores swapping ranks on one-ulp
+            # engine-order sum differences (r11)
+            F.round(
+                (F.col("n") / F.col("n_tokens"))
+                * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                9,
+            ),
         )
         .groupBy("lang", "term")
-        .agg(F.avg("tfidf_doc").alias("avg_tfidf"))
+        .agg(grid_mean_spark("tfidf_doc", 1_000_000_000, 8).alias("avg_tfidf"))
     )
     w = Window.partitionBy("lang").orderBy(F.desc("avg_tfidf"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
-            "lang", "term", F.round("avg_tfidf", 8).alias("tfidf"),
+            "lang", "term", F.col("avg_tfidf").alias("tfidf"),
             F.col("rn").cast("long").alias("rn"),
         )
     )
