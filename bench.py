@@ -242,18 +242,35 @@ def calibrate(spark) -> dict:
     throughput at identical repo+data), so absolute per-query seconds are
     only comparable across rounds after dividing by a common yardstick.
     Both probes are deterministic and data-free: a JVM whole-stage-codegen
-    aggregate over spark.range, and a single-core Python arithmetic loop."""
-    t0 = time.perf_counter()
-    spark.range(0, 200_000_000, 1, 32).selectExpr(
-        "sum(id * 3 + 1) AS s"
-    ).collect()
-    jvm = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(5_000_000):
-        acc += i * i
-    py = round(time.perf_counter() - t0, 3)
-    return {"jvm_range_agg_sec": jvm, "py_loop_sec": py}
+    aggregate over spark.range, and a single-core Python arithmetic loop.
+
+    Three shots each (r11), but the HEADLINE stays the FIRST jvm shot:
+    every historical value (r9's pinned 0.882, r10's 1.099) is a cold
+    first shot, and shots 2-3 measure a JIT-warmed regime ~4-5x faster
+    (observed [0.886, 0.251, 0.176] on a quiet host) -- a min would
+    break cross-round comparability. The extra shots are the NOISE
+    DIAGNOSTIC: sustained contention inflates all three (a genuine slow
+    host), while a one-off burst inflates only the first far beyond the
+    usual ~0.9-1.1 s cold range (observed 2.6 s once; readers should
+    prefer another pass's calibration in that case -- the r11 closing
+    notes quote the quiet-host passes)."""
+    jvm_shots, py_shots = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+        jvm_shots.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i * i
+        py_shots.append(time.perf_counter() - t0)
+    return {
+        "jvm_range_agg_sec": round(jvm_shots[0], 3),
+        "py_loop_sec": round(min(py_shots), 3),
+        "jvm_shots_sec": [round(x, 3) for x in jvm_shots],
+    }
 
 
 def main() -> None:
