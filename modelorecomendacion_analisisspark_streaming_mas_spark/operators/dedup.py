@@ -579,7 +579,7 @@ def lsh_probe_banded(
     only the batch and equi-join the pre-banded index. With
     ``broadcast_probe`` the (|batch| x bands)-row probe side is
     broadcast so the persistent index NEVER shuffles -- callers gate the
-    flag on batch size exactly like ``ngram_probe_index``'s limit+1
+    flag on batch size exactly like ``ngram_probe_index``'s sum(psz)
     probe (an earliest-offsets backfill batch = the whole topic; the
     shuffled fallback is result-identical). Returns distinct
     (doc_id, dup_of) candidate pairs, probe id first."""
@@ -657,12 +657,12 @@ def ngram_prefix_index(
 # the right shape for steady-state micro-batches, but an earliest-offsets
 # backfill makes batch 1 the whole topic (the reference's update+earliest
 # baseline replays 146,626 messages in its first micro-batch), and at
-# 100 TB that first batch would blow the broadcast. A bounded limit+1
-# probe on the batch's exploded shingle rows decides: broadcast below the
-# bound, plain shuffled joins above it (identical results -- AQE picks
-# the join strategy for the oversized batch). ~2M shingle rows of
-# (long, int, short string, int) is tens of MB, well inside executor
-# memory; the limit+1 count never scans past the bound.
+# 100 TB that first batch would blow the broadcast. A scalar sum(psz)
+# over the checkpointed per-doc rows decides (exact exploded-row count
+# without materializing an explode): broadcast below the bound, plain
+# shuffled joins above it (identical results -- AQE picks the join
+# strategy for the oversized batch). ~2M shingle rows of (long, int,
+# short string, int) is tens of MB, well inside executor memory.
 PROBE_BROADCAST_SHINGLE_LIMIT = 2_000_000
 
 # Same bound, same units (exploded shingle rows), for the CANDIDATE-side
@@ -711,14 +711,15 @@ def ngram_probe_index(
         .withColumn("psz", F.size("p"))
         .localCheckpoint(eager=True)
     )
-    # bounded size probe (limit+1, never a full count) on the checkpointed
-    # batch decides both broadcasts below; the scan stops at the bound
-    over = (
-        p_sets.select(F.explode("p").alias("x"))
-        .limit(PROBE_BROADCAST_SHINGLE_LIMIT + 1)
-        .count()
-        > PROBE_BROADCAST_SHINGLE_LIMIT
+    # Batch gate: sum(psz) over the checkpointed batch IS the exploded
+    # shingle-row count the old limit+1 probe approximated -- one scalar
+    # agg over materialized per-doc rows (size is array metadata, the
+    # arrays themselves are never exploded), exact, and O(#docs) instead
+    # of O(#shingle rows) even on a backfill batch (r12, VERDICT task 3).
+    tot = (
+        p_sets.agg(F.coalesce(F.sum("psz"), F.lit(0)).alias("t")).collect()[0]["t"]
     )
+    over = tot > PROBE_BROADCAST_SHINGLE_LIMIT
     maybe_bcast = (lambda d: d) if over else F.broadcast
     wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
     p_prefix = (
@@ -753,14 +754,16 @@ def ngram_probe_index(
     # index docs each probe collides with (corpus-side multiplicity), NOT
     # with the batch, so the batch-level gate above says nothing about it:
     # on a dup-heavy corpus a tiny batch can match a corpus-scale number
-    # of index docs and blow the driver. Checkpoint the PAIR list (two
-    # longs per row -- the posting join + distinct had to run exactly
-    # once either way, and truncating lineage here keeps the gate job
-    # from re-running it), then gate the verify join's broadcast on its
-    # exact payload: sum of the probe shingle-set sizes over the pairs,
-    # a scalar aggregate that never touches an array. Over-bound
+    # of index docs and blow the driver. PERSIST the pair list (two longs
+    # per row) so the exact-payload gate job below -- a scalar sum of the
+    # probe shingle-set sizes over the pairs, never touching an array --
+    # doubles as the cache fill: the posting join + distinct run exactly
+    # once, the verify join reads the cached pairs, and the r11 extra
+    # eager-checkpoint job per call is gone (r12, VERDICT task 3; the
+    # ContextCleaner unpersists the blocks when the batch's frames are
+    # GC'd, same lifecycle the old localCheckpoint relied on). Over-bound
     # candidate sets take the shuffled join with identical results.
-    cands = cands.localCheckpoint(eager=True)
+    cands = cands.persist()
     payload = (
         cands.join(p_sets.select("doc_id", "psz"), "doc_id")
         .agg(F.coalesce(F.sum("psz"), F.lit(0)).alias("n"))

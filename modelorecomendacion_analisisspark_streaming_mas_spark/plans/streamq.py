@@ -1112,6 +1112,7 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.dedup import (
+        PROBE_BROADCAST_CAND_SHINGLE_LIMIT,
         PROBE_BROADCAST_SHINGLE_LIMIT,
         lsh_band_index,
         lsh_probe_banded,
@@ -1146,30 +1147,34 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_sigs = minhash_signatures(batch, "doc_id", "text").localCheckpoint(
             eager=True
         )
-        # per-batch broadcast gate (the ngram_probe_index regime): a
-        # bounded limit+1 probe decides; below the bound the batch side
-        # is broadcast into BOTH joins so the index never shuffles, and
-        # a backfill-sized batch falls back to shuffled joins with
-        # identical results
+        # per-batch broadcast gate (the ngram_probe_index regime): one
+        # scalar sum of shingle-set sizes over the checkpointed batch --
+        # the exact exploded-row count, array metadata only -- decides;
+        # below the bound the batch side is broadcast into BOTH joins so
+        # the index never shuffles, and a backfill-sized batch falls
+        # back to shuffled joins with identical results
         small = (
-            probe_sigs.select(F.explode("shingle_set").alias("x"))
-            .limit(PROBE_BROADCAST_SHINGLE_LIMIT + 1)
-            .count()
+            probe_sigs.agg(
+                F.coalesce(F.sum(F.size("shingle_set")), F.lit(0)).alias("t")
+            ).collect()[0]["t"]
             <= PROBE_BROADCAST_SHINGLE_LIMIT
         )
         # The verify join's broadcast payload is one probe shingle-set
         # per band-collision PAIR -- cardinality scales with index-side
         # bucket multiplicity, not batch size, so the batch gate above
         # says nothing about it (the ngram_probe_index residual, fixed
-        # the same way): checkpoint the PAIR list (two longs per row,
-        # computed exactly once either way) and gate the verify join's
-        # broadcast on its exact payload -- a scalar sum of probe
-        # shingle-set sizes over the pairs, never touching an array.
-        # Over-bound candidate sets take the shuffled join,
-        # result-identical.
+        # the same way): PERSIST the pair list (two longs per row) so
+        # the exact-payload gate job -- a scalar sum of probe
+        # shingle-set sizes over the pairs, never touching an array --
+        # doubles as the cache fill; the verify join reads the cached
+        # pairs and the band join + distinct run exactly once (r12:
+        # drops the r11 eager-checkpoint job per batch). Over-bound
+        # candidate sets take the shuffled join, result-identical,
+        # gated on the CANDIDATE-side limit so the batch and candidate
+        # bounds stay independently tunable (r11 ADVICE).
         cands = lsh_probe_banded(
             idx_banded, probe_sigs, broadcast_probe=small
-        ).localCheckpoint(eager=True)
+        ).persist()
         payload = (
             cands.join(
                 probe_sigs.select("doc_id", F.size("shingle_set").alias("psz")),
@@ -1178,7 +1183,7 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.sum("psz"), F.lit(0)).alias("n"))
             .collect()[0]["n"]
         )
-        cand_small = payload <= PROBE_BROADCAST_SHINGLE_LIMIT
+        cand_small = payload <= PROBE_BROADCAST_CAND_SHINGLE_LIMIT
         sets_p = probe_sigs.select("doc_id", F.col("shingle_set").alias("set_p"))
         cjoin = cands.join(sets_p, "doc_id")
         verified = (

@@ -533,9 +533,11 @@ def test_ngram_probe_index_overbound_candidates_take_shuffled_verify(
     batch probing a dup-heavy corpus can blow it while the batch-level
     gate passes. Force ONLY the candidate gate (batch gate left at its
     default, so the posting-list join still broadcasts) and pin result
-    equality; also pin the plan shape both ways: the returned frame's
-    lineage starts at the checkpointed candidate join, so it carries a
-    broadcast hint iff the candidate gate chose to broadcast."""
+    equality; also pin the plan shape both ways: the pair list is
+    PERSISTED (r12), not lineage-truncated, so the returned frame's
+    logical plan always carries the batch-side posting-join hint and a
+    SECOND hint iff the candidate gate chose to broadcast -- assert on
+    the hint COUNT."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.operators import dedup
 
     docs = [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(10))) for i in range(40)]
@@ -555,11 +557,13 @@ def test_ngram_probe_index_overbound_candidates_take_shuffled_verify(
 
     assert dedup.PROBE_BROADCAST_CAND_SHINGLE_LIMIT > 10_000
     bcast = run()
-    assert "ResolvedHint" in bcast._jdf.queryExecution().logical().toString()
+    assert bcast._jdf.queryExecution().logical().toString().count("ResolvedHint") == 2
     broadcast_rows = {tuple(r) for r in bcast.collect()}
     monkeypatch.setattr(dedup, "PROBE_BROADCAST_CAND_SHINGLE_LIMIT", 1)
     fallback = run()
-    assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
+    assert (
+        fallback._jdf.queryExecution().logical().toString().count("ResolvedHint") == 1
+    )
     fallback_rows = {tuple(r) for r in fallback.collect()}
     assert broadcast_rows and fallback_rows == broadcast_rows
 
