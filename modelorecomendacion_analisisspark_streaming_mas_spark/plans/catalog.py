@@ -83,6 +83,41 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
 
 
+# Exactness bound for the integer-grid mean folds below: the double
+# divisions are exact-decidable only while numerator 2*mul*|s| + n*r
+# stays under 2^52 (exact double with an ulp margin below the 1/(2nr)
+# gap to the nearest integer). Every catalog site holds through sf0.1
+# with orders of magnitude to spare, but the precondition was previously
+# documentation-only: money-scale sites (q09's cents over l_extendedprice
+# reach ~4e14 at sf0.1) would cross it near sf1 and silently round one
+# ulp wrong -- exactly the failure class these helpers exist to remove
+# (r11 ADVICE). The guard rides inside the returned expression (an
+# assert_true over the same aggregates -- no extra pass, no extra job)
+# so an out-of-range site fails LOUDLY with this message instead.
+GRID_EXACT_BOUND = 2**52
+
+
+def _grid_guard(q, s, numer):
+    """Gate the grid-mean quotient ``q`` on ``numer < 2^52``; NULL sums
+    (empty / all-NULL groups) pass through to ``q``'s own NULL result.
+    The comparison runs in DOUBLE: both terms are exact integers and any
+    rounding error near the boundary is immaterial against the bound's
+    engineering margin."""
+    from pyspark.sql import functions as F
+
+    ok = s.isNull() | (numer.cast("double") < F.lit(float(GRID_EXACT_BOUND)))
+    return F.when(
+        F.assert_true(
+            ok,
+            F.lit(
+                "grid_mean exactness bound 2^52 exceeded: split groups or "
+                "widen the output grid (catalog.GRID_EXACT_BOUND)"
+            ),
+        ).isNull(),
+        q,
+    )
+
+
 def money_mean_spark(col: str):
     """Group mean of a 2dp money column, rounded to the cent with PURE
     INTEGER arithmetic -- engine-independent by construction.
@@ -106,7 +141,7 @@ def money_mean_spark(col: str):
     q = F.when(s >= 0, F.floor((2 * s + n) / (2 * n))).otherwise(
         -F.floor((-2 * s + n) / (2 * n))
     )
-    return q / F.lit(1e2)
+    return _grid_guard(q, s, 2 * F.abs(s) + n) / F.lit(1e2)
 
 
 def money_mean_sql(col: str) -> str:
@@ -169,7 +204,7 @@ def grid_mean_spark(col, in_scale: int, out_dp: int):
     q = F.when(s >= 0, F.floor((2 * mul * s + n * r) / (2 * n * r))).otherwise(
         -F.floor((2 * mul * -s + n * r) / (2 * n * r))
     )
-    return q / F.lit(float(10**out_dp))
+    return _grid_guard(q, s, 2 * mul * F.abs(s) + n * r) / F.lit(float(10**out_dp))
 
 
 def grid_mean_sql(col: str, in_scale: int, out_dp: int) -> str:

@@ -177,3 +177,32 @@ def test_grid_mean_half_boundary_is_engine_independent(spark):
         f"SELECT {grid_mean_sql('x', 1, 2)} AS m FROM t WHERE g = 'null_case'"
     ).fetchone()[0]
     assert got == 4.0 == duck
+
+
+def test_grid_mean_exactness_guard_fails_loudly_out_of_range(spark):
+    """r11 ADVICE: the grid-mean exactness precondition
+    (2*mul*|s| + n*r < 2^52) is ENFORCED inside the returned expression,
+    not just documented -- a sum past the bound must RAISE instead of
+    silently rounding one ulp wrong, for both grid_mean_spark and
+    money_mean_spark; in-range and all-NULL groups are untouched."""
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.catalog import (
+        grid_mean_spark,
+        money_mean_spark,
+    )
+
+    big = float(2**53)  # exactly representable; 2*|s| blows the 2^52 bound
+    over = spark.createDataFrame([(big,), (big,)], "x double")
+    with pytest.raises(Exception, match="exactness bound"):
+        over.agg(grid_mean_spark("x", 1, 0).alias("m")).collect()
+    # money: 1e14 "dollars" -> 1e16 cents per row crosses the bound too
+    money_over = spark.createDataFrame([(1e14,), (1e14,)], "x double")
+    with pytest.raises(Exception, match="exactness bound"):
+        money_over.agg(money_mean_spark("x").alias("m")).collect()
+    # in-range groups and all-NULL groups keep their pre-guard results
+    ok = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    assert ok.agg(grid_mean_spark("x", 1, 2).alias("m")).collect()[0]["m"] == 1.5
+    assert ok.agg(money_mean_spark("x").alias("m")).collect()[0]["m"] == 1.5
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    assert nulls.agg(grid_mean_spark("x", 1, 2).alias("m")).collect()[0]["m"] is None
