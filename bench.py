@@ -268,8 +268,13 @@ def calibrate(spark) -> dict:
         py_shots.append(time.perf_counter() - t0)
     return {
         "jvm_range_agg_sec": round(jvm_shots[0], 3),
-        "py_loop_sec": round(min(py_shots), 3),
+        # headline = FIRST shot, mirroring the jvm probe: historical
+        # py_loop values (r9/r10) were single cold shots, so a min would
+        # be a systematically lower estimator and bias round-over-round
+        # comparisons (r11 ADVICE); the shot list is the noise diagnostic
+        "py_loop_sec": round(py_shots[0], 3),
         "jvm_shots_sec": [round(x, 3) for x in jvm_shots],
+        "py_shots_sec": [round(x, 3) for x in py_shots],
     }
 
 
@@ -367,6 +372,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Per-query walls divided by this host's slowdown vs the pinned
+        # r9 jvm probe -- the per-query counterpart of
+        # calibration_normalized (r11 VERDICT: d15 read +43% round-over-
+        # round with an UNTOUCHED plan purely from host noise; quote
+        # THESE for cross-round per-query claims, raw walls for
+        # within-round comparisons only).
+        "queries_r9_jvm_units_sec": {
+            k: (round(v * R9_JVM_REF_SEC / jvm_sec, 3) if jvm_sec else v)
+            for k, v in timings.items()
+        },
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming_trigger_ms": streaming,
