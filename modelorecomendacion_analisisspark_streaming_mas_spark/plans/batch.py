@@ -570,29 +570,39 @@ def q15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_segment_top_customers",
     oracle="""
 WITH spend AS (
-  SELECT o_custkey, sum(o_totalprice) AS spend_raw FROM orders GROUP BY o_custkey
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
 )
 SELECT c.c_mktsegment, c.c_custkey, c.c_name,
-       round(s.spend_raw, 2) AS spend,
+       s.spend_c / 1e2 AS spend,
        CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
-                               ORDER BY s.spend_raw DESC, c.c_custkey) AS BIGINT) AS rn
+                               ORDER BY s.spend_c DESC, c.c_custkey) AS BIGINT) AS rn
 FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
 QUALIFY rn <= 5
 """,
 )
 def q16_segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rank on the EXACT integer cents sum, not the float sum: two
+    # customers with mathematically equal spend would otherwise land one
+    # ulp apart per engine (each sums in its own order), swapping rn
+    # before the c_custkey tie-break can fire -- the t04/q62 rank-tie
+    # class (r11), caught here by the r12 window-sort-key lint. The
+    # display divides the exact cents by 1e2, which both engines round
+    # to the same nearest double.
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
-    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend_raw"))
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c")
+    )
     joined = spend.join(customer, spend.o_custkey == customer.c_custkey)
     ranked = grouped_top_k(
-        joined, ["c_mktsegment"], [F.desc("spend_raw"), F.asc("c_custkey")], k=5, rank_col="rn"
+        joined, ["c_mktsegment"], [F.desc("spend_c"), F.asc("c_custkey")], k=5, rank_col="rn"
     )
     return ranked.select(
         "c_mktsegment",
         "c_custkey",
         "c_name",
-        F.round("spend_raw", 2).alias("spend"),
+        (F.col("spend_c") / F.lit(1e2)).alias("spend"),
         F.col("rn").cast("long").alias("rn"),
     )
 

@@ -438,7 +438,12 @@ WITH cnt AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(entropy), 6) AS avg_entropy,
+       -- entropy is 9dp-QUANTIZED above, i.e. grid-aligned: its 6dp mean
+       -- must use the integer-grid fold (the t14 class, r12 lint) -- a
+       -- round(avg(...)) here can land one ulp either side of an exact
+       -- half-microunit per engine. ttr stays round(avg(...)): a
+       -- varying-denominator rational, exact half-grid hits measure-zero.
+       {grid_mean_sql('entropy', 1_000_000_000, 6)} AS avg_entropy,
        round(avg(ttr), 6) AS avg_ttr,
        CAST(count(*) FILTER (WHERE round(entropy, 6) < {_T10_LOW_ENTROPY})
             AS BIGINT) AS n_low_entropy
@@ -475,7 +480,7 @@ def t10_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            grid_mean_spark("entropy", 1_000_000_000, 6).alias("avg_entropy"),
             F.round(F.avg("ttr"), 6).alias("avg_ttr"),
             F.count(F.when(F.round("entropy", 6) < _T10_LOW_ENTROPY, 1))
             .cast("long")

@@ -103,3 +103,89 @@ def test_rows_only_set_is_intentional():
         "m05_implicit_als_recs",
         "q44_hll_sketch_distinct",
     }, rows_only
+
+
+def _balanced_arg(sql: str, start: int) -> str:
+    """Return the balanced-paren argument text starting just inside an
+    opening paren at ``start``."""
+    depth, j = 1, start
+    while depth and j < len(sql):
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return sql[start : j - 1]
+
+
+def _expr_before(sql: str, pos: int) -> str:
+    """Walk backwards from ``pos`` balancing parens to recover the full
+    expression ending there (stops at a top-level comma/bracket)."""
+    depth, i = 0, pos - 1
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c in ",[\n" and depth == 0:
+            break
+        i -= 1
+    return sql[i + 1 : pos]
+
+
+# Base-schema columns that lie on a fixed decimal grid: TPC-H money (2dp)
+# and integer-valued quantities/counters. avg() over these is rational
+# with denominator n * grid, so exact half-output-unit hits are a
+# certainty over enough regenerations -- the t14 class.
+GRID_BASE_COLUMNS = {
+    "o_totalprice", "c_acctbal", "s_acctbal", "p_retailprice",
+    "l_extendedprice", "l_discount", "l_tax", "l_quantity",
+    "n_chars", "amount",
+}
+
+
+def test_no_round_avg_over_grid_aligned_oracle_inputs():
+    """r11's t14 class, MECHANIZED (r11 VERDICT task 6a): round(avg(X), k)
+    in oracle SQL diverges across engines when X lies on a fixed decimal
+    grid -- the true mean hits exact half-output-units with ~1/n
+    probability per group, and the two engines' float sums land one ulp
+    either side. Such means must use catalog.grid_mean_sql (t14/t10 were
+    both found exactly this way). X counts as grid-aligned when it is a
+    bare identifier that (a) names a base-schema money/integer column, or
+    (b) is aliased in the same SQL to a round(expr, j) / len(...) /
+    count(...) expression. Varying-denominator rationals (ratios, per-doc
+    sum/count means) are exempt: their exact half-grid hits are
+    measure-zero."""
+    import re
+
+    bad = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        sql = q.oracle.lower()
+        for m in re.finditer(r"round\s*\(\s*avg\s*\(", sql):
+            arg = _balanced_arg(sql, m.end()).strip()
+            if not re.fullmatch(r"[a-z_][a-z0-9_.]*", arg):
+                continue  # an expression (ratio etc.), not a bare column
+            ident = arg.rsplit(".", 1)[-1]
+            if ident in GRID_BASE_COLUMNS:
+                bad.append((name, ident, "base grid column"))
+                continue
+            for dm in re.finditer(r"\bas\s+" + re.escape(ident) + r"\b", sql):
+                expr = _expr_before(sql, dm.start()).strip()
+                head = re.match(r"(round|len|count)\s*\(", expr)
+                if not head:
+                    continue
+                # grid-aligned only when the alias IS the bare call (a
+                # ratio like count(*)/sum(c) has a varying denominator)
+                inner = _balanced_arg(expr, head.end())
+                if head.end() + len(inner) + 1 == len(expr):
+                    bad.append((name, ident, expr[:80]))
+                    break
+    assert not bad, (
+        "round(avg(...)) over grid-aligned input -- use grid_mean_sql: "
+        f"{bad}"
+    )

@@ -369,3 +369,71 @@ def test_e09_e10_broadcast_probe_sides_only(spark):
             p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
         ), (name, p)
         assert "CartesianProduct" not in p, name
+
+
+def _logical_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _defining_expr(plan: str, pos: int) -> str:
+    """Walk backwards from ``pos`` (start of an ' AS name#id' alias)
+    balancing parens to recover the full defining expression."""
+    depth, i = 0, pos - 1
+    while i >= 0:
+        c = plan[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c in ",[\n" and depth == 0:
+            break
+        i -= 1
+    return plan[i + 1 : pos]
+
+
+def test_no_unrounded_float_aggregate_window_sort_keys(spark):
+    """The t04/q62/e10/q16 rank-tie class, MECHANIZED (r11 VERDICT task
+    6b): a Window sort key fed by an UNROUNDED avg() or sum() over
+    doubles ranks on an engine-order-dependent float -- mathematically
+    tied groups land one ulp apart per engine and swap ranks beneath the
+    tie-break (first seen under the r11 dup-heavy hostile variant; q16
+    was found latent by this very scan in r12). Sort keys must be integer
+    aggregates (the plan prints their refs with an L suffix), grid folds
+    (round/floor/ceil or an 'as bigint' re-integerization inside the
+    defining expression), or per-row scores (no aggregate at all).
+
+    Allowed exceptions -- e04/e06's ADC totals: each CASE-sum aggregates
+    exactly ONE row per subspace (no addition order to depend on) and the
+    M=4 totals add in a FIXED left-associated order (_adist_fixed_agg),
+    so the float key is bit-identical across engines by construction."""
+    import re
+
+    ALLOWED = {("e04_knn_pq_adc", "adist"), ("e06_knn_ivfpq", "adist")}
+    SAFE_MARKS = ("round(", "floor(", "ceil(", "as bigint", "as int")
+    bad = []
+    for name in PLANNABLE + [n for n in sorted(REGISTRY) if n.startswith("g")]:
+        plan = _logical_plan(spark, name)
+        keys = set()
+        for m in re.finditer(r"(\w+)#(\d+)(L?) (?:ASC|DESC) NULLS", plan):
+            attr, eid, long_suffix = m.groups()
+            if not long_suffix:
+                keys.add((attr, eid))
+        for attr, eid in keys:
+            for dm in re.finditer(
+                r" AS " + re.escape(attr) + "#" + eid + r"\b", plan
+            ):
+                expr = _defining_expr(plan, dm.start()).lower()
+                if not re.search(r"\b(avg|sum)\(", expr):
+                    continue
+                if any(s in expr for s in SAFE_MARKS):
+                    continue
+                if (name, attr) not in ALLOWED:
+                    bad.append((name, attr, expr.strip()[:120]))
+                break
+    assert not bad, (
+        "window sort key fed by unrounded float aggregate -- rank on an "
+        f"exact integer/grid key instead: {bad}"
+    )
