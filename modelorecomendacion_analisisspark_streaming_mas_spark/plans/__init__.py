@@ -20,45 +20,39 @@ from . import batch8  # noqa: E402,F401
 from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 11 rotation).
+# Registration-order policy (round 12 rotation).
 #
 # The driver's CORRECTNESS sweep samples exactly 50 queries per round *in
-# registration order* (r1-r10 each recorded 50), so the order of this dict
+# registration order* (r1-r11 each recorded 50), so the order of this dict
 # decides which queries get a hard driver-side oracle run. Policy
 # (documented so it survives refactors):
 #
 #   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r11 promotes 15: s26 and s33, whose per-batch
-#      verify joins now gate the CANDIDATE-side broadcast on the exact
-#      pair-payload sum (the r10 ADVICE medium item) with a checkpointed
-#      pair list -- same results (equivalence-tested + sim-matched),
-#      different physical path; plus the ten integer-grid-mean
-#      conversions not already in the window (q01/q09/q15/q42/q56/q72/
-#      q80/q85/t01/t03 -- the r11 fresh-salt drift sweep caught t14's
-#      round(avg(6dp-grid), 6) diverging at an exact half-microunit, and
-#      the fix was applied to every mean over grid-aligned inputs; the
-#      other four changed queries, t14/m07/d16/t08, sit inside the r7
-#      prefix below). The cache-fingerprint keys and the money_mean_sql
-#      interpolation are keying/provenance changes whose rendered plans
-#      and oracle strings are byte-identical (q05/q07/q28/q35
-#      sim-matched). Late-r11: t04/q62/e10 join after a dup-heavy
-#      hostile variant exposed rank keys that were unrounded float
-#      aggregates of grid values (see the list's inline note).
-#   2. NEXT_R11 (9): the r6-cohort entries the 17-wide r10 VERIFY_FIRST
-#      displaced from the r10 window (all in the judge-r9 sample, so the
-#      displacement rule held); the r10 VERDICT's plan has them early.
-#   3. FRESH_R7 (41 after q56's promotion): the stalest official cohort
-#      (last driver records r7; every member re-verified by judge-r9 or
-#      judge-r10 at sf0.01). Slots 15+9+26 = 50 fit its first 26
-#      (through q51, including changed t14/m07/d16/t08); the displaced
-#      tail fifteen (q52/q53/q54/q55/q57/mm05/q58/q59/s02-s07/s10 --
-#      each in the judge-r9 or judge-r10 sample, per the displacement
-#      rule) lead the r12 window.
-#   4. FRESH_R8 / FRESH_R9 / FRESH_R10: re-checked oldest-first.
-#      FRESH_R10 is the union of r10's VERIFY_FIRST (minus the two
-#      re-promoted) and the r6 cohort re-greened in r10 -- the freshest
-#      records, checked last.
+#      brand-new entries. r12 promotes 23: s26/s33 (the per-batch probe
+#      gates now persist the pair list instead of eager-checkpointing it,
+#      the batch gate is a scalar sum(psz), and s26 gates the candidate
+#      broadcast on PROBE_BROADCAST_CAND_SHINGLE_LIMIT); q16 (rank key
+#      moved from an unrounded sum(o_totalprice) to the exact integer
+#      cents sum after the new window-sort-key lint flagged it -- the
+#      t04/q62 rank-tie class, latent); t10 (its 9dp-quantized entropy
+#      mean moved to the integer-grid fold after the new oracle lint
+#      flagged it -- the t14 class, latent); and the 19 queries whose
+#      plans carry the new grid-mean runtime exactness guard
+#      (catalog._grid_guard: every grid_mean_spark/money_mean_spark
+#      site), all re-simmed MATCH at sf0.01 before the rotation.
+#   2. NEXT_R12 (15): the r7-cohort tail displaced from the r11 window
+#      (q52-q59/mm05/s02-s07/s10) -- the stalest official records (r7),
+#      every member re-verified by the judge's full-catalog r11 sweep,
+#      per the displacement rule.
+#   3. FRESH_R8 (39 after q16's promotion): the next-stalest cohort;
+#      slots 23+15 leave room for its first 12 (s13..q67). The displaced
+#      remainder leads the r13 window.
+#   4. FRESH_R9 / FRESH_R10 / FRESH_R11: re-checked oldest-first.
+#      FRESH_R11 is the union of r11's VERIFY_FIRST (minus the 13
+#      re-promoted), the nine r10-displaced entries re-greened in r11,
+#      and the first 26 of the old r7 cohort (minus the five promoted) --
+#      the freshest records, checked last.
 #   5. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
 #      ALS training -- register(..., rows_only=True)) at the very end: a
 #      window slot spent on them can never upgrade to a hash match, and
@@ -73,16 +67,15 @@ from . import batch9  # noqa: E402,F401
 _VERIFY_FIRST: list[str] = [
     "s26_stream_lsh_dedup_probe",
     "s33_stream_ngram_jaccard_probe",
-    # The r11 fresh-salt drift sweep caught t14's round(avg(6dp), 6)
-    # diverging at an exact half-microunit; the fix (integer-grid means,
-    # catalog.grid_mean_spark/_sql) was applied to every mean over
-    # GRID-ALIGNED inputs in the catalog -- 14 queries. The four already
-    # inside the window via the r7 cohort (t14/m07/d16/t08) stay there;
-    # the other ten promote here. All 14 re-simmed MATCH at sf0.01
-    # before the rotation (and at 3 scales + fresh drift after).
+    "q16_segment_top_customers",
+    "t10_token_entropy",
     "q01_pricing_summary",
+    "q05_balance_buckets",
+    "q07_regex_brand_etl",
     "q09_quantiles",
     "q15_json_props",
+    "q28_hash_sample_stats",
+    "q35_unpivot_segment_metrics",
     "q42_try_arithmetic",
     "q56_batch_sessionization",
     "q72_orc_roundtrip",
@@ -90,107 +83,14 @@ _VERIFY_FIRST: list[str] = [
     "q85_classifier_quality_filter",
     "t01_text_quality",
     "t03_token_stats",
-    # A dup-heavy hostile variant (1/3 of docs sharing one text) caught
-    # t04 swapping rank 1/2 between two terms whose tf-idf is
-    # mathematically EQUAL: the rank key was the UNROUNDED float mean,
-    # which lands one ulp apart per engine on tied groups. t04 now ranks
-    # on the 8dp grid-mean of 9dp-rounded contributions; q62/e10 carried
-    # the same latent class in their BM25 sum (rank on an unrounded
-    # float sum of 9dp-grid contributions) and now rank on the exact
-    # integer nano sum. All three re-verified at 3 scales + both drift
-    # salts + the dup-heavy variant.
     "t04_tfidf_top_terms",
-    "q62_bm25_topk",
-    "e10_rrf_hybrid",
-]
-
-_NEXT_R11 = [
-    "e05_knn_truncated_rerank",
-    "mm04_audio_features",
-    "g08_clustering_coefficient",
-    "g04_trade_triangles",
-    "m03_item_item_cosine",
-    "s15_incremental_rollup",
-    "mm07_scene_cuts",
-    "d14_semantic_dedup",
-    "d15_cdc_chunk_dedup",
-]
-
-# r10's VERIFY_FIRST (minus the two re-promoted) + the r6 cohort: all 48
-# carry r10 driver records, the freshest in the catalog.
-_FRESH_R10 = [
-    "d04_ngram_jaccard_dedup",
-    "s29_stream_semantic_dedup_probe",
-    "s30_stream_cdc_dedup_probe",
-    "s32_stream_contamination_probe",
-    "g15_parallel_personalized_pagerank",
-    "g11_motif_open_trade_wedges",
-    "g12_personalized_pagerank",
-    "g13_bfs_trade_paths",
-    "g14_scc_trade_components",
-    "q07_regex_brand_etl",
-    "e04_knn_pq_adc",
-    "e06_knn_ivfpq",
-    "q05_balance_buckets",
-    "q28_hash_sample_stats",
-    "q35_unpivot_segment_metrics",
-    "s24_stream_upsert_snapshot",
-    "g09_label_propagation",
-    "d13_duplicated_spans",
-    "e08_mmr_diversified",
-    "t11_zipf_fit",
-    "t12_bpe_encode",
-    "q84_token_budget_waterfill",
-    "t13_bpe_train_merges",
-    "e09_knn_label_eval",
-    "q86_ewma_anomaly",
-    "q87_kanon_release",
-    "q21_asof_click_attribution",
-    "q23_salted_join_revenue",
-    "q29_semi_anti_customers",
-    "q33_group_regression",
-    "q40_gap_fill_daily",
-    "q45_recursive_month_spine",
-    "q48_training_data_pipeline",
-    "s01_stream_tumbling_counts",
-    "s14_stream_left_outer_join",
-    "d01_exact_dedup_docs",
-    "d02_minhash_near_dups",
-    "d03_simhash_docs",
-    "t02_lang_id_confusion",
-    "e01_knn_bruteforce",
-    "s11_stream_static_join",
-    "s12_stream_dynamic_session",
-    "g03_component_histogram",
-]
-
-_FRESH_R7 = [
-    "d08_fuzzy_edit1_join",
-    "s22_stream_timer_sessions",
-    "q81_dat_source_roundtrip",
-    "q82_dsir_importance_weights",
-    "q83_psi_drift",
-    "t10_token_entropy",
-    "m07_ranking_metrics",
-    "s27_stream_psi_cells",
-    "g10_graphframe_notebook_port",
-    "s31_stream_ewma_anomaly",
-    "t14_perplexity_filter",
-    "e11_knn_sq8",
-    "mm08_audio_segments",
-    "d16_soft_dedup_weights",
-    "e12_index_tombstone_hygiene",
-    "s16_stream_quality_router",
-    "s17_stream_static_anti_join",
-    "mm03_video_frame_plan",
     "t08_bigram_cross_entropy",
-    "d06_contamination_check",
-    "t06_repetition_metrics",
-    "q49_stratified_source_sample",
-    "t07_pii_redaction",
-    "d07_near_dup_clusters",
-    "q50_clustered_scan_pruning",
-    "q51_zorder_scan_pruning",
+    "t14_perplexity_filter",
+    "m07_ranking_metrics",
+    "d16_soft_dedup_weights",
+]
+
+_NEXT_R12 = [
     "q52_compaction_roundtrip",
     "q53_sql_engine_parity",
     "q54_schema_evolution_read",
@@ -245,7 +145,6 @@ _FRESH_R8 = [
     "q12_null_fill_activity",
     "q13_top_orders",
     "q14_running_spend",
-    "q16_segment_top_customers",
     "q18_range_lookup_tiers",
     "q19_rollup_orders",
     "q20_cube_lineitem",
@@ -293,6 +192,83 @@ _FRESH_R9 = [
     "g02_pagerank_top100",
 ]
 
+_FRESH_R10 = [
+    "d04_ngram_jaccard_dedup",
+    "s29_stream_semantic_dedup_probe",
+    "s30_stream_cdc_dedup_probe",
+    "s32_stream_contamination_probe",
+    "g15_parallel_personalized_pagerank",
+    "g11_motif_open_trade_wedges",
+    "g12_personalized_pagerank",
+    "g13_bfs_trade_paths",
+    "g14_scc_trade_components",
+    "e04_knn_pq_adc",
+    "e06_knn_ivfpq",
+    "s24_stream_upsert_snapshot",
+    "g09_label_propagation",
+    "d13_duplicated_spans",
+    "e08_mmr_diversified",
+    "t11_zipf_fit",
+    "t12_bpe_encode",
+    "q84_token_budget_waterfill",
+    "t13_bpe_train_merges",
+    "e09_knn_label_eval",
+    "q86_ewma_anomaly",
+    "q87_kanon_release",
+    "q21_asof_click_attribution",
+    "q23_salted_join_revenue",
+    "q29_semi_anti_customers",
+    "q33_group_regression",
+    "q40_gap_fill_daily",
+    "q45_recursive_month_spine",
+    "q48_training_data_pipeline",
+    "s01_stream_tumbling_counts",
+    "s14_stream_left_outer_join",
+    "d01_exact_dedup_docs",
+    "d02_minhash_near_dups",
+    "d03_simhash_docs",
+    "t02_lang_id_confusion",
+    "e01_knn_bruteforce",
+    "s11_stream_static_join",
+    "s12_stream_dynamic_session",
+    "g03_component_histogram",
+]
+
+_FRESH_R11 = [
+    "q62_bm25_topk",
+    "e10_rrf_hybrid",
+    "e05_knn_truncated_rerank",
+    "mm04_audio_features",
+    "g08_clustering_coefficient",
+    "g04_trade_triangles",
+    "m03_item_item_cosine",
+    "s15_incremental_rollup",
+    "mm07_scene_cuts",
+    "d14_semantic_dedup",
+    "d15_cdc_chunk_dedup",
+    "d08_fuzzy_edit1_join",
+    "s22_stream_timer_sessions",
+    "q81_dat_source_roundtrip",
+    "q82_dsir_importance_weights",
+    "q83_psi_drift",
+    "s27_stream_psi_cells",
+    "g10_graphframe_notebook_port",
+    "s31_stream_ewma_anomaly",
+    "e11_knn_sq8",
+    "mm08_audio_segments",
+    "e12_index_tombstone_hygiene",
+    "s16_stream_quality_router",
+    "s17_stream_static_anti_join",
+    "mm03_video_frame_plan",
+    "d06_contamination_check",
+    "t06_repetition_metrics",
+    "q49_stratified_source_sample",
+    "t07_pii_redaction",
+    "d07_near_dup_clusters",
+    "q50_clustered_scan_pruning",
+    "q51_zorder_scan_pruning",
+]
+
 _ROWS_ONLY_TAIL = [
     "m01_als_top5_recs",
     "m02_cold_start_fold_in",
@@ -301,14 +277,15 @@ _ROWS_ONLY_TAIL = [
     "q44_hll_sketch_distinct",
 ]
 
+
 def _apply_order() -> None:
     cohorts = [
         _VERIFY_FIRST,
-        _NEXT_R11,
-        _FRESH_R7,
+        _NEXT_R12,
         _FRESH_R8,
         _FRESH_R9,
         _FRESH_R10,
+        _FRESH_R11,
         _ROWS_ONLY_TAIL,
     ]
     flat = [n for lst in cohorts for n in lst]

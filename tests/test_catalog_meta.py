@@ -55,31 +55,31 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
-        _FRESH_R7,
-        _NEXT_R11,
+        _FRESH_R8,
+        _NEXT_R12,
         _ROWS_ONLY_TAIL,
         _VERIFY_FIRST,
     )
 
     window = list(REGISTRY)[:50]
-    # r11: front of the window is anything brand-new or changed this
+    # r12: front of the window is anything brand-new or changed this
     # round (plan/oracle edits must re-green under the driver, not just
-    # pytest), then the nine entries the r10 rotation displaced, then
-    # the stalest cohort (r7 records), rotating forward per the
-    # freshness policy. Membership is asserted only for names actually
-    # REGISTERED -- some registrations are conditional on host
+    # pytest), then the fifteen r7-tail entries the r11 rotation
+    # displaced, then the stalest cohort (r8 records), rotating forward
+    # per the freshness policy. Membership is asserted only for names
+    # actually REGISTERED -- some registrations are conditional on host
     # capabilities (e.g. transformWithStateInPandas), and an absent
     # query must skip the slot, not fail the test.
-    must_be_early = {n for n in _VERIFY_FIRST + _NEXT_R11 if n in REGISTRY}
+    must_be_early = {n for n in _VERIFY_FIRST + _NEXT_R12 if n in REGISTRY}
     missing = must_be_early - set(window)
     assert not missing, f"stale/unverified queries outside driver window: {missing}"
     # The remaining window slots drain the stalest cohort strictly
-    # oldest-first: the r7 entries inside the window must form a prefix
+    # oldest-first: the r8 entries inside the window must form a prefix
     # of the policy list, so adding new queries this round pushes out the
     # TAIL of the cohort, never skips its head.
-    r7_in_window = [n for n in window if n in set(_FRESH_R7)]
-    r7_registered = [n for n in _FRESH_R7 if n in REGISTRY]
-    assert r7_in_window == r7_registered[: len(r7_in_window)]
+    r8_in_window = [n for n in window if n in set(_FRESH_R8)]
+    r8_registered = [n for n in _FRESH_R8 if n in REGISTRY]
+    assert r8_in_window == r8_registered[: len(r8_in_window)]
     # Inherently rows-only samples can never upgrade to hash matches --
     # they must not consume early window slots; the registry flag and the
     # tail list must agree.
