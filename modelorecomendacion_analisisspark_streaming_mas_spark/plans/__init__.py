@@ -29,7 +29,7 @@ from . import batch9  # noqa: E402,F401
 #
 #   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r12 promotes 23: s26/s33 (the per-batch probe
+#      brand-new entries. r12 promotes 24: s26/s33 (the per-batch probe
 #      gates now persist the pair list instead of eager-checkpointing it,
 #      the batch gate is a scalar sum(psz), and s26 gates the candidate
 #      broadcast on PROBE_BROADCAST_CAND_SHINGLE_LIMIT); q16 (rank key
@@ -40,13 +40,15 @@ from . import batch9  # noqa: E402,F401
 #      flagged it -- the t14 class, latent); and the 19 queries whose
 #      plans carry the new grid-mean runtime exactness guard
 #      (catalog._grid_guard: every grid_mean_spark/money_mean_spark
-#      site), all re-simmed MATCH at sf0.01 before the rotation.
+#      site), all re-simmed MATCH at sf0.01 before the rotation; plus
+#      e09 and t14's NULL-predicate alignments (count(when) / try_divide),
+#      both found by the r12 all-NULL hostile variant on first contact.
 #   2. NEXT_R12 (15): the r7-cohort tail displaced from the r11 window
 #      (q52-q59/mm05/s02-s07/s10) -- the stalest official records (r7),
 #      every member re-verified by the judge's full-catalog r11 sweep,
 #      per the displacement rule.
 #   3. FRESH_R8 (39 after q16's promotion): the next-stalest cohort;
-#      slots 23+15 leave room for its first 12 (s13..q67). The displaced
+#      slots 24+15 leave room for its first 11 (s13..q66). The displaced
 #      remainder leads the r13 window.
 #   4. FRESH_R9 / FRESH_R10 / FRESH_R11: re-checked oldest-first.
 #      FRESH_R11 is the union of r11's VERIFY_FIRST (minus the 13
@@ -88,6 +90,9 @@ _VERIFY_FIRST: list[str] = [
     "t14_perplexity_filter",
     "m07_ranking_metrics",
     "d16_soft_dedup_weights",
+    # e09/t14 NULL-predicate fixes (the r12 all-NULL hostile variant found
+    # both): t14 already sits above; e09 promotes from the r9 cohort
+    "e09_knn_label_eval",
 ]
 
 _NEXT_R12 = [
@@ -212,7 +217,6 @@ _FRESH_R10 = [
     "t12_bpe_encode",
     "q84_token_budget_waterfill",
     "t13_bpe_train_merges",
-    "e09_knn_label_eval",
     "q86_ewma_anomaly",
     "q87_kanon_release",
     "q21_asof_click_attribution",

@@ -1757,7 +1757,13 @@ def e09_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
     )
-    correct = (F.col("nb_label") == F.col("true_label")).cast("long")
+    # when/otherwise(0), not bool.cast: the oracle's CASE ... ELSE 0 END
+    # scores a NULL-label comparison as 0, while sum over NULL casts
+    # returns NULL (seen under the r12 all-NULL hostile variant, where
+    # every gold label is NULL)
+    correct = F.when(F.col("nb_label") == F.col("true_label"), F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("long")
     return pred.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).alias("n_probes"),
         F.sum(correct).alias("n_correct"),

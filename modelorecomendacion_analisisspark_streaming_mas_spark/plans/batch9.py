@@ -123,10 +123,16 @@ def t14_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .agg(F.countDistinct("w").alias("vs"))
     )
+    # try_divide, not /: with an EMPTY clean slice (e.g. every lang NULL,
+    # the r12 all-NULL hostile variant) the denominator is 0 + vs = 0;
+    # Spark 4's ANSI division throws where DuckDB's returns NULL -- the
+    # engines must degrade identically (NULL lp -> NULL cross-entropy).
     lp = F.round(
         -F.log(
-            (F.coalesce(F.col("n12"), F.lit(0)) + 1)
-            / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vs")).cast("double")
+            F.try_divide(
+                F.coalesce(F.col("n12"), F.lit(0)) + 1,
+                (F.coalesce(F.col("n1"), F.lit(0)) + F.col("vs")).cast("double"),
+            )
         ),
         9,
     )
@@ -160,11 +166,15 @@ def t14_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             grid_mean_spark("ce", 1_000_000, 6).alias("avg_ce"),
-            F.sum((F.col("ce") < _T14_HEAD).cast("long")).alias("n_head"),
-            F.sum(
-                ((F.col("ce") >= _T14_HEAD) & (F.col("ce") < _T14_MIDDLE)).cast("long")
+            # count(when(...)), not sum(bool.cast): the oracle's
+            # count(*) FILTER ignores NULL predicates, so an all-NULL ce
+            # slice (empty LM, the r12 all-NULL hostile variant) must
+            # count 0 -- sum over all-NULL casts returns NULL instead.
+            F.count(F.when(F.col("ce") < _T14_HEAD, 1)).alias("n_head"),
+            F.count(
+                F.when((F.col("ce") >= _T14_HEAD) & (F.col("ce") < _T14_MIDDLE), 1)
             ).alias("n_middle"),
-            F.sum((F.col("ce") >= _T14_MIDDLE).cast("long")).alias("n_tail"),
+            F.count(F.when(F.col("ce") >= _T14_MIDDLE, 1)).alias("n_tail"),
         )
         .orderBy("source")
     )

@@ -1,0 +1,140 @@
+"""Hostile testdata variants for the perturbation treadmill (SCALING.md):
+build a transformed copy of an sf dir with DuckDB and sweep the catalog
+against it via tools/driver_sim.py. Each variant perturbs STRUCTURE, not
+just volume -- the r11 lesson: the two variants that found real bugs
+(dup-heavy -> rank ties; fresh-salt -> grid means) changed data SHAPE.
+
+    python tools/hostile_variants.py --variant nulls --sf-dir /root/testdata/sf0.01 --out-dir /tmp/v
+
+Variants:
+  nulls     -- every OPTIONAL / descriptive column goes all-NULL
+               (documents.lang, events.props, embeddings.label,
+               part.p_name, customer.c_mktsegment, orders.o_orderpriority):
+               stresses null-group keys, tokenize(NULL), map lookups on
+               NULL, from_json(NULL), label-eval with no labels.
+  singlerow -- each table keeps exactly ONE row (min primary key):
+               empty joins, empty groups, single-element windows,
+               degenerate models, 1-doc dedup corpora.
+  salt      -- fresh-salt drift drop (~29%: md5(salt|key) %% 17 < 12):
+               the regeneration-robustness family with a salt no oracle
+               has ever seen.
+  unicode   -- documents.text / part.p_name / events.event_type rewritten
+               with multi-byte content: accents via replace, a per-doc
+               appended token cycling CJK / Greek / Cyrillic / emoji
+               (non-BMP surrogate pairs) / COMBINING diacritics;
+               documents.n_chars recomputed to stay consistent. Stresses
+               char-vs-byte length, md5-over-UTF-8, tokenizer splits,
+               regex classes, groupBy on non-ASCII keys.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+# deterministic per-doc unicode tail: CJK, Greek, Cyrillic, emoji
+# (non-BMP), decomposed combining accent, Arabic (RTL)
+UNI_TOKENS = [
+    "日本語テキスト", "Ωμέγα-τεστ", "🚀🌟émoji", "naïve-café",
+    "привет-мир", "é́clat", "نصعربي", "ß-straße",
+]
+
+NULLS = {
+    "documents": ["lang"],
+    "events": ["props"],
+    "embeddings": ["label"],
+    "part": ["p_name"],
+    "customer": ["c_mktsegment"],
+    "orders": ["o_orderpriority"],
+}
+
+
+def build(
+    variant: str,
+    sf_dir: str,
+    out_dir: str,
+    salt: str = "drift_r12a",
+    keep_num: int = 12,
+    keep_den: int = 17,
+) -> str:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"'{sf_dir}/{t}.parquet'"
+        if variant == "salt":
+            # the drift_sweep family (test_data_drift.py): drop rows by a
+            # salted key hash -- fresh salt + fresh rate per round so no
+            # oracle can be tuned to the current tables
+            k = KEYS[t]
+            if t in ("region", "nation"):
+                sel = f"SELECT * FROM {src}"
+            else:
+                sel = (
+                    f"SELECT * FROM {src} WHERE "
+                    f"(('0x'||substr(md5('{salt}|'||{k}::VARCHAR),1,8))::UBIGINT)"
+                    f"::BIGINT % {keep_den} < {keep_num}"
+                )
+        elif variant == "nulls" and t in NULLS:
+            repl = ", ".join(
+                f"CAST(NULL AS {typ}) AS {c}"
+                for c, typ in (
+                    (c, dict(
+                        (r[0], r[1])
+                        for r in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+                    )[c])
+                    for c in NULLS[t]
+                )
+            )
+            sel = f"SELECT * REPLACE ({repl}) FROM {src}"
+        elif variant == "singlerow":
+            sel = f"SELECT * FROM {src} ORDER BY {KEYS[t]} LIMIT 1"
+        elif variant == "unicode" and t == "documents":
+            toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
+            sel = (
+                "SELECT doc_id, "
+                f" concat(replace(text, 'a', 'á'), ' ', ([{toks}])[(doc_id % 8 + 1)::INT]) AS text,"
+                " lang, source,"
+                f" length(concat(replace(text, 'a', 'á'), ' ', ([{toks}])[(doc_id % 8 + 1)::INT])) AS n_chars"
+                f" FROM {src}"
+            )
+        elif variant == "unicode" and t == "part":
+            sel = f"SELECT * REPLACE (replace(p_name, 'a', 'ä') AS p_name) FROM {src}"
+        elif variant == "unicode" and t == "events":
+            sel = (
+                "SELECT * REPLACE (CASE WHEN event_id % 5 = 0"
+                " THEN event_type || '·中' ELSE event_type END AS event_type)"
+                f" FROM {src}"
+            )
+        else:
+            sel = f"SELECT * FROM {src}"
+        con.execute(f"COPY ({sel}) TO '{out_dir}/{t}.parquet' (FORMAT parquet)")
+    return out_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", required=True,
+                    choices=["nulls", "singlerow", "unicode", "salt"])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out-dir", required=True)
+    args = ap.parse_args()
+    print(build(args.variant, args.sf_dir, args.out_dir))
+
+
+if __name__ == "__main__":
+    main()
