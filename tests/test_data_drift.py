@@ -89,3 +89,42 @@ def test_oracle_agreement_survives_data_drift(spark, variant_dir, name):
     got = _canon(q.fn(spark, variant_dir).toPandas())
     want = _canon(con.execute(q.oracle).df())
     assert got.equals(want), f"{name}: drift variant disagrees with oracle"
+
+
+# r12 structural-hostile pins: the all-NULL-optionals variant caught two
+# real NULL-predicate divergences on first contact (t14's ANSI divide-by-
+# zero on an empty LM slice + sum-over-NULL-bool buckets; e09's
+# bool.cast scoring). These queries re-run against that variant forever.
+NULLS_QUERIES = [
+    "t14_perplexity_filter",
+    "e09_knn_label_eval",
+    "t01_text_quality",   # groupBy lang with every lang NULL
+    "q15_json_props",     # from_json over all-NULL props
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_nulls_")
+    build("nulls", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", NULLS_QUERIES)
+def test_oracle_agreement_survives_all_null_optionals(spark, nulls_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{nulls_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, nulls_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: all-NULL variant disagrees with oracle"
