@@ -29,7 +29,7 @@ from . import batch9  # noqa: E402,F401
 #
 #   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
 #      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r12 promotes 24: s26/s33 (the per-batch probe
+#      brand-new entries. r12 promotes 27: s26/s33 (the per-batch probe
 #      gates now persist the pair list instead of eager-checkpointing it,
 #      the batch gate is a scalar sum(psz), and s26 gates the candidate
 #      broadcast on PROBE_BROADCAST_CAND_SHINGLE_LIMIT); q16 (rank key
@@ -48,7 +48,7 @@ from . import batch9  # noqa: E402,F401
 #      every member re-verified by the judge's full-catalog r11 sweep,
 #      per the displacement rule.
 #   3. FRESH_R8 (39 after q16's promotion): the next-stalest cohort;
-#      slots 24+15 leave room for its first 11 (s13..q66). The displaced
+#      slots 27+14 leave room for its first 9 (s13..q63). The displaced
 #      remainder leads the r13 window.
 #   4. FRESH_R9 / FRESH_R10 / FRESH_R11: re-checked oldest-first.
 #      FRESH_R11 is the union of r11's VERIFY_FIRST (minus the 13
@@ -93,6 +93,13 @@ _VERIFY_FIRST: list[str] = [
     # e09/t14 NULL-predicate fixes (the r12 all-NULL hostile variant found
     # both): t14 already sits above; e09 promotes from the r9 cohort
     "e09_knn_label_eval",
+    # the r12 single-row hostile variant's four first-contact findings
+    # (q58 degenerate width_bucket stripe; q71 try_divide + coalesced
+    # exact counts; s21 empty ListState put; m02 -- rows-only, stays in
+    # the tail):
+    "q58_equidepth_histogram",
+    "q71_kmv_sketch_setops",
+    "s21_stream_funnel_stages",
 ]
 
 _NEXT_R12 = [
@@ -102,7 +109,6 @@ _NEXT_R12 = [
     "q55_dq_expectations",
     "q57_weighted_sample",
     "mm05_shard_manifest",
-    "q58_equidepth_histogram",
     "q59_snapshot_diff",
     "s02_stream_sliding_counts",
     "s03_stream_session_counts",
@@ -128,7 +134,6 @@ _FRESH_R8 = [
     "q67_countmin_heavy_hitters",
     "q68_funnel_stages",
     "q69_retention_cohorts",
-    "s21_stream_funnel_stages",
     "d09_canonical_keep_best",
     "q70_curation_pipeline_v2",
     "d10_incremental_index_dedup",
@@ -162,7 +167,6 @@ _FRESH_R9 = [
     "e02_knn_lsh",
     "mm02_image_features",
     "mm06_image_phash_dedup",
-    "q71_kmv_sketch_setops",
     "d11_canonical_url_dedup",
     "q73_event_transition_bigrams",
     "t09_bpe_pair_counts",

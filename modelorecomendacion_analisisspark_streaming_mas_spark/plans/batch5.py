@@ -496,7 +496,15 @@ def q58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load-leveling concern), then ntile's deterministic bucket-size
     # arithmetic on (rank, total).
     lo, hi = li.agg(F.min("v"), F.max("v")).first()
-    stripe = F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(256))
+    # degenerate domain (single row / single distinct value, the r12
+    # single-row hostile variant): width_bucket(v, lo, lo, .) is NULL in
+    # Spark, which the stripe guard rejects loudly -- one stripe is the
+    # correct (and trivially balanced) striping there
+    stripe = (
+        F.width_bucket(F.col("v"), F.lit(lo), F.lit(hi), F.lit(256))
+        if lo is not None and hi is not None and lo < hi
+        else F.lit(1)
+    )
     ranked = striped_global_row_number(
         li,
         [F.asc("v"), F.asc("l_orderkey"), F.asc("l_linenumber")],

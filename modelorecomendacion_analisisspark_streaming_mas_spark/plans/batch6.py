@@ -961,7 +961,13 @@ def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est_setops = est_u.crossJoin(inter).select(
         "est_union",
-        F.round(F.col("ic") * 1.0 / F.col("usz") * F.col("est_union"))
+        # try_divide: an EMPTY union sketch (usz=0, e.g. the r12
+        # single-row hostile variant where no event matches the sketch
+        # types) is 0/0 -- Spark ANSI throws where DuckDB's division
+        # returns NULL; both engines must publish NULL
+        F.round(
+            F.try_divide(F.col("ic") * 1.0, F.col("usz")) * F.col("est_union")
+        )
         .cast("long")
         .alias("est_intersect"),
     )
@@ -972,11 +978,16 @@ def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("hc"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("hp"),
     )
+    # coalesce(sum, 0): over ZERO sketch-type users (r12 single-row
+    # hostile variant) sum() is NULL where the oracle's distinct counts
+    # are 0 -- both engines must publish 0 exact counts
     exacts = per_user.agg(
-        F.sum("hc").cast("long").alias("exact_click"),
-        F.sum("hp").cast("long").alias("exact_purchase"),
+        F.coalesce(F.sum("hc"), F.lit(0)).cast("long").alias("exact_click"),
+        F.coalesce(F.sum("hp"), F.lit(0)).cast("long").alias("exact_purchase"),
         F.count(F.lit(1)).alias("exact_union"),
-        F.sum(F.col("hc") * F.col("hp")).cast("long").alias("exact_intersect"),
+        F.coalesce(F.sum(F.col("hc") * F.col("hp")), F.lit(0))
+        .cast("long")
+        .alias("exact_intersect"),
     )
     return (
         ests.crossJoin(est_setops)

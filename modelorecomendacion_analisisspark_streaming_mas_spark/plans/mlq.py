@@ -213,7 +213,9 @@ def m02_cold_start_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS-ONLY BY CONSTRUCTION: CORRECTNESS_r0N reports `err: no_oracle` for this entry every round it is sampled -- that row is by design (the result is not SQL-expressible in DuckDB), not a failure. Exact-oracle twins + acceptance tests cover it: m06_cooccurrence_lift + tests/test_recommend.py MLlib ridge-parity tests.
     """
     model, _ratings, ids, Y = _fitted(spark, sf_dir)
-    seed = [(int(ids[i]), float(1 + i % 5)) for i in range(5)]
+    # seed from what the catalog actually has (a 1-item catalog -- the
+    # r12 single-row hostile variant -- must fold in 1 rating, not crash)
+    seed = [(int(ids[i]), float(1 + i % 5)) for i in range(min(5, len(ids)))]
     recs = fold_in(ids, Y, seed, top_n=5)
     return spark.createDataFrame(
         [(int(i), round(s, 3)) for i, s in recs], "itemId long, score double"

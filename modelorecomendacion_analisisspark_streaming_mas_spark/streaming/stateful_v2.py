@@ -281,7 +281,13 @@ class WindowedFunnel(StatefulProcessor):
             )
             if step == stage + 1 and in_window:
                 stage, anchor = step, ts
-        self._buf.put(buf)
+        # the state store rejects EMPTY list values (ILLEGAL_STATE_STORE_
+        # VALUE) -- a user whose rows are all step 0 (r12 single-row
+        # hostile variant) keeps no buffer; clear() is a no-op when absent
+        if buf:
+            self._buf.put(buf)
+        else:
+            self._buf.clear()
         self._seen.update((n,))
         yield pd.DataFrame(
             {"user_id": [int(key[0])], "stage": [stage], "n_seen": [n]}
