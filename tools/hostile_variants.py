@@ -18,6 +18,12 @@ Variants:
   salt      -- fresh-salt drift drop (~29%: md5(salt|key) %% 17 < 12):
                the regeneration-robustness family with a salt no oracle
                has ever seen.
+  ties      -- every ranking surface fully tied: o_totalprice,
+               l_extendedprice/l_discount, events.value constant, and
+               every embedding the SAME vector. Rank keys collapse to
+               their tie-breaks; any engine-order float key left in a
+               window sort diverges here (the q16/t04 class,
+               end-to-end).
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -103,6 +109,24 @@ def build(
             sel = f"SELECT * REPLACE ({repl}) FROM {src}"
         elif variant == "singlerow":
             sel = f"SELECT * FROM {src} ORDER BY {KEYS[t]} LIMIT 1"
+        elif variant == "ties" and t == "orders":
+            sel = f"SELECT * REPLACE (1000.00::DOUBLE AS o_totalprice) FROM {src}"
+        elif variant == "ties" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE (100.00::DOUBLE AS l_extendedprice,"
+                f" 0.05::DOUBLE AS l_discount) FROM {src}"
+            )
+        elif variant == "ties" and t == "events":
+            sel = f"SELECT * REPLACE (1.0::DOUBLE AS value) FROM {src}"
+        elif variant == "ties" and t == "embeddings":
+            # one shared vector: every cosine/L2 score is bit-identical,
+            # so ANN/eval rankings collapse entirely onto their id
+            # tie-breaks
+            sel = (
+                "SELECT vec_id,"
+                " (SELECT embedding FROM {0} ORDER BY vec_id LIMIT 1) AS embedding,"
+                " label FROM {0}".format(src)
+            )
         elif variant == "unicode" and t == "documents":
             toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
             sel = (
@@ -129,7 +153,7 @@ def build(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["nulls", "singlerow", "unicode", "salt"])
+                    choices=["nulls", "singlerow", "unicode", "salt", "ties"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     args = ap.parse_args()
