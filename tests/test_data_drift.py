@@ -128,3 +128,42 @@ def test_oracle_agreement_survives_all_null_optionals(spark, nulls_variant_dir, 
     got = _canon(q.fn(spark, nulls_variant_dir).toPandas())
     want = _canon(con.execute(q.oracle).df())
     assert got.equals(want), f"{name}: all-NULL variant disagrees with oracle"
+
+
+# r12: the all-ties variant (constant money/value columns, one shared
+# embedding vector) collapses every ranking surface onto its tie-break;
+# these queries pin the integer-rank-key discipline at runtime (the
+# static side is test_plan_quality's window-sort-key lint).
+TIES_QUERIES = [
+    "q16_segment_top_customers",  # the r12 lint find: cents-sum rank key
+    "q13_top_orders",             # global top-K over a constant column
+    "e01_knn_bruteforce",         # all cosines bit-equal -> id tie-break
+    "e04_knn_pq_adc",             # fixed-order ADC sums, all equal
+]
+
+
+@pytest.fixture(scope="module")
+def ties_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_ties_")
+    build("ties", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", TIES_QUERIES)
+def test_oracle_agreement_survives_full_ties(spark, ties_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{ties_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, ties_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: all-ties variant disagrees with oracle"
