@@ -414,7 +414,10 @@ def test_no_unrounded_float_aggregate_window_sort_keys(spark):
     ALLOWED = {("e04_knn_pq_adc", "adist"), ("e06_knn_ivfpq", "adist")}
     SAFE_MARKS = ("round(", "floor(", "ceil(", "as bigint", "as int")
     bad = []
-    for name in PLANNABLE + [n for n in sorted(REGISTRY) if n.startswith("g")]:
+    scan = PLANNABLE + [
+        n for n in sorted(REGISTRY) if n.startswith(("g", "mm"))
+    ]
+    for name in scan:
         plan = _logical_plan(spark, name)
         keys = set()
         for m in re.finditer(r"(\w+)#(\d+)(L?) (?:ASC|DESC) NULLS", plan):
