@@ -772,7 +772,7 @@ def ngram_probe_index(
     maybe_bcast_c = (
         F.broadcast if payload <= PROBE_BROADCAST_CAND_SHINGLE_LIMIT else (lambda d: d)
     )
-    return (
+    out = (
         index_sets.select(F.col("doc_id").alias("dup_of"), F.col("s").alias("i"))
         .join(maybe_bcast_c(cands.join(p_sets.select("doc_id", "p"), "doc_id")), "dup_of")
         # filter on the UNROUNDED ratio (the oracle's WHERE clause does
@@ -784,3 +784,8 @@ def ngram_probe_index(
         .filter(F.col("_j") >= threshold)
         .select("doc_id", "dup_of", F.round("_j", 4).alias("jaccard"))
     )
+    # hand the per-batch cache to the caller: a long-running stream
+    # should unpersist it right after materializing the result rather
+    # than waiting on the ContextCleaner's GC cycle
+    out._mras_probe_cache = cands
+    return out

@@ -1210,6 +1210,7 @@ def s26_stream_lsh_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("epoch", F.lit(int(epoch_id)))
         )
         best.write.mode("append").parquet(out_dir)
+        cands.unpersist()  # per-batch cache released with the batch
 
     # 8 shuffle partitions for the per-batch probe joins: each micro-batch
     # handles ~1/2 of the odd docs, so 32-wide exchanges are pure task
@@ -2128,10 +2129,19 @@ def s33_stream_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFram
 
     def probe(batch_df, epoch_id):
         batch = batch_df.localCheckpoint(eager=True)
-        matches = ngram_probe_index(
+        raw_matches = ngram_probe_index(
             sets_i, prefix_i, dfreq_i, batch, "doc_id", "text", threshold=0.5
-        ).withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        matches = raw_matches.withColumn("epoch", F.lit(int(epoch_id)))
         matches.write.mode("append").parquet(out_dir)
+        # the pair-list cache served its batch; release it now instead of
+        # waiting on the ContextCleaner (a long-running stream would
+        # otherwise hold one cached pair list per un-GC'd batch).
+        # getattr: a wrapped/derived result (tests decorate the probe)
+        # may not carry the handle -- then the ContextCleaner path holds
+        cache = getattr(raw_matches, "_mras_probe_cache", None)
+        if cache is not None:
+            cache.unpersist()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
