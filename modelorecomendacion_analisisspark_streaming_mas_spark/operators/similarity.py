@@ -120,6 +120,14 @@ def cosine_near_dup_matmul(
             f"sides."
         )
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # EMPTY query batch (r12 empty-tables hostile variant): np.array
+        # of zero vectors is 1-D and the axis-1 normalize throws; the
+        # correct result is simply no pairs
+        spark = candidates.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

@@ -24,6 +24,16 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 )
 def q19_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # SQL standard (and DuckDB): grouping sets containing () yield ONE
+    # grand-total row even over an EMPTY relation; Spark's Expand-based
+    # rollup yields zero rows there (r12 empty-tables hostile variant).
+    # A limit-1 probe special-cases the empty relation without touching
+    # the single Expand+HashAggregate plan real data takes.
+    if orders.isEmpty():
+        return spark.createDataFrame(
+            [(None, None, 0, None)],
+            "o_orderpriority string, o_orderstatus string, n long, revenue double",
+        )
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
@@ -41,6 +51,11 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 def q20_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    if li.isEmpty():  # SQL-standard () grouping set on empty (see q19)
+        return spark.createDataFrame(
+            [(None, None, 0, None)],
+            "l_returnflag string, l_linestatus string, n long, sum_qty double",
+        )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -64,6 +64,11 @@ def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand+HashAggregate pass over a single scan. coalesce('ALL') keeps the
     set-marker rows distinguishable (neither column holds real NULLs)."""
     orders = load_table(spark, sf_dir, "orders")
+    if orders.isEmpty():  # SQL-standard () grouping set on empty (see q19)
+        return spark.createDataFrame(
+            [("ALL", "ALL", 0, None)],
+            "pri string, status string, n long, sum_price double",
+        )
     orders.createOrReplaceTempView("orders_q30")
     return spark.sql(
         """

@@ -172,6 +172,12 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs, avgdl = base.agg(
         F.count(F.lit(1)), F.avg(F.size("ws"))
     ).first()
+    if avgdl is None:
+        # ZERO-doc corpus (r12 empty-tables hostile variant): no row
+        # reaches the BM25 expression, so any finite placeholder keeps
+        # the plan buildable and the result the same empty frame both
+        # engines produce
+        avgdl = 1.0
 
     terms = F.array(*[F.lit(t) for t in _Q62_TERMS])
     tok = (
@@ -336,6 +342,8 @@ def q64_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = freq.agg(F.sum("cnt")).first()[0]
+    if total is None:
+        total = 1  # zero-token corpus: top-k is empty, placeholder unused
     # Rank + prefix-sum only need the top-k rows (a prefix sum at rank r
     # depends solely on rows ranked <= r), so bound to TakeOrdered(k)
     # FIRST; the windows then see 20 rows, not the whole vocabulary.

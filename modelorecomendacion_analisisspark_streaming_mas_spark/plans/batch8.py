@@ -1638,14 +1638,14 @@ def t13_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = pairs.orderBy(F.desc("n"), "lhs", "rhs").limit(1).collect()
             if not rows:
                 # degenerate corpus (no adjacent pair anywhere -- every
-                # word fully merged or all words single-char): fail
-                # loudly rather than emit a short merge table that would
-                # silently diverge from the oracle's empty b{r} rows
-                raise ValueError(
-                    f"t13: no symbol pairs left in round {r} of "
-                    f"{_T13_ROUNDS} -- corpus too degenerate for the "
-                    "pinned merge count"
-                )
+                # word fully merged, all words single-char, or an EMPTY
+                # corpus, the r12 empty-tables hostile variant): STOP
+                # and return the merges learned so far. This is what the
+                # oracle does too -- each unrolled b{r} CTE with no
+                # pairs contributes zero rows (an empty pair table stays
+                # empty for every later round), so the short merge table
+                # is the AGREED answer, not a divergence.
+                break
             best = rows[0]
             merges.append(
                 (r, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], int(best["n"]))

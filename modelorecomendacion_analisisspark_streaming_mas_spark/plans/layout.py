@@ -129,6 +129,12 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.select(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # EMPTY input (r12 empty-tables hostile variant): there is
+        # nothing to cluster -- write the (empty) frame as-is so readers
+        # see the same schema
+        df.drop(*drop_after).write.mode("overwrite").parquet(path)
+        return
     key = zorder_key(
         _scaled_bucket(F.col(col_a).cast("double"), lo_a, hi_a, bits),
         _scaled_bucket(F.col(col_b).cast("double"), lo_b, hi_b, bits),

@@ -580,8 +580,12 @@ def s15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # partition-column type inference turns day back into a DATE; the
-    # rollup's contract (and the oracle) is the string key it grouped by
-    return spark.read.parquet(table_dir).select(
+    # rollup's contract (and the oracle) is the string key it grouped by.
+    # Explicit schema: a ZERO-batch stream (r12 empty-tables hostile
+    # variant) leaves the sink dir without any footer to infer from.
+    return spark.read.schema(
+        "event_type STRING, n BIGINT, sum_value DOUBLE, day DATE"
+    ).parquet(table_dir).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n",
@@ -933,7 +937,11 @@ def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(table_dir).select(
+    # explicit schema: zero-batch streams leave no footers (see s15)
+    return spark.read.schema(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING,"
+        " value DOUBLE, bucket BIGINT"
+    ).parquet(table_dir).select(
         "user_id",
         "event_id",
         "event_type",
@@ -1007,7 +1015,7 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    back = read_jsonl_sink(spark, out_dir)
+    back = read_jsonl_sink(spark, out_dir, schema="event_type STRING, value DOUBLE")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),

@@ -358,9 +358,12 @@ def register_jsonl_sink(spark) -> None:
     spark.dataSource.register(JsonlDirSinkDataSource)
 
 
-def read_jsonl_sink(spark, path: str):
+def read_jsonl_sink(spark, path: str, schema: str | None = None):
     """Read back ONLY manifest-committed files (uncommitted temp or
-    orphaned batch files are invisible, preserving exactly-once)."""
+    orphaned batch files are invisible, preserving exactly-once).
+    Pass ``schema`` (DDL) when the stream may legitimately commit ZERO
+    rows -- inference over empty JSONL yields a column-less frame (r12
+    empty-tables hostile variant)."""
     committed: list[str] = []
     for mf in sorted(_glob.glob(_os.path.join(path, "_commits", "*.json"))):
         with open(mf) as f:
@@ -369,4 +372,5 @@ def read_jsonl_sink(spark, path: str):
             ]
     if not committed:
         raise ValueError(f"no committed batches under {path}")
-    return spark.read.json(committed)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.json(committed)

@@ -15,6 +15,10 @@ Variants:
   singlerow -- each table keeps exactly ONE row (min primary key):
                empty joins, empty groups, single-element windows,
                degenerate models, 1-doc dedup corpora.
+  empty     -- every table ZERO rows (schema preserved): global
+               aggregates over nothing, empty models, zero-batch
+               streams; both engines must publish the same
+               empty-or-NULL shape.
   salt      -- fresh-salt drift drop (~29%: md5(salt|key) %% 17 < 12):
                the regeneration-robustness family with a salt no oracle
                has ever seen.
@@ -109,6 +113,8 @@ def build(
             sel = f"SELECT * REPLACE ({repl}) FROM {src}"
         elif variant == "singlerow":
             sel = f"SELECT * FROM {src} ORDER BY {KEYS[t]} LIMIT 1"
+        elif variant == "empty":
+            sel = f"SELECT * FROM {src} LIMIT 0"
         elif variant == "ties" and t == "orders":
             sel = f"SELECT * REPLACE (1000.00::DOUBLE AS o_totalprice) FROM {src}"
         elif variant == "ties" and t == "lineitem":
@@ -153,7 +159,7 @@ def build(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["nulls", "singlerow", "unicode", "salt", "ties"])
+                    choices=["nulls", "singlerow", "unicode", "salt", "ties", "empty"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     args = ap.parse_args()
