@@ -167,3 +167,42 @@ def test_oracle_agreement_survives_full_ties(spark, ties_variant_dir, name):
     got = _canon(q.fn(spark, ties_variant_dir).toPandas())
     want = _canon(con.execute(q.oracle).df())
     assert got.equals(want), f"{name}: all-ties variant disagrees with oracle"
+
+
+# r12: zero-row tables (the harshest cardinality corner). Pins the
+# SQL-standard () grouping-set row, the vacuous-truth DQ bounds check,
+# the graceful BPE degradation, and a zero-batch Python-DS sink
+# read-back.
+EMPTY_QUERIES = [
+    "q19_rollup_orders",
+    "q55_dq_expectations",
+    "t13_bpe_train_merges",
+    "s25_stream_jsonl_sink",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_empty_")
+    build("empty", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_oracle_agreement_survives_zero_row_tables(spark, empty_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, empty_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: zero-row variant disagrees with oracle"
