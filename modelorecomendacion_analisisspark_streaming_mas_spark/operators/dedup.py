@@ -683,6 +683,7 @@ def ngram_probe_index(
     text_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    with_cache: bool = False,
 ) -> DataFrame:
     """Probe a batch of new docs against an ``ngram_prefix_index`` --
     COMPLETE at the threshold with BOTH sides prefix-pruned: the probe
@@ -700,7 +701,16 @@ def ngram_probe_index(
     join so the persistent index tables never shuffle (the stream-static
     join shape); a backfill-sized batch falls back to plain shuffled
     joins with identical results. Returns (doc_id, dup_of, jaccard) --
-    probe id first, every >= threshold pair, rounded 4."""
+    probe id first, every >= threshold pair, rounded 4.
+
+    ``with_cache=True`` returns ``(result, pair_cache)`` instead: the
+    per-batch persisted pair list, which the CALLER must ``unpersist()``
+    right after materializing the result -- the ownership handoff a
+    long-running stream needs (s33 holds one cached pair list per
+    un-GC'd batch otherwise). With the default False the cache is left
+    to the ContextCleaner's GC cycle (fine for one-shot batch callers
+    that materialize promptly); r12 ADVICE killed the old private-
+    attribute handoff, which any intermediate transformation dropped."""
     from pyspark.sql import Window
 
     p_sets = (
@@ -784,8 +794,6 @@ def ngram_probe_index(
         .filter(F.col("_j") >= threshold)
         .select("doc_id", "dup_of", F.round("_j", 4).alias("jaccard"))
     )
-    # hand the per-batch cache to the caller: a long-running stream
-    # should unpersist it right after materializing the result rather
-    # than waiting on the ContextCleaner's GC cycle
-    out._mras_probe_cache = cands
+    if with_cache:
+        return out, cands
     return out

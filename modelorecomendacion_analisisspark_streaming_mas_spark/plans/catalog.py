@@ -100,9 +100,16 @@ GRID_EXACT_BOUND = 2**52
 def _grid_guard(q, s, numer):
     """Gate the grid-mean quotient ``q`` on ``numer < 2^52``; NULL sums
     (empty / all-NULL groups) pass through to ``q``'s own NULL result.
-    The comparison runs in DOUBLE: both terms are exact integers and any
-    rounding error near the boundary is immaterial against the bound's
-    engineering margin."""
+    ``numer`` MUST be built in DOUBLE arithmetic (callers cast the sum
+    to double before scaling): the r13 bigmoney hostile variant showed a
+    LONG-built numerator overflowing at 2*mul*|s| > 2^63 and raising
+    ANSI ARITHMETIC_OVERFLOW from the guard's own expression before this
+    comparison ever ran -- loud, but the wrong diagnostic. In double the
+    comparison saturates instead of overflowing, and rounding error near
+    the 2^52 boundary is immaterial against its engineering margin. The
+    quotient ``q`` itself stays in exact long arithmetic and is only
+    evaluated when the guard passes (conditional branch), so it can
+    never overflow."""
     from pyspark.sql import functions as F
 
     ok = s.isNull() | (numer.cast("double") < F.lit(float(GRID_EXACT_BOUND)))
@@ -141,7 +148,9 @@ def money_mean_spark(col: str):
     q = F.when(s >= 0, F.floor((2 * s + n) / (2 * n))).otherwise(
         -F.floor((-2 * s + n) / (2 * n))
     )
-    return _grid_guard(q, s, 2 * F.abs(s) + n) / F.lit(1e2)
+    # guard numerator in DOUBLE: long arithmetic here can itself overflow
+    # on a >2^61 cents sum, raising the wrong error (see _grid_guard)
+    return _grid_guard(q, s, 2 * F.abs(s).cast("double") + n) / F.lit(1e2)
 
 
 def money_mean_sql(col: str) -> str:
@@ -204,7 +213,11 @@ def grid_mean_spark(col, in_scale: int, out_dp: int):
     q = F.when(s >= 0, F.floor((2 * mul * s + n * r) / (2 * n * r))).otherwise(
         -F.floor((2 * mul * -s + n * r) / (2 * n * r))
     )
-    return _grid_guard(q, s, 2 * mul * F.abs(s) + n * r) / F.lit(float(10**out_dp))
+    # guard numerator in DOUBLE (2*mul*|s| overflows LONG on a bigmoney-
+    # scale sum before the bound compare -- see _grid_guard)
+    return _grid_guard(
+        q, s, 2 * mul * F.abs(s).cast("double") + n * r
+    ) / F.lit(float(10**out_dp))
 
 
 def grid_mean_sql(col: str, in_scale: int, out_dp: int) -> str:

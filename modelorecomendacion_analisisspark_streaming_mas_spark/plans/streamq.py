@@ -2137,19 +2137,16 @@ def s33_stream_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFram
 
     def probe(batch_df, epoch_id):
         batch = batch_df.localCheckpoint(eager=True)
-        raw_matches = ngram_probe_index(
-            sets_i, prefix_i, dfreq_i, batch, "doc_id", "text", threshold=0.5
+        raw_matches, pair_cache = ngram_probe_index(
+            sets_i, prefix_i, dfreq_i, batch, "doc_id", "text", threshold=0.5,
+            with_cache=True,
         )
         matches = raw_matches.withColumn("epoch", F.lit(int(epoch_id)))
         matches.write.mode("append").parquet(out_dir)
         # the pair-list cache served its batch; release it now instead of
         # waiting on the ContextCleaner (a long-running stream would
-        # otherwise hold one cached pair list per un-GC'd batch).
-        # getattr: a wrapped/derived result (tests decorate the probe)
-        # may not carry the handle -- then the ContextCleaner path holds
-        cache = getattr(raw_matches, "_mras_probe_cache", None)
-        if cache is not None:
-            cache.unpersist()
+        # otherwise hold one cached pair list per un-GC'd batch)
+        pair_cache.unpersist()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

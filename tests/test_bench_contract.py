@@ -75,3 +75,85 @@ def test_headline_names_are_real_catalog_queries():
 
     missing = [h for h in bench.HEADLINE if h not in REGISTRY]
     assert not missing, f"HEADLINE names not in catalog: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-point calibration (r12 VERDICT item 1): the r12 official normalized
+# wall read 338.5 (a 52% phantom regression) because the single pre-suite
+# probe ran during a neighbor burst that ended before the suite started.
+# These tests pin the nearest-probe normalization math without Spark.
+# ---------------------------------------------------------------------------
+
+
+def test_probe_positions_every_50_plus_end():
+    assert bench.probe_positions(192) == [0, 50, 100, 150, 192]
+    # a would-be probe within every//2 of the end merges into the end probe
+    assert bench.probe_positions(210) == [0, 50, 100, 150, 210]
+    # tiny suites: just start + end
+    assert bench.probe_positions(50) == [0, 50]
+    assert bench.probe_positions(12) == [0, 12]
+
+
+def test_nearest_probe_index_boundaries_and_ties():
+    pos = [0, 50, 100, 150, 192]
+    assert bench.nearest_probe_index(pos, 0) == 0
+    assert bench.nearest_probe_index(pos, 24) == 0  # center 24.5 -> probe 0
+    assert bench.nearest_probe_index(pos, 25) == 1  # center 25.5 -> probe 50
+    assert bench.nearest_probe_index(pos, 99) == 2
+    assert bench.nearest_probe_index(pos, 191) == 4
+
+
+def test_per_query_slowdowns_track_mid_run_host_shift():
+    # Host runs 2x slower for the middle probe's neighborhood only: queries
+    # nearest that probe get a 2x slowdown factor, the rest stay at 1x.
+    s = bench.per_query_slowdowns(
+        [0, 2, 4], [1.0, 2.0, 1.0], 4, cold_start_sec=bench.R9_JVM_REF_SEC
+    )
+    assert s == [1.0, 2.0, 2.0, 1.0]
+    # cold-start anchor scales every factor uniformly (the r9 convention)
+    s2 = bench.per_query_slowdowns(
+        [0, 2, 4], [1.0, 2.0, 1.0], 4, cold_start_sec=2 * bench.R9_JVM_REF_SEC
+    )
+    assert s2 == [2.0, 4.0, 4.0, 2.0]
+
+
+def test_per_query_slowdowns_phantom_regression_killed():
+    # The r12 failure mode: the pre-suite probe and the suite see different
+    # host speeds, so single-point normalization scales every query by a
+    # factor that no longer applies. With multi-point probes the warm drift
+    # corrects it: probes after the shift read 2x the start warm value, so
+    # queries that ran 2x slower normalize back to their quiet-host walls.
+    raw = [1.0, 2.0, 2.0, 2.0]  # host slowed 2x after the first query
+    s = bench.per_query_slowdowns(
+        [0, 2, 4], [0.2, 0.4, 0.4], 4, cold_start_sec=bench.R9_JVM_REF_SEC
+    )
+    assert s == [1.0, 2.0, 2.0, 2.0]
+    normalized = sum(r / f for r, f in zip(raw, s))
+    assert abs(normalized - 4.0) < 1e-9  # every query normalizes back to 1.0
+
+
+def test_probe_spread_confidence_flag():
+    spread, conf = bench.probe_spread([1.0, 1.1, 1.05])
+    assert conf == "high" and spread == 1.1
+    spread, conf = bench.probe_spread([1.0, 1.3])
+    assert conf == "low" and spread == 1.3
+
+
+def test_emit_with_multipoint_calibration_fits_tail_window(capsys):
+    payload = _payload(_fake_timings())
+    payload["calibration_normalized"] = {
+        "suite_wall_r9_jvm_units_sec": 212.345,
+        "suite_wall_r9_jvm_units_range_sec": [205.1, 240.9],
+        "host_slowdown_vs_r9": 1.399,
+        "probe_py_sec": [0.291, 0.302, 0.287, 0.31, 0.295],
+        "probe_warm_jvm_sec": [0.182, 0.171, 0.19, 0.177, 0.185],
+        "probe_spread": 1.08,
+        "normalized_confidence": "high",
+        "ref_jvm_range_agg_sec": bench.R9_JVM_REF_SEC,
+    }
+    bench.emit(payload)
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= bench.MAX_LINE
+    parsed = json.loads(line)
+    assert parsed["queries"], "headline queries trimmed away by calibration bulk"
+    assert parsed["calibration_normalized"]["normalized_confidence"] == "high"

@@ -206,3 +206,105 @@ def test_oracle_agreement_survives_zero_row_tables(spark, empty_variant_dir, nam
     got = _canon(q.fn(spark, empty_variant_dir).toPandas())
     want = _canon(con.execute(q.oracle).df())
     assert got.equals(want), f"{name}: zero-row variant disagrees with oracle"
+
+
+# r13 (r12 ADVICE): the single-row variant's four first-contact findings
+# (q58 degenerate width_bucket stripe, q71 try_divide + coalesced exact
+# counts, s21 empty ListState put, m02 seed clamp) were fixed in r12 but
+# had no standing fixture, unlike the nulls/ties/empty families -- a
+# refactor could silently reintroduce the crashes. Pinned forever here.
+SINGLEROW_QUERIES = [
+    "q58_equidepth_histogram",
+    "q71_kmv_sketch_setops",
+    "s21_stream_funnel_stages",
+]
+
+
+@pytest.fixture(scope="module")
+def singlerow_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_singlerow_")
+    build("singlerow", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", SINGLEROW_QUERIES)
+def test_oracle_agreement_survives_single_row_tables(spark, singlerow_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{singlerow_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, singlerow_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: single-row variant disagrees with oracle"
+
+
+def test_cold_start_fold_in_survives_single_row_catalog(spark, singlerow_variant_dir):
+    # m02 is rows-only by construction (ALS training); the r12 find was a
+    # crash (seed clamp on a 1-item catalog), so the pin is: runs, yields
+    # the contract schema, and does not raise.
+    q = REGISTRY["m02_cold_start_fold_in"]
+    df = q.fn(spark, singlerow_variant_dir)
+    rows = df.collect()  # materializes without the r12 seed-clamp crash
+    assert df.columns == ["itemId", "score"]
+    assert 1 <= len(rows) <= 5  # 1-item catalog -> exactly one scored item
+
+
+# r13 (r12 VERDICT task 4): the grid-mean exactness guard proven END-TO-END
+# at money-sum scale. The bigmoney variant (money columns x1e7, 2dp grid
+# kept) pushes one group's exact cents sum past the 2^52 precondition --
+# carriers must fail LOUDLY with the split-groups diagnostic, never return
+# a silently-inexact mean. First contact found a real bug: the guard's own
+# LONG-built numerator (2*mul*|s|) overflowed at 2^63 and raised ANSI
+# ARITHMETIC_OVERFLOW before the bound compare ran (fixed: the guard
+# numerator is now built in DOUBLE; catalog._grid_guard).
+BIGMONEY_TRIP_QUERIES = [
+    "q09_quantiles",          # grid_mean over l_extendedprice (mul=100 path)
+    "q28_hash_sample_stats",  # money_mean over o_totalprice
+]
+
+
+@pytest.fixture(scope="module")
+def bigmoney_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_bigmoney_")
+    build("bigmoney", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", BIGMONEY_TRIP_QUERIES)
+def test_grid_guard_trips_loudly_at_money_sum_scale(spark, bigmoney_variant_dir, name):
+    q = REGISTRY[name]
+    with pytest.raises(Exception, match="grid_mean exactness bound 2\\^52 exceeded"):
+        q.fn(spark, bigmoney_variant_dir).collect()
+
+
+def test_grid_guard_untripped_carriers_still_match_oracle(spark, bigmoney_variant_dir):
+    """Carriers whose guarded column bigmoney does NOT scale (q01's
+    quantity/discount grids, q05's customer balances) must sail through
+    and still hash-match the oracle on the variant -- the guard is a
+    precondition check, not a behavior change."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{bigmoney_variant_dir}/{t}.parquet'"
+        )
+    for name in ("q01_pricing_summary", "q05_balance_buckets"):
+        q = REGISTRY[name]
+        got = _canon(q.fn(spark, bigmoney_variant_dir).toPandas())
+        want = _canon(con.execute(q.oracle).df())
+        assert got.equals(want), f"{name}: bigmoney variant disagrees with oracle"

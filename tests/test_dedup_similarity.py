@@ -607,3 +607,37 @@ def test_lsh_band_index_probe_matches_one_shot_join(spark):
                 ).collect()
             }
             assert got == want, (cap, bcast)
+
+
+def test_ngram_probe_index_with_cache_hands_over_pair_list(spark):
+    """r12 ADVICE: the per-batch pair-list cache must be handed to the
+    caller EXPLICITLY (with_cache=True -> (result, cache)), not via a
+    private attribute any intermediate transformation drops. The handle
+    is the persisted pair frame: unpersisting it after the result
+    materializes frees the storage immediately (no ContextCleaner wait),
+    and the result itself is unaffected."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.operators import dedup
+
+    docs = [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(10))) for i in range(40)]
+    docs += [(100 + i, t) for i, t in docs[:8]]
+    idx_df = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 0], "doc_id long, text string"
+    )
+    prb_df = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 2 == 1], "doc_id long, text string"
+    )
+    sets_i, prefix_i, dfreq_i = dedup.ngram_prefix_index(idx_df, "doc_id", "text")
+
+    out, cache = dedup.ngram_probe_index(
+        sets_i, prefix_i, dfreq_i, prb_df, "doc_id", "text", with_cache=True
+    )
+    assert cache.storageLevel.useMemory or cache.storageLevel.useDisk
+    rows = {tuple(r) for r in out.collect()}
+    cache.unpersist(blocking=True)
+    assert not (cache.storageLevel.useMemory or cache.storageLevel.useDisk)
+    # default path: plain DataFrame, no tuple, no private attributes
+    plain = dedup.ngram_probe_index(
+        sets_i, prefix_i, dfreq_i, prb_df, "doc_id", "text"
+    )
+    assert not hasattr(plain, "_mras_probe_cache")
+    assert {tuple(r) for r in plain.collect()} == rows

@@ -9,6 +9,8 @@ regressing into a scale-hostile one.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
@@ -394,6 +396,75 @@ def _defining_expr(plan: str, pos: int) -> str:
     return plan[i + 1 : pos]
 
 
+def _wrapped_by_safe_mark(expr: str, agg_idx: int) -> bool:
+    """True iff a round/floor/ceil/exact-cast opens BEFORE the
+    aggregate at ``agg_idx`` and its paren closes AFTER it -- i.e. the
+    mark quantizes the aggregate's OUTPUT. A mark merely appearing
+    inside the aggregate (sum(round(x, 9)) -- the exact q62/e10
+    engine-order class fixed in r11) is NOT safe: rounding the inputs
+    leaves the summation order float-dependent (r12 ADVICE)."""
+    for mark in ("round(", "floor(", "ceil(", "cast("):
+        start = 0
+        while True:
+            i = expr.find(mark, start)
+            if i == -1 or i >= agg_idx:
+                break
+            depth, j = 0, i + len(mark) - 1  # j at the mark's '('
+            while j < len(expr):
+                if expr[j] == "(":
+                    depth += 1
+                elif expr[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j > agg_idx:  # the mark's parens span the aggregate
+                if mark != "cast(":
+                    return True
+                seg = expr[i : j + 1]
+                if (
+                    " as bigint" in seg
+                    or " as int" in seg
+                    or " as decimal" in seg
+                ):
+                    return True
+            start = i + 1
+    return False
+
+def _agg_arg_is_integer_typed(expr: str, agg_idx: int) -> bool:
+    """True iff the aggregate's WHOLE argument is cast to an integral
+    type (sum(cast(round(x * 1.0e9), 0) as bigint)) -- the integer-grid
+    fold: summation over bigints is exact in any order, so the key is
+    engine-independent even though the final attribute is a double
+    (the grid mean divides the exact sum back down). Contrast
+    sum(round(x, 9)): rounded DOUBLES still sum in engine order."""
+    p = expr.index("(", agg_idx)
+    depth, j = 0, p
+    while j < len(expr):
+        if expr[j] == "(":
+            depth += 1
+        elif expr[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    arg = expr[p + 1 : j].strip()
+    if not arg.startswith("cast("):
+        return False
+    depth, k = 0, 4  # at cast's '('
+    while k < len(arg):
+        if arg[k] == "(":
+            depth += 1
+        elif arg[k] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        k += 1
+    return k == len(arg) - 1 and bool(
+        re.search(r" as (bigint|int|smallint|tinyint|decimal\([^)]*\))\)$", arg)
+    )
+
+
 def test_no_unrounded_float_aggregate_window_sort_keys(spark):
     """The t04/q62/e10/q16 rank-tie class, MECHANIZED (r11 VERDICT task
     6b): a Window sort key fed by an UNROUNDED avg() or sum() over
@@ -412,7 +483,7 @@ def test_no_unrounded_float_aggregate_window_sort_keys(spark):
     import re
 
     ALLOWED = {("e04_knn_pq_adc", "adist"), ("e06_knn_ivfpq", "adist")}
-    SAFE_MARKS = ("round(", "floor(", "ceil(", "as bigint", "as int")
+
     bad = []
     scan = PLANNABLE + [
         n for n in sorted(REGISTRY) if n.startswith(("g", "mm"))
@@ -429,9 +500,17 @@ def test_no_unrounded_float_aggregate_window_sort_keys(spark):
                 r" AS " + re.escape(attr) + "#" + eid + r"\b", plan
             ):
                 expr = _defining_expr(plan, dm.start()).lower()
-                if not re.search(r"\b(avg|sum)\(", expr):
+                aggs = [a.start() for a in re.finditer(r"\b(avg|sum)\(", expr)]
+                if not aggs:
                     continue
-                if any(s in expr for s in SAFE_MARKS):
+                # EVERY aggregate in the defining expression must be
+                # output-quantized OR integer-summed; one safe + one bare
+                # is still an engine-order-dependent key.
+                if all(
+                    _wrapped_by_safe_mark(expr, a)
+                    or _agg_arg_is_integer_typed(expr, a)
+                    for a in aggs
+                ):
                     continue
                 if (name, attr) not in ALLOWED:
                     bad.append((name, attr, expr.strip()[:120]))

@@ -968,6 +968,9 @@ def test_s33_readback_collapses_duplicate_appends(spark, sf_dir, monkeypatch):
 
     def doubled(*a, **k):
         r = orig(*a, **k)
+        if isinstance(r, tuple):  # with_cache=True call sites (s33)
+            df, cache = r
+            return df.unionByName(df), cache
         return r.unionByName(r)
 
     monkeypatch.setattr(D, "ngram_probe_index", doubled)

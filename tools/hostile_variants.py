@@ -28,6 +28,27 @@ Variants:
                their tie-breaks; any engine-order float key left in a
                window sort diverges here (the q16/t04 class,
                end-to-end).
+  bigmoney  -- money columns scaled x1e7 (2dp grid kept): one group's
+               exact cents sum crosses the 2^52 grid-mean exactness
+               precondition, so every money_mean/grid_mean carrier must
+               FAIL LOUDLY (catalog._grid_guard's split-groups message)
+               rather than return a silently-inexact mean (r12 VERDICT
+               task 4). Long sums stay in BIGINT range (1e17 cents).
+  extremes  -- IEEE boundary values: events.value cycles +/-inf, NaN,
+               +/-1e308, 5e-324 (subnormal) on event_id % 11 slices;
+               events.user_id takes +/-2^63-adjacent longs on % 13
+               slices. Stresses NaN grouping/ordering semantics, inf
+               sums, overflow-adjacent long arithmetic -- both engines
+               must degrade identically.
+  dupx      -- every row of every table duplicated 100x (true
+               duplicates): keyed joins fan out 1e4 per matched pair,
+               dedup families see 100-deep duplicate classes (their
+               broadcast gates must re-route), and the driver's
+               multiset rows_match sees the full multiplicity.
+  longstr   -- documents.text grown to >= 1 MiB on doc_id % 17 == 0
+               (text repeated to the megabyte), n_chars recomputed for
+               consistency: tokenizer / md5 / regex / shingle paths at
+               pathological row widths.
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -133,6 +154,46 @@ def build(
                 " (SELECT embedding FROM {0} ORDER BY vec_id LIMIT 1) AS embedding,"
                 " label FROM {0}".format(src)
             )
+        elif variant == "bigmoney" and t == "orders":
+            sel = (
+                "SELECT * REPLACE (round(o_totalprice * 1e7, 2) AS o_totalprice)"
+                f" FROM {src}"
+            )
+        elif variant == "bigmoney" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE (round(l_extendedprice * 1e7, 2)"
+                f" AS l_extendedprice) FROM {src}"
+            )
+        elif variant == "extremes" and t == "events":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE event_id % 11"
+                "  WHEN 0 THEN 'infinity'::DOUBLE"
+                "  WHEN 1 THEN '-infinity'::DOUBLE"
+                "  WHEN 2 THEN 'nan'::DOUBLE"
+                "  WHEN 3 THEN 1e308"
+                "  WHEN 4 THEN -1e308"
+                "  WHEN 5 THEN 5e-324"
+                "  ELSE value END AS value,"
+                " CASE event_id % 13"
+                "  WHEN 0 THEN 9223372036854775807"
+                "  WHEN 1 THEN -9223372036854775808"
+                "  WHEN 2 THEN 9223372036854775806"
+                "  ELSE user_id END AS user_id)"
+                f" FROM {src}"
+            )
+        elif variant == "dupx":
+            sel = f"SELECT s.* FROM {src} s CROSS JOIN range(100)"
+        elif variant == "longstr" and t == "documents":
+            grown = (
+                "CASE WHEN doc_id % 17 = 0 THEN repeat(text || ' ', "
+                "CAST(ceil(1048576.0 / (length(text) + 1)) AS BIGINT)) "
+                "ELSE text END"
+            )
+            sel = (
+                f"SELECT doc_id, {grown} AS text, lang, source,"
+                f" length({grown}) AS n_chars FROM {src}"
+            )
         elif variant == "unicode" and t == "documents":
             toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
             sel = (
@@ -159,7 +220,8 @@ def build(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["nulls", "singlerow", "unicode", "salt", "ties", "empty"])
+                    choices=["nulls", "singlerow", "unicode", "salt", "ties",
+                             "empty", "bigmoney", "extremes", "dupx", "longstr"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     args = ap.parse_args()
