@@ -20,42 +20,34 @@ from . import batch8  # noqa: E402,F401
 from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 12 rotation).
+# Registration-order policy (round 13 rotation).
 #
 # The driver's CORRECTNESS sweep samples exactly 50 queries per round *in
-# registration order* (r1-r11 each recorded 50), so the order of this dict
+# registration order* (r1-r12 each recorded 50), so the order of this dict
 # decides which queries get a hard driver-side oracle run. Policy
 # (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST: queries whose EXECUTION PATH changed this round (they
-#      must be re-greened under the driver, not just pytest), plus
-#      brand-new entries. r12 promotes 31: s26/s33 (the per-batch probe
-#      gates now persist the pair list instead of eager-checkpointing it,
-#      the batch gate is a scalar sum(psz), and s26 gates the candidate
-#      broadcast on PROBE_BROADCAST_CAND_SHINGLE_LIMIT); q16 (rank key
-#      moved from an unrounded sum(o_totalprice) to the exact integer
-#      cents sum after the new window-sort-key lint flagged it -- the
-#      t04/q62 rank-tie class, latent); t10 (its 9dp-quantized entropy
-#      mean moved to the integer-grid fold after the new oracle lint
-#      flagged it -- the t14 class, latent); and the 19 queries whose
-#      plans carry the new grid-mean runtime exactness guard
-#      (catalog._grid_guard: every grid_mean_spark/money_mean_spark
-#      site), all re-simmed MATCH at sf0.01 before the rotation; plus
-#      e09 and t14's NULL-predicate alignments (count(when) / try_divide),
-#      both found by the r12 all-NULL hostile variant on first contact.
-#   2. NEXT_R12 (15): the r7-cohort tail displaced from the r11 window
-#      (q52-q59/mm05/s02-s07/s10) -- the stalest official records (r7),
-#      every member re-verified by the judge's full-catalog r11 sweep,
-#      per the displacement rule.
-#   3. FRESH_R8 (39 after q16's promotion): the next-stalest cohort;
-#      slots 31+13 leave room for its first 6 (s13..s20). The displaced
-#      remainder leads the r13 window.
-#   4. FRESH_R9 / FRESH_R10 / FRESH_R11: re-checked oldest-first.
-#      FRESH_R11 is the union of r11's VERIFY_FIRST (minus the 13
-#      re-promoted), the nine r10-displaced entries re-greened in r11,
-#      and the first 26 of the old r7 cohort (minus the five promoted) --
-#      the freshest records, checked last.
-#   5. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
+#   1. VERIFY_FIRST (22): queries whose EXECUTION PATH changed this round.
+#      r13 promotes s33 (ngram_probe_index now hands its pair-list cache
+#      over explicitly -- tuple API -- instead of a private attribute) and
+#      all 21 grid/money-mean carriers: the r13 bigmoney hostile variant
+#      found the guard's LONG-built numerator overflowing at 2^63 before
+#      the 2^52 bound compare, so _grid_guard numerators now build in
+#      DOUBLE -- every carrier plan changed, all 21 re-simmed MATCH at
+#      sf0.01 before this rotation (plus the outside-repo plain-session
+#      driver sim, same result).
+#   2. NEXT_R13 (32): the displaced r8-cohort remainder -- the stalest
+#      official records (r8) -- exactly as the r12 VERDICT prescribed.
+#      Slots 22+28 fill the 50-window; the last 4 (q14 q18 q19 q20) are
+#      displaced to lead r14.
+#   3. FRESH_R9 / FRESH_R10 (37+37): re-checked oldest-official-record-
+#      first (r9 before r10 -- CORRECTNESS_r09/r10 are their latest
+#      records; the r10 cohort also carries the freshest pre-verification,
+#      the r12 sweeps). Neither reaches the 50-window this round.
+#   4. FRESH_R12 (29): the r12 window members not re-promoted above --
+#      the freshest records, checked last among oracle-paired entries.
+#   5. FRESH_R11 (30): r11 records (q62 promoted out as a carrier).
+#   6. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
 #      ALS training -- register(..., rows_only=True)) at the very end: a
 #      window slot spent on them can never upgrade to a hash match, and
 #      their `err: no_oracle` CORRECTNESS rows are by design (see
@@ -67,10 +59,9 @@ from . import batch9  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST: list[str] = [
-    "s26_stream_lsh_dedup_probe",
     "s33_stream_ngram_jaccard_probe",
-    "q16_segment_top_customers",
-    "t10_token_entropy",
+    "d16_soft_dedup_weights",
+    "m07_ranking_metrics",
     "q01_pricing_summary",
     "q05_balance_buckets",
     "q07_regex_brand_etl",
@@ -80,6 +71,7 @@ _VERIFY_FIRST: list[str] = [
     "q35_unpivot_segment_metrics",
     "q42_try_arithmetic",
     "q56_batch_sessionization",
+    "q62_bm25_topk",
     "q72_orc_roundtrip",
     "q80_source_score_calibration",
     "q85_classifier_quality_filter",
@@ -87,55 +79,11 @@ _VERIFY_FIRST: list[str] = [
     "t03_token_stats",
     "t04_tfidf_top_terms",
     "t08_bigram_cross_entropy",
+    "t10_token_entropy",
     "t14_perplexity_filter",
-    "m07_ranking_metrics",
-    "d16_soft_dedup_weights",
-    # e09/t14 NULL-predicate fixes (the r12 all-NULL hostile variant found
-    # both): t14 already sits above; e09 promotes from the r9 cohort
-    "e09_knn_label_eval",
-    # the r12 single-row hostile variant's four first-contact findings
-    # (q58 degenerate width_bucket stripe; q71 try_divide + coalesced
-    # exact counts; s21 empty ListState put; m02 -- rows-only, stays in
-    # the tail):
-    "q58_equidepth_histogram",
-    "q71_kmv_sketch_setops",
-    "s21_stream_funnel_stages",
-    # the r12 empty-tables hostile variant's fixes whose RENDERED plans
-    # changed on real data too (q55 try_divide + vacuous-truth bounds,
-    # incl. its oracle; s15/s24/s25 explicit-schema sink read-backs).
-    # The other nine empty-variant fixes (q19/q20/q30 isEmpty standard
-    # grand-total row, q62/e10/q64/d05/q51/t13 guard-only branches) are
-    # byte-identical plans on non-empty data -- sim-matched, not
-    # window-promoted, per the r11 keying-change precedent.
-    "q55_dq_expectations",
-    "s15_incremental_rollup",
-    "s24_stream_upsert_snapshot",
-    "s25_stream_jsonl_sink",
 ]
 
-_NEXT_R12 = [
-    "q52_compaction_roundtrip",
-    "q53_sql_engine_parity",
-    "q54_schema_evolution_read",
-    "q57_weighted_sample",
-    "mm05_shard_manifest",
-    "q59_snapshot_diff",
-    "s02_stream_sliding_counts",
-    "s03_stream_session_counts",
-    "s04_stream_dedup_counts",
-    "s05_stream_latest_topk",
-    "s06_stream_group_counts",
-    "s07_stream_stream_join",
-    "s10_stream_tws_counts",
-]
-
-_FRESH_R8 = [
-    "s13_stream_file_sink",
-    "e13_knn_nsw_beam",
-    "s18_stream_tws_latest",
-    "s19_stream_tws_buckets",
-    "g05_bfs_level_histogram",
-    "s20_stream_countmin_cells",
+_NEXT_R13 = [
     "q61_source_quality_gate",
     "q63_epoch_shuffle_shards",
     "q64_vocab_coverage",
@@ -250,8 +198,39 @@ _FRESH_R10 = [
     "g03_component_histogram",
 ]
 
+_FRESH_R12 = [
+    "s26_stream_lsh_dedup_probe",
+    "q16_segment_top_customers",
+    "e09_knn_label_eval",
+    "q58_equidepth_histogram",
+    "q71_kmv_sketch_setops",
+    "s21_stream_funnel_stages",
+    "q55_dq_expectations",
+    "s15_incremental_rollup",
+    "s24_stream_upsert_snapshot",
+    "s25_stream_jsonl_sink",
+    "q52_compaction_roundtrip",
+    "q53_sql_engine_parity",
+    "q54_schema_evolution_read",
+    "q57_weighted_sample",
+    "mm05_shard_manifest",
+    "q59_snapshot_diff",
+    "s02_stream_sliding_counts",
+    "s03_stream_session_counts",
+    "s04_stream_dedup_counts",
+    "s05_stream_latest_topk",
+    "s06_stream_group_counts",
+    "s07_stream_stream_join",
+    "s10_stream_tws_counts",
+    "s13_stream_file_sink",
+    "e13_knn_nsw_beam",
+    "s18_stream_tws_latest",
+    "s19_stream_tws_buckets",
+    "g05_bfs_level_histogram",
+    "s20_stream_countmin_cells",
+]
+
 _FRESH_R11 = [
-    "q62_bm25_topk",
     "e10_rrf_hybrid",
     "e05_knn_truncated_rerank",
     "mm04_audio_features",
@@ -296,10 +275,10 @@ _ROWS_ONLY_TAIL = [
 def _apply_order() -> None:
     cohorts = [
         _VERIFY_FIRST,
-        _NEXT_R12,
-        _FRESH_R8,
+        _NEXT_R13,
         _FRESH_R9,
         _FRESH_R10,
+        _FRESH_R12,
         _FRESH_R11,
         _ROWS_ONLY_TAIL,
     ]

@@ -17,6 +17,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import cents_sum_spark
+
 from ..functions.etl import (
     collect_lookup_map,
     map_lookup,
@@ -321,7 +323,7 @@ def q07_regex_brand_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(ts, '%d/%m/%Y') AS day_str,
        event_type,
        count(*)                  AS n_events,
-       round(sum(value), 2)      AS sum_value
+       (sum(CAST(round(value * 100) AS BIGINT)) / 1e2)      AS sum_value
 FROM events
 GROUP BY day_str, event_type
 """,
@@ -333,7 +335,7 @@ def q08_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_str", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            cents_sum_spark("value").alias("sum_value"),
         )
     )
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import cents_sum_spark
+
 from ..sources.readers import load_table
 from .catalog import grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
 
@@ -302,7 +304,7 @@ WITH b AS (
   FROM b
 ), daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+         CAST(count(*) AS BIGINT) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS v
   FROM events GROUP BY 1, 2
 )
 SELECT s.event_type,
@@ -332,7 +334,7 @@ def q40_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
     )
     daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+        F.count(F.lit(1)).alias("n"), cents_sum_spark("value").alias("v")
     )
     from pyspark.sql import Window
 

@@ -1203,7 +1203,7 @@ WITH tagged AS (
          ('0x' || substr(md5('snap|' || event_id::VARCHAR), 1, 8))::UBIGINT % 2 AS side,
          least(greatest(floor((value - {_Q83_VLO}) / (({_Q83_VHI} - {_Q83_VLO}) / {_Q83_BUCKETS})),
                         0), {_Q83_BUCKETS - 1}) AS bucket
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), cells AS (
   SELECT event_type, bucket,
          count(*) FILTER (WHERE side = 0) AS n_base,
@@ -1240,7 +1240,12 @@ ORDER BY event_type
 def q83_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import load_events
 
-    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    # NaN = invalid reading, excluded like NULL on both engines (the r13
+    # extremes variant: Spark floor(NaN) -> NULL -> bucket 0, DuckDB's
+    # NaN-sorts-high -> bucket 9 -- the histogram must not depend on it)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     width = (_Q83_VHI - _Q83_VLO) / _Q83_BUCKETS
     bucket = F.least(
         F.greatest(F.floor((F.col("value") - _Q83_VLO) / width), F.lit(0)),

@@ -36,7 +36,7 @@ def stateful_v2_available() -> bool:
 
 
 _S10_ORACLE = """
-SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT event_type, count(*) AS n_events, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events GROUP BY event_type
 """
 
@@ -67,7 +67,7 @@ def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
-        F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+        (F.max_by("sum_cents", "n_events") / F.lit(1e2)).alias("sum_value"),
     )
 
 
@@ -119,8 +119,13 @@ def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FLOORED mod, matching the MapState handler's pandas `% 10` (floored
+# semantics: bucket always in [0, 10)). SQL's % truncates toward zero, so
+# a bare `user_id % 10` diverges on negative ids -- caught first-contact
+# by the r13 extremes variant's -2^63-adjacent user_ids. On non-negative
+# ids the two are identical.
 _S19_ORACLE = """
-SELECT event_type, CAST(user_id % 10 AS INT) AS bucket,
+SELECT event_type, CAST(((user_id % 10) + 10) % 10 AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type, bucket
 """
@@ -224,7 +229,9 @@ def _s22_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streamq import _replayed_with_sentinel
 
     stream = _replayed_with_sentinel(spark, sf_dir)
-    out_stream = timer_sessionize_per_user(stream, gap_min=_S22_GAP_MIN)
+    out_stream = timer_sessionize_per_user(
+        stream, gap_min=_S22_GAP_MIN, drop_types=("__sentinel__",)
+    )
     # 16 partitions, not the 4 the other tws queries use: timer
     # sessionization keeps a per-user event buffer, so the per-partition
     # Python handler does real work (sort + gap walk per user) and wider
@@ -233,9 +240,13 @@ def _s22_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, out = run_to_memory_sink(
         out_stream, "append", shuffle_partitions=16, rocksdb_state=True
     )
+    # no sentinel filter needed: the sentinel row advances the watermark
+    # but never reaches the handler (dropped by type INSIDE
+    # timer_sessionize_per_user) -- filtering `user_id >= 0` here
+    # silently dropped real users when the r13 extremes variant put
+    # -2^63-adjacent longs into user_id
     return (
-        out.filter(F.col("user_id") >= 0)  # drop the watermark sentinel's row
-        .groupBy("user_id")
+        out.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("n_events"),

@@ -17,6 +17,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import cents_sum_spark
+
 from ..sources.readers import local_rows_df
 from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_replay
 from ..streaming.stateful import longest_run_per_user
@@ -85,7 +87,7 @@ def _replayed(
     "s01_stream_tumbling_counts",
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events GROUP BY win_start, event_type
 """,
 )
@@ -221,7 +223,7 @@ def s05_stream_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s06_stream_group_counts",
     oracle="""
-SELECT event_type, user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT event_type, user_id, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events GROUP BY event_type, user_id
 """,
 )
@@ -328,7 +330,7 @@ def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        cents_sum_spark("value").alias("sum_value"),
     )
     _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
     return out
@@ -471,7 +473,7 @@ def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s13_stream_file_sink",
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events GROUP BY win_start, event_type
 """,
 )
@@ -530,7 +532,10 @@ def s14_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = stream.filter(F.col("event_type").isin("purchase", "__sentinel__"))
     joined = stream_stream_left_outer_join(clicks, purchases, within="30 minutes")
     _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
-    return out.filter(F.col("user_id") >= 0)
+    # drop the sentinel's own join output by its type marker -- NOT by an
+    # id-domain test (`user_id >= 0` silently dropped real clicks when the
+    # r13 extremes variant put -2^63-adjacent longs into user_id)
+    return out.filter(F.col("c_type") != "__sentinel__").drop("c_type")
 
 
 # --------------------------------------------------------------------------
@@ -548,7 +553,7 @@ def s14_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s15_incremental_rollup",
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events GROUP BY day, event_type
 """,
 )
@@ -556,10 +561,17 @@ def s15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import foreach_batch_incremental_rollup
 
     stream = _replayed(spark, sf_dir, max_files_per_trigger=2, n_files=4)
+    # running EXACT cents sum in streaming state (long, order-independent
+    # across batch splits and engines); divided back once at readback --
+    # the r13 extremes variant caught the old double running sum
+    # absorbing/overflowing in engine-dependent order (functions/numeric)
     agg = (
         stream.groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
     )
     table_dir = tempfile.mkdtemp(prefix="mras_mv_")
     ckpt = tempfile.mkdtemp(prefix="mras_mv_ckpt_")
@@ -584,12 +596,12 @@ def s15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit schema: a ZERO-batch stream (r12 empty-tables hostile
     # variant) leaves the sink dir without any footer to infer from.
     return spark.read.schema(
-        "event_type STRING, n BIGINT, sum_value DOUBLE, day DATE"
+        "event_type STRING, n BIGINT, sum_cents BIGINT, day DATE"
     ).parquet(table_dir).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n",
-        F.round("sum_value", 2).alias("sum_value"),
+        (F.col("sum_cents") / F.lit(1e2)).alias("sum_value"),
     )
 
 
@@ -637,7 +649,7 @@ SELECT CASE WHEN event_type <> 'error' AND value >= 0.5
             THEN 'accept' ELSE 'reject' END AS route,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS sum_value
+       (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events
 GROUP BY route, event_type
 """,
@@ -675,7 +687,7 @@ def s16_stream_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return routed.groupBy("route", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        cents_sum_spark("value").alias("sum_value"),
     )
 
 
@@ -694,7 +706,7 @@ def s16_stream_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS sum_value
+       (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events
 WHERE user_id % 97 <> 0
 GROUP BY event_type
@@ -712,7 +724,7 @@ def s17_stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = stream.join(F.broadcast(blocklist), "user_id", "left_anti")
     agg = clean.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count(F.lit(1)).alias("n"), cents_sum_spark("value").alias("sum_value")
     )
     _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
     return out.select("event_type", F.col("n").cast("long").alias("n"), "sum_value")
@@ -965,7 +977,7 @@ def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s25_stream_jsonl_sink",
     oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events WHERE user_id % 4 = 0 GROUP BY event_type
 """,
     doc="Spark 4 Python DataSource stream writer (jsonl_dir) end-to-end: "
@@ -1018,7 +1030,7 @@ def s25_stream_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jsonl_sink(spark, out_dir, schema="event_type STRING, value DOUBLE")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        cents_sum_spark("value").alias("sum_value"),
     )
 
 
@@ -1272,7 +1284,10 @@ from .batch8 import _Q83_ORACLE  # noqa: E402  (no circularity: batch8
 def s27_stream_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .batch8 import _Q83_BUCKETS, _Q83_VHI, _Q83_VLO
 
-    stream = _replayed(spark, sf_dir).filter(F.col("value").isNotNull())
+    stream = _replayed(spark, sf_dir).filter(
+        # NaN excluded like NULL, matching q83 and the shared oracle
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     width = (_Q83_VHI - _Q83_VLO) / _Q83_BUCKETS
     bucket = F.least(
         F.greatest(F.floor((F.col("value") - _Q83_VLO) / width), F.lit(0)),

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import cents_sum_spark
+
 from ..functions.etl import when_chain
 
 # Reference age bins, app3/live_counts.py:52-61.
@@ -62,7 +64,7 @@ def streaming_group_counts(stream: DataFrame, *keys: str) -> DataFrame:
     value_counts (app3/live_counts.py:72-80)."""
     return stream.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        cents_sum_spark("value").alias("sum_value"),
     )
 
 
@@ -77,7 +79,7 @@ def tumbling_counts(
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width).alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), cents_sum_spark("value").alias("sum_value"))
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
@@ -212,6 +214,12 @@ def stream_stream_left_outer_join(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("c_ts"),
+            # carried through so callers can drop sentinel-origin rows by
+            # the UNAMBIGUOUS type marker instead of an id-domain
+            # assumption (the r13 extremes variant put -2^63 into
+            # user_id: a `user_id >= 0` sentinel filter silently dropped
+            # real clicks)
+            F.col("event_type").alias("c_type"),
         )
     )
     p = (
@@ -228,7 +236,7 @@ def stream_stream_left_outer_join(
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
     )
     return c.join(p, cond, "leftOuter").select(
-        "click_id", "purchase_id", F.col("c_user").alias("user_id")
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"), "c_type"
     )
 
 

@@ -39,7 +39,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-OUT_SCHEMA = "event_type string, n_events bigint, sum_value double"
+OUT_SCHEMA = "event_type string, n_events bigint, sum_cents bigint"
 
 
 class RunningCountSum(StatefulProcessor):
@@ -56,19 +56,23 @@ class RunningCountSum(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._agg = handle.getValueState(
-            "agg", "n bigint, total double", ttlDurationMs=self._ttl_ms
+            "agg", "n bigint, total_cents bigint", ttlDurationMs=self._ttl_ms
         )
 
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        n, cents = self._agg.get() if self._agg.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        self._agg.update((n, total))
+            # exact integer-cents accumulation (2dp-grid telemetry): the
+            # r13 extremes variant showed float running sums absorbing /
+            # overflowing in arrival order; off-scale or NaN/inf values
+            # fail LOUDLY at the int64 cast instead (functions/numeric)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        self._agg.update((n, cents))
         yield pd.DataFrame(
-            {"event_type": [key[0]], "n_events": [n], "sum_value": [total]}
+            {"event_type": [key[0]], "n_events": [n], "sum_cents": [cents]}
         )
 
     def close(self) -> None:
@@ -356,8 +360,18 @@ class TimerSessionizer(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         uid = int(key[0])
+        # sentinel-flagged rows advance the global watermark (their ts
+        # passed the watermark node upstream) but never open a session:
+        # buffer only unflagged rows. A post-watermark FILTER cannot do
+        # this -- Catalyst pushes it below EventTimeWatermark, the
+        # sentinel then never reaches the watermark node, and every
+        # user's final session stays open forever (found when the first
+        # drop_types attempt broke s22 on NORMAL data).
         ts_list = sorted(
-            int(t) for pdf in rows for t in pdf["ts_us"].tolist()
+            int(t)
+            for pdf in rows
+            for t, sent in zip(pdf["ts_us"].tolist(), pdf["is_sent"].tolist())
+            if not sent
         )
         if not ts_list:
             return
@@ -402,15 +416,32 @@ class TimerSessionizer(StatefulProcessor):
 
 
 def timer_sessionize_per_user(
-    stream: DataFrame, gap_min: int = 45, watermark: str = "0 seconds"
+    stream: DataFrame,
+    gap_min: int = 45,
+    watermark: str = "0 seconds",
+    drop_types: tuple[str, ...] = (),
 ) -> DataFrame:
     """Timer-closed sessions keyed by user. ``stream`` must carry (ts,
     user_id); event-time timers require a watermark and
-    timeMode="EventTime"."""
+    timeMode="EventTime".
+
+    ``drop_types``: event types whose rows advance the global watermark
+    (they flow through the EventTimeWatermark node untouched -- a filter
+    there would be pushed below it by Catalyst and stall the watermark)
+    but are FLAGGED so the handler never buffers them: no sentinel
+    session is ever emitted and callers need no id-domain output filter
+    (the r13 extremes variant showed `user_id >= 0` dropping real
+    users)."""
     from pyspark.sql import functions as F
 
+    is_sent = (
+        F.col("event_type").isin(*drop_types) if drop_types else F.lit(False)
+    )
     src = stream.withWatermark("ts", watermark).select(
-        "ts", "user_id", F.unix_micros("ts").alias("ts_us")
+        "ts",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        is_sent.alias("is_sent"),
     )
     return src.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TimerSessionizer(gap_us=gap_min * 60 * 1_000_000),

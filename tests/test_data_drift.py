@@ -308,3 +308,72 @@ def test_grid_guard_untripped_carriers_still_match_oracle(spark, bigmoney_varian
         got = _canon(q.fn(spark, bigmoney_variant_dir).toPandas())
         want = _canon(con.execute(q.oracle).df())
         assert got.equals(want), f"{name}: bigmoney variant disagrees with oracle"
+
+
+# r13: the IEEE-extremes variant (events.value cycles +/-inf, NaN,
+# +/-1e308, subnormals; user_id takes +/-2^63-adjacent longs). First
+# contact found SIX real divergences, all fixed same-round:
+#   q83/s27 -- Spark floor(NaN)->NULL->bucket 0 vs DuckDB NaN-sorts-high
+#              ->bucket 9 (fix: NaN excluded like NULL on both sides);
+#   s19     -- pandas floored % vs SQL truncated % on negative user_ids
+#              (fix: floored-mod oracle, buckets always in [0, n));
+#   s14/s22 -- `user_id >= 0` sentinel filters silently dropped real rows
+#              at -2^63 (fix: sentinel identified by its type marker);
+#   the sum(value) family -- engine-order-dependent double absorption /
+#              overflow at 1e308 (fix: exact BIGINT cents sums,
+#              functions/numeric.cents_sum_spark).
+EXTREMES_MATCH_QUERIES = [
+    "q83_psi_drift",
+    "s27_stream_psi_cells",
+    "s19_stream_tws_buckets",
+    "s14_stream_left_outer_join",
+    "s22_stream_timer_sessions",
+]
+
+
+@pytest.fixture(scope="module")
+def extremes_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_extremes_")
+    build("extremes", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", EXTREMES_MATCH_QUERIES)
+def test_oracle_agreement_survives_ieee_extremes(spark, extremes_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{extremes_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, extremes_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: extremes variant disagrees with oracle"
+
+
+@pytest.mark.parametrize(
+    "name", ["q08_daily_events", "s01_stream_tumbling_counts"]
+)
+def test_cents_sum_trips_loudly_on_offscale_values_both_engines(
+    spark, extremes_variant_dir, name
+):
+    """The cents-sum family must degrade IDENTICALLY on off-scale input:
+    BOTH engines raise a cast/conversion error at the cents cast (no
+    silent absorption); one batch + one streaming representative pinned."""
+    q = REGISTRY[name]
+    with pytest.raises(Exception, match="CAST_OVERFLOW|Conversion|overflow"):
+        q.fn(spark, extremes_variant_dir).collect()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{extremes_variant_dir}/{t}.parquet'"
+        )
+    with pytest.raises(Exception, match="Conversion Error|cast"):
+        con.execute(q.oracle).df()

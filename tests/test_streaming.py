@@ -300,7 +300,7 @@ def test_transform_with_state_running_counts(spark):
         for r in out.groupBy("event_type")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max_by("sum_value", "n_events").alias("sum_value"),
+            (F.max_by("sum_cents", "n_events") / F.lit(1e2)).alias("sum_value"),
         )
         .collect()
     }
@@ -406,7 +406,7 @@ def test_transform_with_state_ttl_expires_across_restart(spark):
             stream = file_stream(spark, src, df1.schema)
             plan = stream.groupBy("event_type").transformWithStateInPandas(
                 statefulProcessor=RunningCountSum(ttl_ms=ttl_ms),
-                outputStructType="event_type string, n_events bigint, sum_value double",
+                outputStructType="event_type string, n_events bigint, sum_cents bigint",
                 outputMode="Update",
                 # TTL clocks require a time mode (state expiry is evaluated
                 # against it); "None" rejects ttlDurationMs at init.
