@@ -631,6 +631,16 @@ def ngram_prefix_index(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
         )
+        # one row per document IDENTITY: exact-duplicate input rows (the
+        # r13 dupx variant, 100 copies per doc) otherwise inflate the
+        # per-doc_id prefix window's rn by x(copies) while sz stays
+        # per-row, TRUNCATING the prefix to 1/copies of its pruning
+        # budget -- which silently LOSES true near-dup pairs (the worst
+        # dedup failure). dropDuplicates on (doc_id, s) collapses exact
+        # copies; conflicting texts under one id stay (caller's contract
+        # violation, and the exact verify stays correct for whichever
+        # wins the prefix window).
+        .dropDuplicates(["doc_id", "s"])
         .withColumn("sz", F.size("s"))
         .localCheckpoint(eager=True)
     )
@@ -718,6 +728,10 @@ def ngram_probe_index(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("p"),
         )
+        # duplicate probe rows would truncate the probe-side prefix the
+        # same way duplicate index rows truncate the index prefix (see
+        # ngram_prefix_index) -- one row per probe identity
+        .dropDuplicates(["doc_id", "p"])
         .withColumn("psz", F.size("p"))
         .localCheckpoint(eager=True)
     )

@@ -252,8 +252,13 @@ WITH marked AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS sess_id
+         -- RANGE (peer-inclusive) cumulative frame, NOT ROWS: with exact
+         -- duplicate (user, ts) rows (the r13 dupx variant) a ROWS frame
+         -- splits a tie group across two sessions depending on where the
+         -- brk row lands among its peers -- engine-dependent. RANGE gives
+         -- every peer the whole tie group's brk total, so all copies of a
+         -- boundary event land in the NEW session on both engines.
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
   FROM marked
 ), sess AS (
   SELECT user_id, sess_id,
@@ -276,17 +281,20 @@ def q56_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.readers import load_events
 
-    # (user_id, ts) is unique in events at every SF, so ordering by ts
-    # alone is deterministic on both engines.
     ev = load_events(spark, sf_dir).select("user_id", "ts")
     w_ord = Window.partitionBy("user_id").orderBy("ts")
+    # lag over ties: exactly ONE copy of a boundary event sees the >30min
+    # gap (whichever sorts first among its peers); the others see gap 0.
     brk = F.when(
         F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord) <= 1800,
         0,
     ).otherwise(1)
+    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: peers share
+    # the whole tie group's brk total, so duplicate (user, ts) rows (the
+    # r13 dupx variant) cannot split across sessions in engine-dependent
+    # ways -- a ROWS frame here did exactly that.
     numbered = ev.withColumn("brk", brk).withColumn(
-        "sess_id",
-        F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        "sess_id", F.sum("brk").over(w_ord)
     )
     sess = numbered.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"),

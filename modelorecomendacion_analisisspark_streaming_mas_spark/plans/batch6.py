@@ -469,7 +469,14 @@ def q65_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = F.broadcast(bloom.select(F.col("word_idx").alias("wi1"), F.col("word").alias("word1")))
     w2 = F.broadcast(bloom.select(F.col("word_idx").alias("wi2"), F.col("word").alias("word2")))
-    member = F.broadcast(keys.select(F.col("c_custkey").alias("k")).withColumn("is_member", F.lit(True)))
+    # membership is a SET property -- dedup before the flag join, or
+    # duplicate key rows (the r13 dupx variant) fan every matching probe
+    # out x(copies), inflating every count the oracle's EXISTS keeps at 1.
+    member = F.broadcast(
+        keys.select(F.col("c_custkey").alias("k"))
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
     # Left joins so a probe hashing into an all-zero (absent) word fails
     # the membership test instead of disappearing from n_probe.
     tested = (

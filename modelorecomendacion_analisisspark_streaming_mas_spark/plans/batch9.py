@@ -31,18 +31,29 @@ from .catalog import grid_mean_spark, grid_mean_sql, register
 _T14_HEAD = 3.48
 _T14_MIDDLE = 3.56
 
+# Bigrams pair positions WITHIN one physical row (synthetic rid), and
+# lang/source ride along from that row -- never a join back through
+# doc_id: under exact-duplicate doc rows (the r13 dupx variant) a doc_id
+# position self-join cross-pairs the copies, scaling LM counts
+# QUADRATICALLY while the engine's per-row arrays_zip scales them
+# linearly (and Laplace smoothing makes the scale visible). rid is
+# order-nondeterministic but only ever joins a row to itself.
 _T14_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+WITH drows AS (
+  SELECT row_number() OVER () AS rid, doc_id, source, lang, text
+  FROM documents
+), tok AS (
+  SELECT rid, doc_id, source, lang, string_split(text, ' ') AS ws FROM drows
 ), pos AS (
-  SELECT doc_id, source, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+  SELECT rid, doc_id, source, lang,
+         generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
   FROM tok
 ), big AS (
-  SELECT a.doc_id, a.source, a.w AS w1, b.w AS w2
-  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  SELECT a.rid, a.doc_id, a.source, a.lang, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.rid = b.rid AND b.pos = a.pos + 1
   WHERE a.w <> '' AND b.w <> ''
 ), slice_big AS (
-  SELECT w1, w2 FROM big JOIN documents USING (doc_id)
+  SELECT w1, w2 FROM big
   WHERE lang = 'en' AND doc_id % 5 = 0
 ), c12 AS (
   SELECT w1, w2, count(*) AS n12 FROM slice_big GROUP BY w1, w2
@@ -50,7 +61,7 @@ WITH tok AS (
   SELECT w1, count(*) AS n1 FROM slice_big GROUP BY w1
 ), v AS (
   SELECT count(DISTINCT w) AS vs FROM (
-    SELECT unnest(ws) AS w FROM tok JOIN documents USING (doc_id)
+    SELECT unnest(ws) AS w FROM tok
     WHERE lang = 'en' AND doc_id % 5 = 0
   ) WHERE w <> ''
 ), sc AS (

@@ -344,7 +344,14 @@ def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s08_stream_dedup_watermark",
-    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+    # dedup-by-id stated EXPLICITLY: the old `count(*) FROM events`
+    # assumed unique event_ids, which the r13 dupx variant (100 identical
+    # copies per row) broke -- the engine dedups to one row per id, so
+    # the oracle must too (identical on normal data).
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type""",
 )
 def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir, copies=2)
@@ -362,15 +369,27 @@ def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s09_stream_longest_run",
+    # The rn - rt islanding runs over DISTINCT (ts, event_id) rows with a
+    # copy count: under exact-duplicate rows (the r13 dupx variant) the
+    # two row_number windows would otherwise resolve their ties in
+    # independent physical orders and fragment islands (oracle read 101
+    # where the true doubled run was 300). Copies of an event are always
+    # peers in the (ts, event_id) order, so a run's length is the sum of
+    # its events' copy counts -- exactly what the engine's per-row walk
+    # over sorted copies computes. Identical on duplicate-free data.
     oracle="""
-WITH ord AS (
-  SELECT user_id, event_type,
+WITH uniq AS (
+  SELECT user_id, ts, event_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, ts, event_id, event_type
+), ord AS (
+  SELECT user_id, event_type, cnt,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY ts, event_id) AS rt
-  FROM events
+  FROM uniq
 ), isl AS (
-  SELECT user_id, event_type, count(*) AS run_len, min(rn) AS start_rn
+  SELECT user_id, event_type, CAST(sum(cnt) AS BIGINT) AS run_len,
+         min(rn) AS start_rn
   FROM ord GROUP BY user_id, event_type, rn - rt
 ), best AS (
   SELECT user_id, event_type AS best_type, run_len AS best_run,
@@ -2089,13 +2108,18 @@ def s32_stream_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFram
 # s26. Retried batches collapse via the epoch tag on read-back.
 # --------------------------------------------------------------------------
 
+# sh collapses to DISTINCT (doc_id, text) first: the pair lattice is over
+# document IDENTITIES (the engine's sink readback keeps one row per
+# (doc_id, dup_of)), so exact-duplicate doc rows (the r13 dupx variant)
+# must not re-inflate the oracle's final shingle joins x(copies^2).
 _S33_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(t) >= 3
            THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
            ELSE [array_to_string(t, ' ')] END) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        FROM (SELECT DISTINCT doc_id, text FROM documents))
 ), ex AS (
   SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE doc_id % 2 = 0
 ), dfreq AS (

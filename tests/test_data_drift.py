@@ -377,3 +377,59 @@ def test_cents_sum_trips_loudly_on_offscale_values_both_engines(
         )
     with pytest.raises(Exception, match="Conversion Error|cast"):
         con.execute(q.oracle).df()
+
+
+# r13: the duplicate-explosion variant (every row of every table copied
+# 100x -- true duplicates). First contact found SIX divergences, all
+# fixed same-round; the failure classes were all "uniqueness assumed":
+#   q56 -- ROWS cumulative frame split tie groups across sessions in
+#          engine-dependent order (fix: RANGE peer-inclusive frame);
+#   q65 -- membership flag joined a non-deduped key set, fanning probes
+#          x(copies) (fix: distinct before the broadcast flag join);
+#   s08 -- oracle's count(*) assumed unique event_ids (fix: the
+#          dedup-by-id semantics stated explicitly in SQL);
+#   s09 -- oracle's two row_number windows resolved ties in independent
+#          physical orders, fragmenting rn-rt islands (fix: islands over
+#          DISTINCT (ts, event_id) rows carrying copy counts);
+#   t14 -- oracle's position self-join on doc_id cross-paired copies,
+#          scaling LM counts quadratically vs the engine's per-row
+#          arrays_zip (fix: pair within a synthetic per-row rid);
+#   s33 -- the per-doc_id prefix windows truncated to 1/copies of their
+#          pruning budget, SILENTLY LOSING true near-dup pairs (fix:
+#          ngram_prefix_index/ngram_probe_index dedupe to document
+#          identities before windowing -- the engine-side find).
+DUPX_QUERIES = [
+    "q56_batch_sessionization",
+    "q65_bloom_prune_join",
+    "s08_stream_dedup_watermark",
+    "s09_stream_longest_run",
+    "s33_stream_ngram_jaccard_probe",
+    "t14_perplexity_filter",
+]
+
+
+@pytest.fixture(scope="module")
+def dupx_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_dupx_")
+    build("dupx", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", DUPX_QUERIES)
+def test_oracle_agreement_survives_duplicate_explosion(spark, dupx_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dupx_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, dupx_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: dupx variant disagrees with oracle"
