@@ -27,19 +27,22 @@ from . import batch9  # noqa: E402,F401
 # decides which queries get a hard driver-side oracle run. Policy
 # (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST (22): queries whose EXECUTION PATH changed this round.
-#      r13 promotes s33 (ngram_probe_index now hands its pair-list cache
-#      over explicitly -- tuple API -- instead of a private attribute) and
-#      all 21 grid/money-mean carriers: the r13 bigmoney hostile variant
-#      found the guard's LONG-built numerator overflowing at 2^63 before
-#      the 2^52 bound compare, so _grid_guard numerators now build in
-#      DOUBLE -- every carrier plan changed, all 21 re-simmed MATCH at
-#      sf0.01 before this rotation (plus the outside-repo plain-session
-#      driver sim, same result).
+#   1. VERIFY_FIRST (41): queries whose EXECUTION PATH changed this round.
+#      Three waves: (a) s33 (ngram_probe_index pair-list cache handed over
+#      via explicit tuple API; plus the identity-dedup completeness fix
+#      below) and all 21 grid/money-mean carriers (the bigmoney variant
+#      found _grid_guard's LONG-built numerator overflowing at 2^63
+#      before the 2^52 compare -- numerators now build in DOUBLE);
+#      (b) the IEEE-extremes fixes: q83/s27 NaN-exclusion, s19 floored-
+#      mod, s14/s22 sentinel-by-type, and the whole cents-sum family
+#      (q08 q40 s01 s06 s10 s11 s13 s15 s16 s17 s25 -- exact BIGINT
+#      cents sums replacing engine-order double sums); (c) the dupx
+#      fixes: q56 RANGE session frames, q65 distinct membership, s08/s09
+#      oracle uniqueness rewrites. Every member re-simmed MATCH at
+#      sf0.01 after its change (plus outside-repo plain-session sims).
 #   2. NEXT_R13 (32): the displaced r8-cohort remainder -- the stalest
-#      official records (r8) -- exactly as the r12 VERDICT prescribed.
-#      Slots 22+28 fill the 50-window; the last 4 (q14 q18 q19 q20) are
-#      displaced to lead r14.
+#      official records (r8) -- as the r12 VERDICT prescribed. Slots
+#      41+9 fill the 50-window; the remaining 23 lead r14.
 #   3. FRESH_R9 / FRESH_R10 (37+37): re-checked oldest-official-record-
 #      first (r9 before r10 -- CORRECTNESS_r09/r10 are their latest
 #      records; the r10 cohort also carries the freshest pre-verification,
@@ -81,13 +84,31 @@ _VERIFY_FIRST: list[str] = [
     "t08_bigram_cross_entropy",
     "t10_token_entropy",
     "t14_perplexity_filter",
+    "q65_bloom_prune_join",
+    "s08_stream_dedup_watermark",
+    "s09_stream_longest_run",
+    "s14_stream_left_outer_join",
+    "s15_incremental_rollup",
+    "s19_stream_tws_buckets",
+    "s22_stream_timer_sessions",
+    "q83_psi_drift",
+    "s27_stream_psi_cells",
+    "q08_daily_events",
+    "q40_gap_fill_daily",
+    "s01_stream_tumbling_counts",
+    "s06_stream_group_counts",
+    "s10_stream_tws_counts",
+    "s11_stream_static_join",
+    "s13_stream_file_sink",
+    "s16_stream_quality_router",
+    "s17_stream_static_anti_join",
+    "s25_stream_jsonl_sink",
 ]
 
 _NEXT_R13 = [
     "q61_source_quality_gate",
     "q63_epoch_shuffle_shards",
     "q64_vocab_coverage",
-    "q65_bloom_prune_join",
     "q66_interval_month_overlap",
     "q67_countmin_heavy_hitters",
     "q68_funnel_stages",
@@ -96,8 +117,6 @@ _NEXT_R13 = [
     "q70_curation_pipeline_v2",
     "d10_incremental_index_dedup",
     "q60_sequence_packing",
-    "s08_stream_dedup_watermark",
-    "s09_stream_longest_run",
     "d05_embedding_near_dups",
     "e03_knn_ivf",
     "t05_doc_fingerprints",
@@ -107,7 +126,6 @@ _NEXT_R13 = [
     "q03_global_rank_customers",
     "q04_star_join_revenue",
     "q06_map_lookup_regions",
-    "q08_daily_events",
     "q10_dedup_pairs_histogram",
     "q11_set_ops_nationkeys",
     "q12_null_fill_activity",
@@ -183,17 +201,13 @@ _FRESH_R10 = [
     "q23_salted_join_revenue",
     "q29_semi_anti_customers",
     "q33_group_regression",
-    "q40_gap_fill_daily",
     "q45_recursive_month_spine",
     "q48_training_data_pipeline",
-    "s01_stream_tumbling_counts",
-    "s14_stream_left_outer_join",
     "d01_exact_dedup_docs",
     "d02_minhash_near_dups",
     "d03_simhash_docs",
     "t02_lang_id_confusion",
     "e01_knn_bruteforce",
-    "s11_stream_static_join",
     "s12_stream_dynamic_session",
     "g03_component_histogram",
 ]
@@ -206,9 +220,7 @@ _FRESH_R12 = [
     "q71_kmv_sketch_setops",
     "s21_stream_funnel_stages",
     "q55_dq_expectations",
-    "s15_incremental_rollup",
     "s24_stream_upsert_snapshot",
-    "s25_stream_jsonl_sink",
     "q52_compaction_roundtrip",
     "q53_sql_engine_parity",
     "q54_schema_evolution_read",
@@ -219,13 +231,9 @@ _FRESH_R12 = [
     "s03_stream_session_counts",
     "s04_stream_dedup_counts",
     "s05_stream_latest_topk",
-    "s06_stream_group_counts",
     "s07_stream_stream_join",
-    "s10_stream_tws_counts",
-    "s13_stream_file_sink",
     "e13_knn_nsw_beam",
     "s18_stream_tws_latest",
-    "s19_stream_tws_buckets",
     "g05_bfs_level_histogram",
     "s20_stream_countmin_cells",
 ]
@@ -241,18 +249,13 @@ _FRESH_R11 = [
     "d14_semantic_dedup",
     "d15_cdc_chunk_dedup",
     "d08_fuzzy_edit1_join",
-    "s22_stream_timer_sessions",
     "q81_dat_source_roundtrip",
     "q82_dsir_importance_weights",
-    "q83_psi_drift",
-    "s27_stream_psi_cells",
     "g10_graphframe_notebook_port",
     "s31_stream_ewma_anomaly",
     "e11_knn_sq8",
     "mm08_audio_segments",
     "e12_index_tombstone_hygiene",
-    "s16_stream_quality_router",
-    "s17_stream_static_anti_join",
     "mm03_video_frame_plan",
     "d06_contamination_check",
     "t06_repetition_metrics",

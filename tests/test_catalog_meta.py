@@ -55,31 +55,32 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
-        _FRESH_R8,
-        _NEXT_R12,
+        _NEXT_R13,
         _ROWS_ONLY_TAIL,
         _VERIFY_FIRST,
     )
 
     window = list(REGISTRY)[:50]
-    # r12: front of the window is anything brand-new or changed this
+    # r13: front of the window is anything brand-new or changed this
     # round (plan/oracle edits must re-green under the driver, not just
-    # pytest), then the fifteen r7-tail entries the r11 rotation
-    # displaced, then the stalest cohort (r8 records), rotating forward
-    # per the freshness policy. Membership is asserted only for names
-    # actually REGISTERED -- some registrations are conditional on host
-    # capabilities (e.g. transformWithStateInPandas), and an absent
-    # query must skip the slot, not fail the test.
-    must_be_early = {n for n in _VERIFY_FIRST + _NEXT_R12 if n in REGISTRY}
-    missing = must_be_early - set(window)
-    assert not missing, f"stale/unverified queries outside driver window: {missing}"
+    # pytest) -- ALL of VERIFY_FIRST must fit inside the window -- then
+    # the displaced r8-cohort remainder drains into the leftover slots.
+    # Membership is asserted only for names actually REGISTERED -- some
+    # registrations are conditional on host capabilities (e.g.
+    # transformWithStateInPandas), and an absent query must skip the
+    # slot, not fail the test.
+    vf = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    missing = set(vf) - set(window)
+    assert not missing, f"changed-plan queries outside driver window: {missing}"
     # The remaining window slots drain the stalest cohort strictly
-    # oldest-first: the r8 entries inside the window must form a prefix
-    # of the policy list, so adding new queries this round pushes out the
-    # TAIL of the cohort, never skips its head.
-    r8_in_window = [n for n in window if n in set(_FRESH_R8)]
-    r8_registered = [n for n in _FRESH_R8 if n in REGISTRY]
-    assert r8_in_window == r8_registered[: len(r8_in_window)]
+    # oldest-first: the displaced-cohort entries inside the window must
+    # form a prefix of the policy list, so adding new queries this round
+    # pushes out the TAIL of the cohort, never skips its head.
+    nxt_in_window = [n for n in window if n in set(_NEXT_R13)]
+    nxt_registered = [n for n in _NEXT_R13 if n in REGISTRY]
+    assert nxt_in_window == nxt_registered[: len(nxt_in_window)]
+    # and the window is exactly VERIFY_FIRST + that prefix (no strays)
+    assert set(window) == set(vf) | set(nxt_in_window)
     # Inherently rows-only samples can never upgrade to hash matches --
     # they must not consume early window slots; the registry flag and the
     # tail list must agree.
