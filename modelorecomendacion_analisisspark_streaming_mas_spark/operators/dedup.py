@@ -249,6 +249,13 @@ def ngram_jaccard_join(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias("s"),
         )
+        # one row per document IDENTITY -- same completeness argument as
+        # ngram_prefix_index: duplicate rows inflate the per-doc_id
+        # prefix window's rn by x(copies) and truncate the pruning
+        # budget, silently LOSING true pairs (the r13 dupx-x10 sweep
+        # caught d04 dropping 4 near-dup pairs this way; at x100 the
+        # over-bound gates happened to re-route around it)
+        .dropDuplicates(["doc_id", "s"])
         .withColumn("sz", F.size("s"))
         .persist()
     )

@@ -27,7 +27,15 @@ from . import batch9  # noqa: E402,F401
 # decides which queries get a hard driver-side oracle run. Policy
 # (documented so it survives refactors):
 #
-#   1. VERIFY_FIRST (41): queries whose EXECUTION PATH changed this round.
+#   1. VERIFY_FIRST (79): queries whose EXECUTION PATH changed this round.
+#      MORE THAN A WINDOW'S WORTH this round -- the money-sum conversion
+#      (26 queries moved from engine-order double sums to exact BIGINT
+#      grid sums after the dupx sweep flipped q04's cents between
+#      engines) plus the dupx identity fixes (d04/e02/e09/graph-family
+#      vertices/...) joined the earlier carrier/cents/extremes waves.
+#      The newest wave leads (highest driver-verification value); the 29
+#      overflow entries carry full sf0.01 + variant sim evidence and
+#      lead the r14 window. Original wave-1/2 note:
 #      Three waves: (a) s33 (ngram_probe_index pair-list cache handed over
 #      via explicit tuple API; plus the identity-dedup completeness fix
 #      below) and all 21 grid/money-mean carriers (the bigmoney variant
@@ -62,6 +70,44 @@ from . import batch9  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST: list[str] = [
+    "q04_star_join_revenue",
+    "q06_map_lookup_regions",
+    "q14_running_spend",
+    "q19_rollup_orders",
+    "q20_cube_lineitem",
+    "q22_salted_group_count",
+    "q23_salted_join_revenue",
+    "q29_semi_anti_customers",
+    "q30_grouping_sets",
+    "q31_small_qty_revenue",
+    "q41_range_frame_trailing_spend",
+    "q45_recursive_month_spine",
+    "q50_clustered_scan_pruning",
+    "q51_zorder_scan_pruning",
+    "q52_compaction_roundtrip",
+    "q53_sql_engine_parity",
+    "q54_schema_evolution_read",
+    "q66_interval_month_overlap",
+    "q76_json_roundtrip",
+    "q77_merge_upsert_apply",
+    "q78_delete_propagation",
+    "q81_dat_source_roundtrip",
+    "s23_stream_image_features",
+    "d04_ngram_jaccard_dedup",
+    "d15_cdc_chunk_dedup",
+    "s30_stream_cdc_dedup_probe",
+    "s32_stream_contamination_probe",
+    "s04_stream_dedup_counts",
+    "e02_knn_lsh",
+    "e09_knn_label_eval",
+    "q39_udtf_doc_chunks",
+    "q75_token_budget_curriculum",
+    "mm08_audio_segments",
+    "g11_motif_open_trade_wedges",
+    "g12_personalized_pagerank",
+    "g13_bfs_trade_paths",
+    "g14_scc_trade_components",
+    "g15_parallel_personalized_pagerank",
     "s33_stream_ngram_jaccard_probe",
     "d16_soft_dedup_weights",
     "m07_ranking_metrics",
@@ -109,7 +155,6 @@ _NEXT_R13 = [
     "q61_source_quality_gate",
     "q63_epoch_shuffle_shards",
     "q64_vocab_coverage",
-    "q66_interval_month_overlap",
     "q67_countmin_heavy_hitters",
     "q68_funnel_stages",
     "q69_retention_cohorts",
@@ -124,68 +169,44 @@ _NEXT_R13 = [
     "q02_flagship_top_tokens",
     "q38_robust_stats",
     "q03_global_rank_customers",
-    "q04_star_join_revenue",
-    "q06_map_lookup_regions",
     "q10_dedup_pairs_histogram",
     "q11_set_ops_nationkeys",
     "q12_null_fill_activity",
     "q13_top_orders",
-    "q14_running_spend",
     "q18_range_lookup_tiers",
-    "q19_rollup_orders",
-    "q20_cube_lineitem",
 ]
 
 _FRESH_R9 = [
     "s28_stream_ivf_ingest",
     "g06_weighted_pagerank_top100",
-    "e02_knn_lsh",
     "mm02_image_features",
     "mm06_image_phash_dedup",
     "d11_canonical_url_dedup",
     "q73_event_transition_bigrams",
     "t09_bpe_pair_counts",
     "q74_cluster_aware_split",
-    "q75_token_budget_curriculum",
-    "q76_json_roundtrip",
-    "s23_stream_image_features",
-    "q77_merge_upsert_apply",
     "m06_cooccurrence_lift",
-    "q78_delete_propagation",
     "d12_truncation_dedup",
     "q79_table_profile",
     "e07_knn_filtered",
     "g07_kcore_summary",
-    "q22_salted_group_count",
     "q24_distinct_counts",
     "q25_pivot_status",
     "q26_rank_family",
     "q27_lag_lead_orders",
-    "q30_grouping_sets",
-    "q31_small_qty_revenue",
     "q32_full_outer_nation_coverage",
     "q34_lateral_top_customers",
     "q36_listagg_region_nations",
     "q37_variant_event_props",
-    "q41_range_frame_trailing_spend",
     "q43_bitmap_distinct",
     "q46_array_hof_top3",
     "q47_map_type_roundtrip",
-    "q39_udtf_doc_chunks",
     "g01_part_in_degrees",
     "g02_pagerank_top100",
 ]
 
 _FRESH_R10 = [
-    "d04_ngram_jaccard_dedup",
     "s29_stream_semantic_dedup_probe",
-    "s30_stream_cdc_dedup_probe",
-    "s32_stream_contamination_probe",
-    "g15_parallel_personalized_pagerank",
-    "g11_motif_open_trade_wedges",
-    "g12_personalized_pagerank",
-    "g13_bfs_trade_paths",
-    "g14_scc_trade_components",
     "e04_knn_pq_adc",
     "e06_knn_ivfpq",
     "g09_label_propagation",
@@ -198,10 +219,7 @@ _FRESH_R10 = [
     "q86_ewma_anomaly",
     "q87_kanon_release",
     "q21_asof_click_attribution",
-    "q23_salted_join_revenue",
-    "q29_semi_anti_customers",
     "q33_group_regression",
-    "q45_recursive_month_spine",
     "q48_training_data_pipeline",
     "d01_exact_dedup_docs",
     "d02_minhash_near_dups",
@@ -215,21 +233,16 @@ _FRESH_R10 = [
 _FRESH_R12 = [
     "s26_stream_lsh_dedup_probe",
     "q16_segment_top_customers",
-    "e09_knn_label_eval",
     "q58_equidepth_histogram",
     "q71_kmv_sketch_setops",
     "s21_stream_funnel_stages",
     "q55_dq_expectations",
     "s24_stream_upsert_snapshot",
-    "q52_compaction_roundtrip",
-    "q53_sql_engine_parity",
-    "q54_schema_evolution_read",
     "q57_weighted_sample",
     "mm05_shard_manifest",
     "q59_snapshot_diff",
     "s02_stream_sliding_counts",
     "s03_stream_session_counts",
-    "s04_stream_dedup_counts",
     "s05_stream_latest_topk",
     "s07_stream_stream_join",
     "e13_knn_nsw_beam",
@@ -247,14 +260,11 @@ _FRESH_R11 = [
     "m03_item_item_cosine",
     "mm07_scene_cuts",
     "d14_semantic_dedup",
-    "d15_cdc_chunk_dedup",
     "d08_fuzzy_edit1_join",
-    "q81_dat_source_roundtrip",
     "q82_dsir_importance_weights",
     "g10_graphframe_notebook_port",
     "s31_stream_ewma_anomaly",
     "e11_knn_sq8",
-    "mm08_audio_segments",
     "e12_index_tombstone_hygiene",
     "mm03_video_frame_plan",
     "d06_contamination_check",
@@ -262,8 +272,6 @@ _FRESH_R11 = [
     "q49_stratified_source_sample",
     "t07_pii_redaction",
     "d07_near_dup_clusters",
-    "q50_clustered_scan_pruning",
-    "q51_zorder_scan_pruning",
 ]
 
 _ROWS_ONLY_TAIL = [

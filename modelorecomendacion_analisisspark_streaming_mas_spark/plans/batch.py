@@ -28,7 +28,17 @@ from ..functions.etl import (
 )
 from ..operators.topk import global_rank, grouped_top_k, top_k
 from ..sources.readers import load_table
-from .catalog import grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
+from .catalog import (
+    disc_money_sum_spark,
+    disc_money_sum_sql,
+    grid_mean_spark,
+    grid_mean_sql,
+    money_mean_sql,
+    money_mean_spark,
+    money_sum_spark,
+    money_sum_sql,
+    register,
+)
 
 # --------------------------------------------------------------------------
 # q01: TPC-H Q1-shaped pricing summary.
@@ -44,9 +54,9 @@ from .catalog import grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_
     "q01_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2) AS sum_qty,
+       {money_sum_sql('l_extendedprice')}                   AS sum_base_price,
+       {disc_money_sum_sql()}                               AS sum_disc_price,
        {grid_mean_sql('l_quantity', 1, 2)}                  AS avg_qty,
        {grid_mean_sql('l_discount', 100, 4)}                AS avg_disc,
        count(*)                                             AS count_order
@@ -61,9 +71,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            # exact grid sums (r13: engine-order double sums flip cents
+            # under multiplicity/scale -- catalog.money_sum_spark)
+            money_sum_spark("l_quantity").alias("sum_qty"),
+            money_sum_spark("l_extendedprice").alias("sum_base_price"),
+            disc_money_sum_spark().alias("sum_disc_price"),
             # integer-grid means (quantities integral, discounts 2dp):
             # engine-independent at exact half-units (r11, t14 lesson)
             grid_mean_spark("l_quantity", 1, 2).alias("avg_qty"),
@@ -174,10 +186,10 @@ def q03_global_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q04_star_join_revenue",
-    oracle="""
+    oracle=f"""
 SELECT r.r_name, n.n_name,
        count(*)                                              AS num_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {disc_money_sum_sql('l.l_extendedprice', 'l.l_discount')} AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -201,7 +213,9 @@ def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("num_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        # exact 1e-4-grid revenue sum: the r13 dupx sweep caught the
+        # double sum flipping a cent between engines at x10 multiplicity
+        disc_money_sum_spark().alias("revenue"),
     )
 
 
@@ -253,9 +267,16 @@ def q05_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_map_lookup_regions",
+    # the engine side is a LOOKUP (collected key->name map: one value per
+    # key by construction), so the oracle joins a DEDUPED dim -- under
+    # duplicate dim rows (the r13 dupx variant) a raw join would fan each
+    # nation out x(copies), which lookup semantics never do. Identical on
+    # key-unique dims.
     oracle="""
 SELECT r.r_name AS region_name, count(*) AS n_nations
-FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+FROM nation n
+JOIN (SELECT DISTINCT r_regionkey, r_name FROM region) r
+  ON n.n_regionkey = r.r_regionkey
 GROUP BY region_name
 """,
 )
@@ -507,7 +528,7 @@ def q13_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_running_spend",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER w, 2) AS running_spend,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 1e2) AS running_spend,
        round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -526,7 +547,8 @@ def q14_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w_frame), 2).alias("running_spend"),
+        # exact cents running sum per frame (r13 money-sum discipline)
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w_frame) / F.lit(1e2)).alias("running_spend"),
         F.round(F.lag("o_totalprice", 1, 0.0).over(w_lag), 2).alias("prev_price"),
     )
 

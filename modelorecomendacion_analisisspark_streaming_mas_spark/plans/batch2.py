@@ -10,14 +10,22 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_attribute
 from ..sources.readers import load_table
-from .catalog import money_mean_sql, money_mean_spark, register
+from .catalog import (
+    disc_money_sum_spark,
+    disc_money_sum_sql,
+    money_mean_sql,
+    money_mean_spark,
+    money_sum_spark,
+    money_sum_sql,
+    register,
+)
 
 
 @register(
     "q19_rollup_orders",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql('o_totalprice')} AS revenue
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
@@ -36,7 +44,7 @@ def q19_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        money_sum_spark("o_totalprice").alias("revenue"),
     )
 
 
@@ -44,7 +52,7 @@ def q19_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_cube_lineitem",
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty
+       (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -58,7 +66,7 @@ def q20_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money_sum_spark("l_quantity").alias("sum_qty"),
     )
 
 
@@ -112,25 +120,32 @@ def q21_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_salted_group_count",
     oracle="""
-SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+SELECT l_returnflag, count(*) AS n,
+       (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2) AS qty
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def q22_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_group_count
 
-    li = load_table(spark, sf_dir, "lineitem")
-    out = salted_group_count(
-        li, "l_returnflag", salt_from=["l_orderkey", "l_linenumber"], sum_col="l_quantity"
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # integerize BEFORE the two-phase salted sum: long partials are
+        # exact in any salt/partition order (r13 money-sum discipline)
+        "_qty_c", F.round(F.col("l_quantity") * 100).cast("long")
     )
-    return out.select("l_returnflag", "n", F.round("sum_l_quantity", 2).alias("qty"))
+    out = salted_group_count(
+        li, "l_returnflag", salt_from=["l_orderkey", "l_linenumber"], sum_col="_qty_c"
+    )
+    return out.select(
+        "l_returnflag", "n", (F.col("sum__qty_c") / F.lit(1e2)).alias("qty")
+    )
 
 
 @register(
     "q23_salted_join_revenue",
-    oracle="""
+    oracle=f"""
 SELECT p.p_brand, count(*) AS n_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {disc_money_sum_sql('l.l_extendedprice', 'l.l_discount')} AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """,
@@ -150,7 +165,7 @@ def q23_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        disc_money_sum_spark().alias("revenue"),
     )
 
 
@@ -288,7 +303,7 @@ def q27_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        count(*) AS n_orders,
        {money_mean_sql('o_totalprice')} AS avg_price,
-       round(sum(o_totalprice), 2) AS sum_price
+       {money_sum_sql('o_totalprice')} AS sum_price
 FROM orders
 WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 10 = 0
 GROUP BY o_orderstatus
@@ -305,6 +320,6 @@ def q28_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             # integer-cents mean (see catalog.money_mean_spark)
             money_mean_spark("o_totalprice").alias("avg_price"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            money_sum_spark("o_totalprice").alias("sum_price"),
         )
     )

@@ -15,14 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import money_sum_spark, register
 
 
 @register(
     "q29_semi_anti_customers",
     oracle="""
 SELECT c_mktsegment, count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS sum_bal
+       (sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 1e2) AS sum_bal
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -44,7 +44,7 @@ def q29_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            money_sum_spark("c_acctbal").alias("sum_bal"),
         )
     )
 
@@ -54,7 +54,8 @@ def q29_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT coalesce(o_orderpriority, 'ALL') AS pri,
        coalesce(o_orderstatus, 'ALL') AS status,
-       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+       count(*) AS n,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2) AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """,
@@ -74,7 +75,8 @@ def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(o_orderpriority, 'ALL') AS pri,
                coalesce(o_orderstatus, 'ALL') AS status,
-               count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+               count(*) AS n,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2) AS sum_price
         FROM orders_q30
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -85,7 +87,7 @@ def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_small_qty_revenue",
     oracle="""
 SELECT p_brand, count(*) AS n_lines,
-       round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+       round((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 1e2) / 7.0, 2) AS avg_weekly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_quantity < (
     SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
@@ -105,7 +107,7 @@ def q31_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT p_brand, count(*) AS n_lines,
-               round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+               round((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 1e2) / 7.0, 2) AS avg_weekly
         FROM lineitem_q31 l JOIN part_q31 p ON p.p_partkey = l.l_partkey
         WHERE l.l_quantity < (
             SELECT 0.5 * avg(l2.l_quantity) FROM lineitem_q31 l2

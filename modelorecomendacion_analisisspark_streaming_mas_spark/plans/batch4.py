@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents_sum_spark
 
 from ..sources.readers import load_table
-from .catalog import grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
+from .catalog import money_sum_spark, grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
 
 
 @register(
@@ -161,7 +161,7 @@ def q34_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH agg AS (
   SELECT c_mktsegment,
-         round(sum(c_acctbal), 2) AS sum_bal,
+         (sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 1e2) AS sum_bal,
          {money_mean_sql('c_acctbal')} AS avg_bal,
          round(min(c_acctbal), 2) AS min_bal,
          round(max(c_acctbal), 2) AS max_bal
@@ -182,7 +182,7 @@ def q35_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            money_sum_spark("c_acctbal").alias("sum_bal"),
             # integer-cents mean (see catalog.money_mean_spark)
             money_mean_spark("c_acctbal").alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
@@ -361,7 +361,7 @@ SELECT o_orderkey,
        o_custkey,
        CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
        CAST(count(*) OVER w AS BIGINT) AS n_28d,
-       round(sum(o_totalprice) OVER w, 2) AS spend_28d
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 1e2) AS spend_28d
 FROM orders
 WINDOW w AS (
   PARTITION BY o_custkey
@@ -393,7 +393,8 @@ def q41_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFram
             "o_custkey",
             "day",
             F.count(F.lit(1)).over(w).alias("n_28d"),
-            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_28d"),
+            # exact cents window sum (r13 money-sum discipline)
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / F.lit(1e2)).alias("spend_28d"),
         )
     )
 
@@ -512,7 +513,7 @@ WITH RECURSIVE mo(mi, hi) AS (
 monthly AS (
   SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS mi,
          CAST(count(*) AS BIGINT) AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2) AS revenue
   FROM {orders} GROUP BY 1
 )
 SELECT mo.mi, coalesce(m.n_orders, 0) AS n_orders,
@@ -694,12 +695,16 @@ def q48_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q39_udtf_doc_chunks",
+    # per-IDENTITY aggregation: the engine's LATERAL fan-out groups by
+    # doc_id, so duplicate doc rows (r13 dupx) sum into one row per id --
+    # the oracle aggregates identically (identical on duplicate-free data)
     oracle="""
 SELECT doc_id,
-       CAST(ceil(length(text) / 80.0) AS BIGINT) AS n_chunks,
-       CAST(length(text) AS BIGINT) AS n_chars
+       CAST(sum(ceil(length(text) / 80.0)) AS BIGINT) AS n_chunks,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM documents
 WHERE length(text) > 0
+GROUP BY doc_id
 """,
 )
 def q39_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

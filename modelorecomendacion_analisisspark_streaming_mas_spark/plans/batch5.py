@@ -42,7 +42,7 @@ from .catalog import grid_mean_spark, grid_mean_sql, register
 _Q53_SQL = """
 SELECT n.n_name AS nation,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       (sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 1e2) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -111,7 +111,7 @@ def _evolved_part_dir(spark: SparkSession, sf_dir: str) -> str:
 SELECT p_brand,
        count(*) AS n,
        count(CASE WHEN p_partkey % 2 = 1 THEN 1 END) AS n_priced,
-       round(sum(CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END), 2) AS sum_price
+       (sum(CAST(round((CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END) * 100) AS BIGINT)) / 1e2) AS sum_price
 FROM part
 GROUP BY p_brand
 """,
@@ -127,7 +127,7 @@ def q54_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
         F.count("p_retailprice").alias("n_priced"),
-        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        (F.sum(F.round(F.col("p_retailprice") * 100).cast("long")) / F.lit(1e2)).alias("sum_price"),
     )
 
 

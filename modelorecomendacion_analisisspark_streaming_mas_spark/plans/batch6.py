@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import money_sum_spark, register
 
 # --------------------------------------------------------------------------
 # q61: source-level quality gate. Doc-level quality (distinct-token ratio)
@@ -535,7 +535,7 @@ WITH iv AS (
 )
 SELECT m.month_start,
        CAST(count(*) AS BIGINT) AS n_open,
-       round(sum(iv.o_totalprice), 2) AS sum_open_value
+       (sum(CAST(round(iv.o_totalprice * 100) AS BIGINT)) / 1e2) AS sum_open_value
 FROM months m
 JOIN iv ON iv.s < m.month_start + INTERVAL 1 MONTH AND iv.e >= m.month_start
 GROUP BY m.month_start
@@ -564,7 +564,7 @@ def q66_interval_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return binned.groupBy("month_start").agg(
         F.count(F.lit(1)).alias("n_open"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_open_value"),
+        money_sum_spark("o_totalprice").alias("sum_open_value"),
     )
 
 

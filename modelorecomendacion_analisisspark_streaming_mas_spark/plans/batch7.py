@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import grid_mean_spark, grid_mean_sql, register
+from .catalog import disc_money_sum_spark, disc_money_sum_sql, grid_mean_spark, grid_mean_sql, register
 
 
 # --------------------------------------------------------------------------
@@ -458,8 +458,12 @@ WITH t AS (
          round(n_chars * 1.0 / len(string_split(text, ' ')), 3) AS score
   FROM documents
 ), o AS (
-  SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  -- default RANGE (peer-inclusive) cumulative, NOT ROWS: exact duplicate
+  -- docs (r13 dupx) are peers on (score, doc_id), and the budget cut
+  -- must take or drop a document's copies ATOMICALLY on both engines --
+  -- the engine's boundary-bucket window is peer-inclusive the same way.
+  -- Identical on duplicate-free data.
+  SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
   FROM t
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
@@ -559,7 +563,8 @@ WITH base AS (
   FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
   WHERE c.op IS NULL OR c.op <> 'D'
 )
-SELECT seg, CAST(count(*) AS BIGINT) AS n_rows, round(sum(bal), 2) AS sum_bal
+SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+       (sum(CAST(round(bal * 100) AS BIGINT)) / 1e2) AS sum_bal
 FROM merged GROUP BY seg
 """
 
@@ -606,7 +611,7 @@ def q77_merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("bal"), 2).alias("sum_bal"),
+        (F.sum(F.round(F.col("bal") * 100).cast("long")) / F.lit(1e2)).alias("sum_bal"),
     )
 
 
@@ -719,7 +724,7 @@ def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row shifts.
 # --------------------------------------------------------------------------
 
-_Q78_ORACLE = """
+_Q78_ORACLE = f"""
 WITH del AS (
   SELECT c_custkey FROM customer WHERE c_custkey % 11 = 0
 ), surv_c AS (
@@ -735,7 +740,7 @@ WITH del AS (
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM surv_c) AS n_customers,
        (SELECT CAST(count(*) AS BIGINT) FROM surv_o) AS n_orders,
        (SELECT CAST(count(*) AS BIGINT) FROM surv_l) AS n_lineitems,
-       (SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) FROM surv_l) AS surviving_revenue
+       (SELECT {disc_money_sum_sql()} FROM surv_l) AS surviving_revenue
 """
 
 
@@ -769,9 +774,7 @@ def q78_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             surv_l.agg(
                 F.count(F.lit(1)).alias("n_lineitems"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-                ).alias("surviving_revenue"),
+                disc_money_sum_spark().alias("surviving_revenue"),
             )
         )
     )

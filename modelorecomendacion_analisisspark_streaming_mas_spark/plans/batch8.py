@@ -837,7 +837,8 @@ _D15_TOPN = 50
 
 _D15_ORACLE = f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM (SELECT DISTINCT doc_id, text FROM documents)
   WHERE len(string_split(text, ' ')) >= {_D15_W}
 ), hsrc AS (
   SELECT doc_id, t, len(t) AS n,
@@ -895,8 +896,13 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     POSITION -- 5x fewer hashes, zero string concatenation, identical
     content-definition (window function of the same 5 tokens)."""
     w, mod = _D15_W, _D15_MOD
-    tok = docs.select("doc_id", tokenize("text").alias("t")).filter(
-        F.size("t") >= w
+    # one row per document IDENTITY: duplicate doc rows (r13 dupx) would
+    # multiply every chunk count and break the dup-fraction denominators
+    tok = (
+        docs.select("doc_id", "text")
+        .dropDuplicates(["doc_id", "text"])
+        .select("doc_id", tokenize("text").alias("t"))
+        .filter(F.size("t") >= w)
     )
     n = F.size("t")
     M = 2_147_483_647
@@ -1688,12 +1694,17 @@ def t13_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E09_PROBES = 50
 _E09_K = 5
 
+# identities, not rows (r13 dupx): duplicate embedding rows multiply the
+# probe set, the candidate ranks, and the vote fan-in -- both sides
+# dedupe to DISTINCT (vec_id, embedding, label) before anything ranks.
 _E09_ORACLE = f"""
-WITH q AS (
+WITH ids AS (
+  SELECT DISTINCT vec_id, embedding, label FROM embeddings
+), q AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label
-  FROM embeddings WHERE vec_id < {_E09_PROBES}
+  FROM ids WHERE vec_id < {_E09_PROBES}
 ), c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM ids
 ), scored AS (
   SELECT q.vec_id AS query_id, q.label AS true_label,
          c.vec_id AS neighbor_id, c.label AS nb_label,
@@ -1734,7 +1745,8 @@ def e09_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import cosine_topk_bruteforce
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector identities (see _E09_ORACLE comment)
+    emb = load_table(spark, sf_dir, "embeddings").dropDuplicates()
     labels = emb.select("vec_id", "label")
     probes = emb.filter(F.col("vec_id") < _E09_PROBES)
     top = cosine_topk_bruteforce(emb, probes, k=_E09_K)

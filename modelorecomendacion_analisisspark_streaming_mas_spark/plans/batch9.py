@@ -337,50 +337,56 @@ def e11_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # until the final ORDER BY id of a doc-count-sized frame.
 # --------------------------------------------------------------------------
 
+# Every stage keys on a synthetic per-ROW rid (the t14 device): the
+# engine is a per-row mapInPandas (each physical row yields its own
+# correct segment stats, so duplicate doc rows -- r13 dupx -- yield
+# multiplicity, not pollution), and a doc_id-keyed oracle would both
+# cross-join frame rows between copies and fragment the gaps-and-islands
+# run ids on row_number ties. rid only ever relates a row to itself.
 _MM08_ORACLE = """
 WITH d AS (
-  SELECT doc_id AS id, md5(text) AS h,
+  SELECT row_number() OVER () AS rid, doc_id AS id, md5(text) AS h,
          octet_length(encode(text)) % 1600 + 400 AS n
   FROM documents
 ), meta AS (
-  SELECT id, n, h,
+  SELECT rid, id, n, h,
          (('0x'||substr(h, 1, 4))::UINTEGER % 1800 + 200)::BIGINT AS freq,
          (('0x'||substr(h, 5, 2))::UINTEGER / 255.0) * 0.8 + 0.1 AS amp
   FROM d
 ), pcm AS (
-  SELECT id, n,
+  SELECT rid, id, n,
          [round((amp * (CASE WHEN ('0x'||substr(h, 2 * (3 + (i // 400)) + 1, 2))::UINTEGER >= 86
                         THEN 1.0e0 ELSE 0.0e0 END))
                 * sin(((2 * pi()) * freq) * (i / 8000.0)) * 32767.0) / 32768.0
           for i in generate_series(0, n - 1)] AS p
   FROM meta
 ), fr AS (
-  SELECT id, n, p, unnest(generate_series(0, (n + 199) // 200 - 1)) AS f
+  SELECT rid, id, n, p, unnest(generate_series(0, (n + 199) // 200 - 1)) AS f
   FROM pcm
 ), fe AS (
-  SELECT id, f,
+  SELECT rid, id, f,
          list_sum([x * x for x in p[f * 200 + 1 : least((f + 1) * 200, n)]])
            / (least((f + 1) * 200, n) - f * 200) AS ms
   FROM fr
 ), act AS (
-  SELECT id, f FROM fe WHERE ms > 0.004e0
+  SELECT rid, id, f FROM fe WHERE ms > 0.004e0
 ), runs AS (
-  SELECT id, f, f - row_number() OVER (PARTITION BY id ORDER BY f) AS g
+  SELECT rid, f, f - row_number() OVER (PARTITION BY rid ORDER BY f) AS g
   FROM act
 ), seg AS (
-  SELECT id, count(*) AS run_len FROM runs GROUP BY id, g
+  SELECT rid, count(*) AS run_len FROM runs GROUP BY rid, g
 ), agg AS (
-  SELECT id, CAST(count(*) AS BIGINT) AS n_segments,
+  SELECT rid, CAST(count(*) AS BIGINT) AS n_segments,
          CAST(max(run_len) AS BIGINT) AS longest_run,
          CAST(sum(run_len) AS BIGINT) AS n_active
-  FROM seg GROUP BY id
+  FROM seg GROUP BY rid
 )
 SELECT pcm.id,
        CAST((n + 199) // 200 AS BIGINT) AS n_frames,
        coalesce(n_active, 0) AS n_active,
        coalesce(n_segments, 0) AS n_segments,
        coalesce(longest_run, 0) AS longest_run
-FROM pcm LEFT JOIN agg USING (id)
+FROM pcm LEFT JOIN agg USING (rid)
 ORDER BY id
 """
 

@@ -125,6 +125,58 @@ def _grid_guard(q, s, numer):
     )
 
 
+def money_sum_spark(col: str):
+    """Exact sum of a 2dp money column: BIGINT cents sum + ONE division
+    (a single correctly-rounded IEEE op -- bit-identical on every engine
+    at any magnitude). Replaces round(sum(col), 2), whose double sum runs
+    in engine partial-agg order: the r13 dupx sweep flipped q04's revenue
+    cents between engines at x10 multiplicity, and at 100 TB group sizes
+    a half-cent engine-ulp flip is the r10 money-mean class applied to
+    sums. Off-scale input fails loudly at the cents cast (Spark ANSI; in
+    DuckDB the BIGINT sum itself promotes to HUGEINT, so only the cast
+    guards -- the asymmetry is documented in SCALING.md r13)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.round(F.col(col) * 100).cast("long")) / F.lit(1e2)
+
+
+def money_sum_sql(col: str) -> str:
+    """DuckDB twin of :func:`money_sum_spark`."""
+    return f"(sum(CAST(round({col} * 100) AS BIGINT)) / 1e2)"
+
+
+def disc_money_sum_spark(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """sum(price * (1 - disc)) rounded to cents with exact arithmetic:
+    the product of a 2dp price and a 2dp discount lies on the 1e-4 grid
+    (recovered exactly per row -- both engines compute the identical
+    IEEE product, so the rounded 1e-4 integer matches bit-for-bit), the
+    BIGINT grid sum is order-independent, and the final cents rounding
+    is the money_mean integer half-away construct, 2^52-guarded."""
+    from pyspark.sql import functions as F
+
+    x = F.col(price) * (1 - F.col(disc))
+    s = F.sum(F.round(x * 10000).cast("long"))
+    # INTEGER division (div), not a double floor-divide: exact for any
+    # long numerator, so no 2^52 guard is needed -- the only failure mode
+    # left is LONG overflow at 2|s| ~ 9.2e18 (4.6e14 money units per
+    # group), which ANSI raises loudly. The dupx10 sweep showed q04's
+    # x1000 fanout crossing 2^52 while still far inside long range.
+    q = F.when(
+        s >= 0, F.call_function("div", 2 * s + 100, F.lit(200))
+    ).otherwise(-F.call_function("div", -2 * s + 100, F.lit(200)))
+    return q / F.lit(1e2)
+
+
+def disc_money_sum_sql(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    """DuckDB twin of :func:`disc_money_sum_spark`."""
+    s = f"sum(CAST(round(({price} * (1 - {disc})) * 10000) AS BIGINT))"
+    # // = integer division on DuckDB's HUGEINT sum: exact at any scale
+    return (
+        f"(CASE WHEN {s} >= 0 THEN ((2 * {s} + 100) // 200)"
+        f" ELSE -(((-2 * {s}) + 100) // 200) END / 1e2)"
+    )
+
+
 def money_mean_spark(col: str):
     """Group mean of a 2dp money column, rounded to the cent with PURE
     INTEGER arithmetic -- engine-independent by construction.

@@ -896,9 +896,16 @@ def _build_top3_trade_graph(spark: SparkSession, sf_dir: str):
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    v = nation.select(
-        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
-    ).localCheckpoint(eager=True)
+    # one row per vertex IDENTITY: duplicate nation rows (the r13 dupx
+    # variant) would otherwise multiply every vertex join -- motif counts,
+    # PR contributions, name joins -- by the copy count
+    v = (
+        nation.select(
+            F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+        )
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
+    )
     return v, edges
 
 
@@ -915,7 +922,7 @@ wedge AS (
   ANTI JOIN ed ON ed.src = w.c AND ed.dst = w.a
 )
 SELECT n.n_name AS nation, count(*) AS n_open_wedges
-FROM open_wedge w JOIN nation n ON w.a = n.n_nationkey
+FROM open_wedge w JOIN (SELECT DISTINCT n_nationkey, n_name FROM nation) n ON w.a = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY n_open_wedges DESC, nation
 """,
@@ -958,7 +965,7 @@ def _g12_oracle(iters: int = _G12_ITERS) -> str:
     ind = "(CASE WHEN v.id = 0 THEN 1e0 ELSE 0e0 END)"
     ctes = [
         _G11_EDGES_SQL.strip(),
-        "verts AS (SELECT n_nationkey AS id FROM nation)",
+        "verts AS (SELECT DISTINCT n_nationkey AS id FROM nation)",
         "deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src)",
         "e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg ON ed.src = deg.src)",
         "r0 AS (SELECT id, CASE WHEN id = 0 THEN 1e0 ELSE 0e0 END AS rank FROM verts)",
@@ -978,7 +985,7 @@ def _g12_oracle(iters: int = _G12_ITERS) -> str:
         + ",\n".join(ctes)
         + f"""
 SELECT n.n_name AS nation, round(r.rank, 6) AS pagerank
-FROM r{iters} r JOIN nation n ON r.id = n.n_nationkey
+FROM r{iters} r JOIN (SELECT DISTINCT n_nationkey, n_name FROM nation) n ON r.id = n.n_nationkey
 ORDER BY r.rank DESC, nation
 """
     )
@@ -1127,7 +1134,7 @@ mutual AS (
 )
 SELECT n.n_name AS nation,
        CAST(least(n.n_nationkey, coalesce(m.mn, n.n_nationkey)) AS INT) AS component
-FROM nation n LEFT JOIN mutual m ON m.v = n.n_nationkey
+FROM (SELECT DISTINCT n_nationkey, n_name FROM nation) n LEFT JOIN mutual m ON m.v = n.n_nationkey
 ORDER BY nation
 """,
     doc="GraphFrames stronglyConnectedComponents through the drop-in "
@@ -1177,7 +1184,7 @@ def _g15_oracle(iters: int = _G15_ITERS) -> str:
     )
     ctes = [
         _G11_EDGES_SQL.strip(),
-        "verts AS (SELECT n_nationkey AS id FROM nation)",
+        "verts AS (SELECT DISTINCT n_nationkey AS id FROM nation)",
         "deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src)",
         "e AS MATERIALIZED (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg ON ed.src = deg.src)",
         "indeg AS (SELECT dst AS id, count(*) AS in_deg FROM ed GROUP BY dst)",
@@ -1205,7 +1212,7 @@ def _g15_oracle(iters: int = _G15_ITERS) -> str:
         + f"""
 SELECT n.n_name AS nation, {ranks}, COALESCE(i.in_deg, 0) AS in_deg
 FROM r{iters} r
-JOIN nation n ON r.id = n.n_nationkey
+JOIN (SELECT DISTINCT n_nationkey, n_name FROM nation) n ON r.id = n.n_nationkey
 LEFT JOIN indeg i ON r.id = i.id
 ORDER BY nation
 """

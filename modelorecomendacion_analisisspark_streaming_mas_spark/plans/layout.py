@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import grid_mean_spark, grid_mean_sql, register
+from .catalog import disc_money_sum_spark, money_sum_spark, grid_mean_spark, grid_mean_sql, register
 
 # One clustered copy per (sf_dir) per process, reclaimed at exit
 # (same lifecycle pattern as streamq's replay staging). Keys carry a
@@ -176,7 +176,10 @@ def zordered_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
 SELECT l_returnflag,
        count(*) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       (CASE WHEN sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) >= 0
+             THEN ((2 * sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 100) // 200)
+             ELSE -(((-2 * sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))) + 100) // 200)
+        END / 1e2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -194,7 +197,7 @@ def q50_clustered_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            disc_money_sum_spark().alias(
                 "revenue"
             ),
         )
@@ -215,7 +218,7 @@ def q50_clustered_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty
+       (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2) AS sum_qty
 FROM lineitem
 WHERE l_partkey >= 100 AND l_partkey < 350
 GROUP BY l_returnflag
@@ -229,7 +232,7 @@ def q51_zorder_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money_sum_spark("l_quantity").alias("sum_qty"),
         )
     )
 
@@ -290,7 +293,7 @@ def _fragmented_then_compacted(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
 SELECT l_linestatus,
        count(*) AS n,
-       round(sum(l_extendedprice), 2) AS sum_price
+       (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 1e2) AS sum_price
 FROM lineitem
 GROUP BY l_linestatus
 """,
@@ -302,7 +305,7 @@ def q52_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            money_sum_spark("l_extendedprice").alias("sum_price"),
         )
     )
 
@@ -334,7 +337,7 @@ def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""
 SELECT l_returnflag,
        count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty,
+       (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2) AS sum_qty,
        {grid_mean_sql('l_discount', 100, 6)} AS avg_disc
 FROM lineitem
 GROUP BY l_returnflag
@@ -349,7 +352,7 @@ def q72_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money_sum_spark("l_quantity").alias("sum_qty"),
             # 2dp grid -> integer-grid mean (r11, t14 lesson)
             grid_mean_spark("l_discount", 100, 6).alias("avg_disc"),
         )
@@ -386,7 +389,7 @@ def _jsonl_copy(spark: SparkSession, sf_dir: str):
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2) AS sum_price,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
 FROM orders
 GROUP BY o_orderstatus
@@ -403,7 +406,7 @@ def q76_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            money_sum_spark("o_totalprice").alias("sum_price"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
@@ -455,7 +458,7 @@ def _dat_copy(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2) AS sum_price,
        CAST(max(o_orderkey) AS BIGINT) AS max_key
 FROM orders
 GROUP BY o_orderstatus
@@ -480,6 +483,6 @@ def q81_dat_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        money_sum_spark("o_totalprice").alias("sum_price"),
         F.max("o_orderkey").alias("max_key"),
     )

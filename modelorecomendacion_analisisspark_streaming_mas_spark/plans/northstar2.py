@@ -29,13 +29,18 @@ _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
 # pairs (P[candidate] = 1-(1-0.5^4)^4 = 23%); the prefix filter misses none.
 # --------------------------------------------------------------------------
 
+# sh collapses to DISTINCT (doc_id, text): the pair lattice is over
+# document IDENTITIES (ngram_jaccard_join dedupes its input the same way
+# -- the r13 dupx sweep found duplicate rows truncating the engine's
+# prefix windows AND the oracle's final joins re-inflating x(copies^2)).
 _D04_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(t) >= 3
            THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
            ELSE [array_to_string(t, ' ')] END) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        FROM (SELECT DISTINCT doc_id, text FROM documents))
 ), ex AS (
   SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh
 ), dfreq AS (

@@ -162,7 +162,12 @@ def s03_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s04_stream_dedup_counts",
-    oracle="SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+    # dedup-by-id stated explicitly (the s08 class, r13 dupx): the engine
+    # dedups to one row per event_id, so the oracle must too
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type""",
 )
 def s04_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir, copies=2)
@@ -317,7 +322,7 @@ def s12_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s11_stream_static_join",
     oracle="""
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(e.value), 2) AS sum_value
+       (sum(CAST(round(e.value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events e JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY c.c_mktsegment
 """,
@@ -858,7 +863,10 @@ def _s23_oracle() -> str:
         + f"""
 SELECT width::INT AS width,
        CAST(count(*) AS BIGINT) AS n_images,
-       round(sum(round({_MM02_FSS}, 4)), 2) AS energy
+       (CASE WHEN sum(CAST(round(({_MM02_FSS}) * 10000) AS BIGINT)) >= 0
+             THEN ((2 * sum(CAST(round(({_MM02_FSS}) * 10000) AS BIGINT)) + 100) // 200)
+             ELSE -(((-2 * sum(CAST(round(({_MM02_FSS}) * 10000) AS BIGINT))) + 100) // 200)
+        END / 1e2) AS energy
 FROM feats GROUP BY width
 """
     )
@@ -895,12 +903,29 @@ def s23_stream_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("width")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.round(F.sum("fss"), 2).alias("energy"),
+            F.when(
+                F.sum(F.round(F.col("fss") * 10000).cast("long")) >= 0,
+                F.call_function(
+                    "div",
+                    2 * F.sum(F.round(F.col("fss") * 10000).cast("long")) + 100,
+                    F.lit(200),
+                ),
+            ).otherwise(
+                -F.call_function(
+                    "div",
+                    -2 * F.sum(F.round(F.col("fss") * 10000).cast("long")) + 100,
+                    F.lit(200),
+                )
+            ).alias("_energy_c"),
         )
     )
     _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
-    return out
-
+    # exact integer half-away cents from the 1e-4-grid energy sum (r13
+    # money-sum discipline; the old double sum of 4dp-rounded values was
+    # engine-order-dependent)
+    return out.select(
+        "width", "n_images", (F.col("_energy_c") / F.lit(1e2)).alias("energy")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1762,9 +1787,13 @@ def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
 def _s30_oracle() -> str:
     from .batch8 import _D15_MOD, _D15_TOPN, _D15_W
 
+    # DISTINCT (doc_id, text): document identities, matching the engine's
+    # cdc_chunk_frame dedup (r13 dupx -- also collapses the spans-x-b2
+    # per-doc_id join to one row per doc)
     return f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM (SELECT DISTINCT doc_id, text FROM documents)
   WHERE len(string_split(text, ' ')) >= {_D15_W}
 ), hsrc AS (
   SELECT doc_id, t, len(t) AS n,
@@ -1995,13 +2024,46 @@ def _staged_corpus_docs(spark: SparkSession, sf_dir: str) -> str:
     return _CORPUS_STAGED[key]
 
 
-from .curation import _D06_ORACLE  # noqa: E402  (shared-oracle twin, same
+from .curation import _D06_ORACLE, _DUCK_H32, _DUCK_SH5  # noqa: E402  (oracle twin, same
 # import rationale as _Q83_ORACLE/_Q86_ORACLE)
+
+
+# s32's sink keeps ONE row per document IDENTITY (the per-doc_id epoch
+# dedup), so its oracle runs d06's lattice over DISTINCT documents --
+# d06 itself stays row-level (its engine counts physical rows). The two
+# twins agree bit-for-bit on duplicate-free data; the r13 dupx variant
+# is what forces the distinction.
+_S32_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t
+  FROM (SELECT DISTINCT doc_id, source, text FROM documents)
+), sh AS (
+  SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS s FROM tok
+), hashed AS (
+  SELECT doc_id, source, {_DUCK_H32.format(expr='s')} AS h FROM sh
+), bench AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT c.doc_id, c.source, count(DISTINCT c.h) AS n_hits
+  FROM hashed c JOIN bench b USING (h)
+  WHERE c.doc_id % 97 <> 0
+  GROUP BY c.doc_id, c.source
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT doc_id, source FROM documents) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+"""
 
 
 @register(
     "s32_stream_contamination_probe",
-    oracle=_D06_ORACLE,
+    oracle=_S32_ORACLE,
     doc="Streaming contamination check (d06's streaming twin, fifth "
     "batch<->stream dedup-family pairing): benchmark 5-gram hash set "
     "built once and broadcast, non-benchmark docs replayed in "

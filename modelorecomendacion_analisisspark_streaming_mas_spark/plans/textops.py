@@ -288,13 +288,17 @@ def e01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # technique e03 uses for centroids and e04 for codebooks.
 # --------------------------------------------------------------------------
 
+# e dedupes to vector IDENTITIES (r13 dupx): duplicate rows would both
+# pollute the signature sums (each plane counted x copies in the per-id
+# GROUP BY) and re-inflate the candidate scoring joins after DISTINCT
+# pairs. The engine dedupes its input the same way.
 _E02_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          [CASE WHEN x >= 0 THEN floor(x * 1000.0 + 0.5)
                ELSE -floor(-x * 1000.0 + 0.5) END::BIGINT
           for x in embedding::DOUBLE[]] AS q
-  FROM embeddings
+  FROM (SELECT DISTINCT vec_id, embedding FROM embeddings)
 ), planes AS (
   SELECT t, p,
          [CASE WHEN (('0x'||substr(md5('lshpl|'||t::VARCHAR||'|'||p::VARCHAR||'|'||d::VARCHAR),1,8))::UBIGINT)::BIGINT % 2 = 0
@@ -326,7 +330,10 @@ FROM scored QUALIFY rn <= 5
 
 @register("e02_knn_lsh", oracle=_E02_ORACLE)
 def e02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector identities (see _E02_ORACLE comment)
+    emb = load_table(spark, sf_dir, "embeddings").dropDuplicates(
+        ["vec_id", "embedding"]
+    )
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 

@@ -100,6 +100,7 @@ def build(
     salt: str = "drift_r12a",
     keep_num: int = 12,
     keep_den: int = 17,
+    dup_factor: int = 100,
 ) -> str:
     import duckdb
 
@@ -183,7 +184,11 @@ def build(
                 f" FROM {src}"
             )
         elif variant == "dupx":
-            sel = f"SELECT s.* FROM {src} s CROSS JOIN range(100)"
+            # dup_factor: x100 is the headline regime; all-pairs catalog
+            # entries (ANN / near-dup lattices) legitimately cost
+            # O(factor^2), so broad sweeps drop to x10 while the pins
+            # keep x100 on the queries the axis actually broke
+            sel = f"SELECT s.* FROM {src} s CROSS JOIN range({dup_factor})"
         elif variant == "longstr" and t == "documents":
             grown = (
                 "CASE WHEN doc_id % 17 = 0 THEN repeat(text || ' ', "
@@ -224,8 +229,9 @@ def main() -> None:
                              "empty", "bigmoney", "extremes", "dupx", "longstr"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--dup-factor", type=int, default=100)
     args = ap.parse_args()
-    print(build(args.variant, args.sf_dir, args.out_dir))
+    print(build(args.variant, args.sf_dir, args.out_dir, dup_factor=args.dup_factor))
 
 
 if __name__ == "__main__":
