@@ -347,10 +347,15 @@ def e02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t04_tfidf_top_terms",
     oracle=f"""
-WITH tok AS (
-  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term,
-         len(string_split(text, ' ')) AS n_tokens
-  FROM documents
+WITH ws AS (
+  -- split ONCE per doc; computing len(string_split(text)) alongside the
+  -- unnest re-splits the raw string per TOKEN row -- O(len * tokens) per
+  -- doc, found by the r13 longstr variant (t04 went 2.4s -> 450s at
+  -- 64 KiB rows)
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(w) AS term, len(w) AS n_tokens
+  FROM ws
 ), tf AS (
   SELECT doc_id, lang, term, n_tokens, count(*) AS n
   FROM tok GROUP BY doc_id, lang, term, n_tokens
@@ -379,12 +384,14 @@ def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(tokenize("text")).alias("term"),
-        F.size(tokenize("text")).alias("n_tokens"),
+    # tokenize ONCE per doc and carry the materialized array through the
+    # explode: a sibling size(tokenize(text)) expression is re-evaluated
+    # per EXPLODED row -- O(doc_len * n_tokens) per doc, caught by the
+    # r13 longstr variant (2.4s -> 450s at 64 KiB rows)
+    base = docs.select("doc_id", "lang", tokenize("text").alias("ws")).withColumn(
+        "n_tokens", F.size("ws")
     )
+    tok = base.select("doc_id", "lang", F.explode("ws").alias("term"), "n_tokens")
     tf = tok.groupBy("doc_id", "lang", "term", "n_tokens").agg(F.count(F.lit(1)).alias("n"))
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
