@@ -709,30 +709,39 @@ GROUP BY doc_id
 )
 def q39_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function): fixed-width document chunker
-    applied via correlated LATERAL join -- the chunking primitive of an
-    LLM-training pipeline as a first-class relational operator. The
-    oracle recomputes chunk counts arithmetically from text length, so
-    the UDTF's row fan-out is value-checked end to end. Arrow-batched:
-    one Python worker pass per partition, not per row."""
+    via a TABLE-argument call -- the chunking primitive of an LLM-training
+    pipeline as a first-class relational operator. The oracle recomputes
+    chunk counts arithmetically from text length, so the UDTF's row
+    fan-out is value-checked end to end. Arrow-batched: one Python worker
+    pass per partition, not per row.
+
+    TABLE argument, NOT a correlated LATERAL: the lateral form joins each
+    emitted chunk row back to its PARENT row, duplicating the raw text
+    per chunk -- O(len^2) bytes per document, found by the r13 longstr
+    variant (a 1 MiB doc emits ~13k chunks x 1 MiB of parent payload and
+    the query ran for hours). The TABLE-argument UDTF emits its own key,
+    so nothing fans out but the 80-char pieces."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id int, piece string")
+    @udtf(returnType="doc_id bigint, chunk_id int, piece string")
     class Chunk80:
-        def eval(self, text: str):
+        def eval(self, row):
+            text = row.text
             if not text:
                 return
             for i in range(0, len(text), 80):
-                yield (i // 80, text[i : i + 80])
+                yield (row.doc_id, i // 80, text[i : i + 80])
 
     spark.udtf.register("chunk80", Chunk80)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_q39")
     return spark.sql(
         """
-        SELECT d.doc_id,
+        SELECT c.doc_id,
                count(*) AS n_chunks,
                sum(length(c.piece)) AS n_chars
-        FROM documents_q39 d, LATERAL chunk80(d.text) c
-        WHERE length(d.text) > 0
-        GROUP BY d.doc_id
+        FROM chunk80(TABLE(
+          SELECT doc_id, text FROM documents_q39 WHERE length(text) > 0
+        )) c
+        GROUP BY c.doc_id
         """
     )
