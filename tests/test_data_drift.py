@@ -294,20 +294,25 @@ def test_grid_guard_trips_loudly_at_money_sum_scale(spark, bigmoney_variant_dir,
 
 
 def test_grid_guard_untripped_carriers_still_match_oracle(spark, bigmoney_variant_dir):
-    """Carriers whose guarded column bigmoney does NOT scale (q01's
-    quantity/discount grids, q05's customer balances) must sail through
-    and still hash-match the oracle on the variant -- the guard is a
-    precondition check, not a behavior change."""
+    """A carrier whose guarded/summed columns bigmoney does NOT scale
+    (q05's customer balances) must sail through and still hash-match the
+    oracle on the variant -- the guard is a precondition check, not a
+    behavior change. q01, by contrast, now SUMS the scaled money column
+    exactly (r13 money-sum conversion): its BIGINT 1e-4-grid sum
+    overflows long range on the x1e7 prices and must refuse LOUDLY (ANSI
+    overflow -- the exact-or-loud contract) instead of returning the
+    silently order-dependent double total it used to."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{bigmoney_variant_dir}/{t}.parquet'"
         )
-    for name in ("q01_pricing_summary", "q05_balance_buckets"):
-        q = REGISTRY[name]
-        got = _canon(q.fn(spark, bigmoney_variant_dir).toPandas())
-        want = _canon(con.execute(q.oracle).df())
-        assert got.equals(want), f"{name}: bigmoney variant disagrees with oracle"
+    q = REGISTRY["q05_balance_buckets"]
+    got = _canon(q.fn(spark, bigmoney_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), "q05: bigmoney variant disagrees with oracle"
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|grid_mean exactness"):
+        REGISTRY["q01_pricing_summary"].fn(spark, bigmoney_variant_dir).collect()
 
 
 # r13: the IEEE-extremes variant (events.value cycles +/-inf, NaN,
