@@ -519,3 +519,31 @@ def test_no_unrounded_float_aggregate_window_sort_keys(spark):
         "window sort key fed by unrounded float aggregate -- rank on an "
         f"exact integer/grid key instead: {bad}"
     )
+
+
+def test_megadoc_row_width_stays_linear(spark, tmp_path):
+    """r13 longstr regression guard for the two quadratic plan shapes the
+    variant found: t04's size(tokenize) sibling to explode(tokenize)
+    re-split the raw text per token row (O(len x tokens) per doc), and
+    q39's correlated LATERAL duplicated the parent text per emitted
+    chunk (O(len^2) bytes per doc). On this 10-doc x 256 KiB fixture the
+    broken shapes ran MINUTES; the fixed ones run seconds -- the 90 s
+    ceiling holds >10x margin on a loaded host while still failing any
+    reintroduction by an order of magnitude."""
+    import time
+
+    word = "tok"
+    body = " ".join(f"{word}{i % 997}" for i in range(43_000))  # ~256 KiB
+    rows = [(i, body + f" uniq{i}", "en", f"src{i % 3}", len(body) + 7)
+            for i in range(10)]
+    d = str(tmp_path / "megadocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    for name in ("t04_tfidf_top_terms", "q39_udtf_doc_chunks"):
+        t0 = time.perf_counter()
+        n = REGISTRY[name].fn(spark, d).count()
+        wall = time.perf_counter() - t0
+        assert n > 0, name
+        assert wall < 90, f"{name}: {wall:.0f}s on 10x256KiB docs -- quadratic row-width shape reintroduced?"
