@@ -307,10 +307,16 @@ def probe_spread(drift_secs: list[float]) -> tuple[float, str]:
     )
 
 
-def probe_py_loop(shots: int = 2) -> list[float]:
+def probe_py_loop(shots: int = 3) -> list[float]:
     """The calibrate() Python loop re-run mid-suite: the official drift
     tracker. min() of the shots is the reading -- contention only ever
-    ADDS latency, so the min best estimates unperturbed host speed."""
+    ADDS latency, so the min best estimates unperturbed host speed.
+
+    shots=3 matches calibrate()'s pre-suite pass so every point in the
+    drift series is the SAME statistic (min-of-3): with probe 0 a
+    min-of-3 and mid-suite probes a min-of-2, drift ratios carried a
+    small structural upward bias (min-of-3 is systematically lower),
+    deflating normalized walls and inflating probe_spread (r13 ADVICE)."""
     vals = []
     for _ in range(shots):
         t0 = time.perf_counter()
@@ -446,7 +452,8 @@ def main() -> None:
 
     # Multi-point calibration state: probe 0 is the pre-suite calibrate()
     # pass (py drift reading = min of its 3 py shots); more probes run
-    # every PROBE_EVERY queries and at suite end.
+    # every PROBE_EVERY queries and at suite end, each ALSO a min-of-3
+    # (probe_py_loop default) so the whole drift series is one statistic.
     names = sorted(REGISTRY)
     positions = probe_positions(len(names))
     py_secs: list[float] = [min(calibration["py_shots_sec"])]

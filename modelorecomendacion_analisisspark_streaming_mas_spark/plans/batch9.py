@@ -37,9 +37,12 @@ _T14_MIDDLE = 3.56
 # position self-join cross-pairs the copies, scaling LM counts
 # QUADRATICALLY while the engine's per-row arrays_zip scales them
 # linearly (and Laplace smoothing makes the scale visible). rid is
-# order-nondeterministic but only ever joins a row to itself.
+# order-nondeterministic but only ever joins a row to itself, which
+# requires the rid-bearing CTE to be evaluated exactly ONCE: DuckDB
+# inlines plain CTEs per reference, so MATERIALIZED pins the single
+# evaluation (r13 ADVICE; same device as the g15 oracle).
 _T14_ORACLE = f"""
-WITH drows AS (
+WITH drows AS MATERIALIZED (
   SELECT row_number() OVER () AS rid, doc_id, source, lang, text
   FROM documents
 ), tok AS (
@@ -342,9 +345,12 @@ def e11_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correct segment stats, so duplicate doc rows -- r13 dupx -- yield
 # multiplicity, not pollution), and a doc_id-keyed oracle would both
 # cross-join frame rows between copies and fragment the gaps-and-islands
-# run ids on row_number ties. rid only ever relates a row to itself.
+# run ids on row_number ties. rid only ever relates a row to itself, so
+# the rid-bearing CTE is MATERIALIZED: DuckDB inlines plain CTEs and
+# would otherwise re-evaluate row_number() OVER () independently per
+# reference (r13 ADVICE; pcm is referenced twice downstream).
 _MM08_ORACLE = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT row_number() OVER () AS rid, doc_id AS id, md5(text) AS h,
          octet_length(encode(text)) % 1600 + 400 AS n
   FROM documents

@@ -145,22 +145,44 @@ def e03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plagiarism/near-dup fingerprint pair).
 # --------------------------------------------------------------------------
 
-_T05_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), feat AS (
-  SELECT doc_id,
-         [{_DUCK_H32.format(expr='x')} % {ROLLING_MOD} for x in t] AS hb,
-         CASE WHEN len(t) >= 8
-           THEN [array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]
-           ELSE [array_to_string(t, ' ')] END AS w
-  FROM tok
+# The 8-token windows are built with lead() over unnested positions, NOT a
+# `t[i:i+7]` list-slice comprehension: DuckDB evaluates that comprehension
+# quadratically in doc length (measured 9.9 s -> 46 s for 20k -> 40k tokens;
+# the lead() form is 0.06 s -> 0.08 s, linear), which excluded t05 from the
+# r13 longstr 1 MiB sweeps (SCALING.md). The window CTE keys on a
+# MATERIALIZED synthetic rid (the t14 device) so exact-duplicate doc rows
+# (dupx) keep per-row multiplicity instead of collapsing in the GROUP BY.
+_T05_WINDOW_G = " || ' ' || ".join(
+    ["w"] + [f"lead(w, {k}) OVER pw" for k in range(1, 8)]
 )
-SELECT doc_id,
-       list_reduce(hb, (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD}) AS roll_fp,
-       list_min([{_DUCK_H32.format(expr='g')} for g in w]) AS min_window_fp,
-       CAST(len(w) AS BIGINT) AS n_windows
-FROM feat
+
+_T05_ORACLE = f"""
+WITH d AS MATERIALIZED (
+  SELECT row_number() OVER () AS rid, doc_id, text FROM documents
+), feat AS (
+  SELECT rid, doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM d
+), pos AS (
+  SELECT rid, generate_subscripts(t, 1) AS i, unnest(t) AS w FROM feat
+), win AS (
+  SELECT rid, {_T05_WINDOW_G} AS g
+  FROM pos
+  WINDOW pw AS (PARTITION BY rid ORDER BY i)
+), wfp AS (
+  SELECT rid, min({_DUCK_H32.format(expr='g')}) AS min_fp,
+         CAST(count(g) AS BIGINT) AS n_win
+  FROM win WHERE g IS NOT NULL GROUP BY rid
+)
+SELECT f.doc_id,
+       list_reduce([{_DUCK_H32.format(expr='x')} % {ROLLING_MOD} for x in f.t],
+                   (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})
+         AS roll_fp,
+       CASE WHEN f.n >= 8 THEN w.min_fp
+            ELSE {_DUCK_H32.format(expr="array_to_string(f.t, ' ')")}
+       END AS min_window_fp,
+       CASE WHEN f.n >= 8 THEN w.n_win ELSE 1 END AS n_windows
+FROM feat f LEFT JOIN wfp w USING (rid)
 """
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -40,6 +41,31 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 OUT_SCHEMA = "event_type string, n_events bigint, sum_cents bigint"
+
+
+def _exact_cents_sum(values: pd.Series) -> int:
+    """Exact integer-cents sum of a float64 Series, failing LOUDLY on any
+    value outside the representable cents grid.
+
+    pandas ``astype('int64')`` raises only for non-finite values; a FINITE
+    off-scale double (e.g. 1e300) silently WRAPS to garbage (r13 ADVICE:
+    1e300 -> -9223372036854768654 on pandas 2.2.2). The Spark ANSI cast and
+    the DuckDB oracle both raise on the same input, so the pandas path must
+    bound-check before casting to keep all three engines degrading
+    identically. The reduction itself runs at object dtype (Python ints),
+    so the batch total cannot wrap either.
+    """
+    scaled = values.mul(100).round()
+    arr = scaled.to_numpy()
+    bad = ~np.isfinite(arr) | (np.abs(arr) >= float(2**63))
+    if bad.any():
+        offender = scaled[bad].iloc[0]
+        raise ValueError(
+            "value off the exact int64 cents grid in stateful state "
+            f"(scaled={offender!r}); refusing to wrap -- mirror of the "
+            "ANSI-cast / grid-guard fail-loud contract"
+        )
+    return int(scaled.astype("int64").to_numpy().astype(object).sum())
 
 
 class RunningCountSum(StatefulProcessor):
@@ -68,8 +94,9 @@ class RunningCountSum(StatefulProcessor):
             # exact integer-cents accumulation (2dp-grid telemetry): the
             # r13 extremes variant showed float running sums absorbing /
             # overflowing in arrival order; off-scale or NaN/inf values
-            # fail LOUDLY at the int64 cast instead (functions/numeric)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # fail LOUDLY via the bound-checked cast (pandas astype alone
+            # silently wraps finite off-scale doubles -- r13 ADVICE)
+            cents += _exact_cents_sum(pdf["value"])
         self._agg.update((n, cents))
         yield pd.DataFrame(
             {"event_type": [key[0]], "n_events": [n], "sum_cents": [cents]}

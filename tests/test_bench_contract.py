@@ -157,3 +157,17 @@ def test_emit_with_multipoint_calibration_fits_tail_window(capsys):
     parsed = json.loads(line)
     assert parsed["queries"], "headline queries trimmed away by calibration bulk"
     assert parsed["calibration_normalized"]["normalized_confidence"] == "high"
+
+
+def test_drift_series_is_one_statistic():
+    """r13 ADVICE: probe 0 (calibrate, min-of-3 py shots) and every
+    mid-suite probe must be the SAME estimator -- a min-of-2 mid-suite
+    default made drift ratios structurally biased upward. Pin the
+    probe_py_loop default to 3 shots and that it actually takes them."""
+    import inspect
+
+    sig = inspect.signature(bench.probe_py_loop)
+    assert sig.parameters["shots"].default == 3
+    shots = bench.probe_py_loop()
+    assert len(shots) == 3
+    assert all(s > 0 for s in shots)

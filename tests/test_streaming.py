@@ -1028,3 +1028,36 @@ def test_probe_stream_with_no_new_docs_degrades_to_empty(
     out = REGISTRY[entry].fn(spark, sf_dir)
     assert out.schema.simpleString() == result_schema
     assert out.count() == 0
+
+
+def test_exact_cents_sum_fail_loud_off_grid():
+    """r13 ADVICE (medium): pandas astype('int64') silently WRAPS finite
+    off-scale doubles (1e300 -> a garbage negative), so the TWS cents
+    accumulator must bound-check before casting -- matching the Spark
+    ANSI cast and the DuckDB oracle, which both raise on the same input.
+    Also pin exactness on the happy path and the loud NaN/inf path."""
+    import pandas as pd
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.streaming.stateful_v2 import (
+        _exact_cents_sum,
+    )
+
+    # happy path: exact cents, no float absorption
+    assert _exact_cents_sum(pd.Series([1.23, 4.56, -0.01])) == 578
+    assert _exact_cents_sum(pd.Series([], dtype="float64")) == 0
+    # large-but-on-grid stays exact at object dtype (no batch-total wrap)
+    big = 9.0e15  # *100 = 9e17 < 2^63
+    assert _exact_cents_sum(pd.Series([big, big])) == 2 * int(big) * 100
+
+    # finite off-scale: MUST raise, not wrap (1e300 wraps under astype)
+    with pytest.raises(ValueError, match="cents grid"):
+        _exact_cents_sum(pd.Series([1e300]))
+    # just past the int64 edge after *100
+    with pytest.raises(ValueError, match="cents grid"):
+        _exact_cents_sum(pd.Series([2.0**63 / 100 * 1.01]))
+    # non-finite: same loud contract
+    with pytest.raises(ValueError, match="cents grid"):
+        _exact_cents_sum(pd.Series([float("nan")]))
+    with pytest.raises(ValueError, match="cents grid"):
+        _exact_cents_sum(pd.Series([float("inf")]))

@@ -49,6 +49,42 @@ Variants:
                (text repeated to the megabyte), n_chars recomputed for
                consistency: tokenizer / md5 / regex / shingle paths at
                pathological row widths.
+  timex     -- timestamp extremes (r13 VERDICT axis a): events.ts takes
+               epoch 0, the last pre-epoch microsecond, the int64-nanos
+               ceiling day (2262-04-11), DST-transition instants
+               (EU spring-forward / US fall-back) and a leap day on
+               event_id %% 19 slices; orders.o_orderdate takes epoch 0 /
+               pre-epoch / 2262 / leap day on o_orderkey %% 23 slices;
+               lineitem.l_shipdate takes the proleptic-Gregorian floor
+               0001-01-01, the 9999-12-31 ceiling and epoch 0 on
+               (l_orderkey * 7 + l_linenumber) %% 29 slices. Stresses
+               epoch conversion (F4), date formatting, day/month spines
+               (q40/q45), interval overlap (q66), sessionization
+               (q56/s03), EWMA day series (q86/s31), range frames (q41),
+               and parquet timestamp rebase at the calendar boundaries.
+  skew      -- one key holds ~99%% of rows (r13 VERDICT axis b):
+               lineitem.l_partkey / l_suppkey collapse to their min key
+               and l_returnflag to 'A' except on o_orderkey %% 100 == 0;
+               orders.o_custkey likewise; events.user_id -> min user and
+               event_type -> 'click' except on event_id %% 100 == 0;
+               20%% of documents (doc_id %% 5 == 0) share ONE identical
+               text (a hot dedup/LSH band + hot CDC chunk class, n_chars
+               recomputed). Stresses the salted pair q22/q23 (salting
+               must flatten task times, not just match the oracle),
+               window partitions (q16/q26), dedup band buckets
+               (d02/s26/s30 gate + fan-out behavior), and AQE skew
+               handling generally.
+  nullkeys  -- JOIN/GROUP KEYS go NULL on slices (r13 VERDICT axis c):
+               orders.o_custkey (o_orderkey %% 7), lineitem.l_partkey
+               (%% 11 of l_orderkey * 7 + l_linenumber) and l_suppkey
+               (%% 13), customer.c_nationkey (c_custkey %% 17),
+               events.user_id (event_id %% 7) and event_type
+               (event_id %% 23). Unlike `nulls` (descriptive columns),
+               this NULLs the EQUI-JOIN and grouping keys: inner/semi
+               joins must drop them identically, outer joins must keep
+               them unmatched, anti-join / NOT-IN semantics diverge
+               loudly if any oracle uses NOT IN, and NULL groups must
+               form the same single group in both engines.
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -189,6 +225,118 @@ def build(
             # O(factor^2), so broad sweeps drop to x10 while the pins
             # keep x100 on the queries the axis actually broke
             sel = f"SELECT s.* FROM {src} s CROSS JOIN range({dup_factor})"
+        elif variant == "timex" and t == "events":
+            # spans stay bounded (1969..2262) so the day-spine carriers
+            # (q40) produce ~107k-day fills, a correct-and-linear answer,
+            # not a 2.9M-day compare explosion; the calendar-boundary
+            # hunt (year 1 / 9999) rides on l_shipdate, which has no
+            # spine carrier
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE event_id % 19"
+                "  WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'"
+                "  WHEN 1 THEN TIMESTAMP '1969-12-31 23:59:59.999999'"
+                "  WHEN 2 THEN TIMESTAMP '2262-04-11 23:47:16.854775'"
+                "  WHEN 3 THEN TIMESTAMP '2021-03-28 02:30:00'"
+                "  WHEN 4 THEN TIMESTAMP '2021-11-07 01:30:00'"
+                "  WHEN 5 THEN TIMESTAMP '2024-02-29 00:00:00'"
+                "  ELSE ts END AS ts)"
+                f" FROM {src}"
+            )
+        elif variant == "timex" and t == "orders":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE o_orderkey % 23"
+                "  WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'"
+                "  WHEN 1 THEN TIMESTAMP '1969-06-15 08:30:00'"
+                "  WHEN 2 THEN TIMESTAMP '2262-04-11 00:00:00'"
+                "  WHEN 3 THEN TIMESTAMP '2024-02-29 12:00:00'"
+                "  ELSE o_orderdate END AS o_orderdate)"
+                f" FROM {src}"
+            )
+        elif variant == "timex" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE (l_orderkey * 7 + l_linenumber) % 29"
+                "  WHEN 0 THEN TIMESTAMP '0001-01-01 00:00:00'"
+                "  WHEN 1 THEN TIMESTAMP '9999-12-31 23:59:59'"
+                "  WHEN 2 THEN TIMESTAMP '1970-01-01 00:00:00'"
+                "  ELSE l_shipdate END AS l_shipdate)"
+                f" FROM {src}"
+            )
+        elif variant == "skew" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN l_orderkey % 100 = 0 THEN l_partkey"
+                f"  ELSE (SELECT min(p_partkey) FROM '{sf_dir}/part.parquet') END"
+                "  AS l_partkey,"
+                " CASE WHEN l_orderkey % 100 = 0 THEN l_suppkey"
+                f"  ELSE (SELECT min(s_suppkey) FROM '{sf_dir}/supplier.parquet') END"
+                "  AS l_suppkey,"
+                " CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag"
+                "  ELSE 'A' END AS l_returnflag)"
+                f" FROM {src}"
+            )
+        elif variant == "skew" and t == "orders":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN o_orderkey % 100 = 0 THEN o_custkey"
+                f"  ELSE (SELECT min(c_custkey) FROM '{sf_dir}/customer.parquet') END"
+                "  AS o_custkey)"
+                f" FROM {src}"
+            )
+        elif variant == "skew" and t == "events":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN event_id % 100 = 0 THEN user_id"
+                f"  ELSE (SELECT min(user_id) FROM {src}) END AS user_id,"
+                " CASE WHEN event_id % 100 = 0 THEN event_type"
+                "  ELSE 'click' END AS event_type)"
+                f" FROM {src}"
+            )
+        elif variant == "skew" and t == "documents":
+            # a 20% identical-text class: ONE hot LSH band / CDC chunk
+            # class / duplicate cluster -- dedup fan-out and gate stress
+            # without the O(n^2) pair-list blow-up a 99% class would cost
+            hot = (
+                f"(SELECT text FROM {src} ORDER BY doc_id LIMIT 1)"
+            )
+            sel = (
+                f"SELECT doc_id,"
+                f" CASE WHEN doc_id % 5 = 0 THEN {hot} ELSE text END AS text,"
+                " lang, source,"
+                f" length(CASE WHEN doc_id % 5 = 0 THEN {hot} ELSE text END)"
+                "  AS n_chars"
+                f" FROM {src}"
+            )
+        elif variant == "nullkeys" and t == "orders":
+            sel = (
+                "SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0 THEN NULL"
+                f" ELSE o_custkey END AS o_custkey) FROM {src}"
+            )
+        elif variant == "nullkeys" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN (l_orderkey * 7 + l_linenumber) % 11 = 0 THEN NULL"
+                "  ELSE l_partkey END AS l_partkey,"
+                " CASE WHEN (l_orderkey * 7 + l_linenumber) % 13 = 0 THEN NULL"
+                "  ELSE l_suppkey END AS l_suppkey)"
+                f" FROM {src}"
+            )
+        elif variant == "nullkeys" and t == "customer":
+            sel = (
+                "SELECT * REPLACE (CASE WHEN c_custkey % 17 = 0 THEN NULL"
+                f" ELSE c_nationkey END AS c_nationkey) FROM {src}"
+            )
+        elif variant == "nullkeys" and t == "events":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN event_id % 7 = 0 THEN NULL"
+                "  ELSE user_id END AS user_id,"
+                " CASE WHEN event_id % 23 = 0 THEN NULL"
+                "  ELSE event_type END AS event_type)"
+                f" FROM {src}"
+            )
         elif variant == "longstr" and t == "documents":
             grown = (
                 "CASE WHEN doc_id % 17 = 0 THEN repeat(text || ' ', "
@@ -226,7 +374,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
                     choices=["nulls", "singlerow", "unicode", "salt", "ties",
-                             "empty", "bigmoney", "extremes", "dupx", "longstr"])
+                             "empty", "bigmoney", "extremes", "dupx", "longstr",
+                             "timex", "skew", "nullkeys"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--dup-factor", type=int, default=100)
