@@ -43,12 +43,28 @@ def md5_hash32(col: Column, seed: int | None = None) -> Column:
 
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined); documents shorter than ``n``
-    tokens collapse to one whole-text shingle."""
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
-    return F.when(F.size(tokens) >= n, make).otherwise(F.array(F.concat_ws(" ", tokens)))
+    tokens collapse to one whole-text shingle.
+
+    The input expression is evaluated exactly ONCE per row: ``tokens`` is
+    wrapped in a single-element array and re-bound as a lambda VARIABLE
+    before the per-window lambda references it. Without that binding, a
+    caller passing an unmaterialized ``tokenize(text)`` puts the split
+    INSIDE the window lambda, and Catalyst re-evaluates it per window --
+    O(len x windows) per doc, the t04 quadratic class (r14 find: t05 on
+    1 MiB docs spent minutes re-splitting; with the binding it is linear).
+    Lambda-bound references also survive CollapseProject, which an
+    aliased-projection fix at each callsite would not."""
+
+    def over(ws: Column) -> Column:
+        make = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+        return F.when(F.size(ws) >= n, make).otherwise(
+            F.array(F.concat_ws(" ", ws))
+        )
+
+    return F.element_at(F.transform(F.array(tokens), over), 1)
 
 
 def token_count(col: Column | str) -> Column:

@@ -79,6 +79,13 @@ def bipartite_graph_encoded(
     orders_small = orders.limit(BROADCAST_VERTEX_LIMIT + 1).count() <= BROADCAST_VERTEX_LIMIT
     edges = (
         li.join(_maybe_broadcast(orders, orders_small), li.l_orderkey == orders.o_orderkey)
+        # a vertex must HAVE an id: a NULL custkey/partkey would mint a
+        # NULL vertex that no equi-join in any iterative algorithm can
+        # ever match (CC never merges it, BFS never reaches it), so the
+        # engines drift apart one phantom component at a time (r14
+        # nullkeys find). Edges with an unidentifiable endpoint are
+        # dropped at build, mirrored in plans/graphq._EDGES_SQL.
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_partkey") * 2 + 1).alias("dst"),

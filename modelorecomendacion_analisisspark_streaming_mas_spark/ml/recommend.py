@@ -45,6 +45,11 @@ def ratings_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise = F.col("l_quantity").cast("int") % 2
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # a rating without a user or item identity is untrainable: ALS.fit
+        # itself raises 'Ids MUST NOT be Null' mid-job (r14 nullkeys
+        # find), so quarantine NULL-key rows at ratings build -- the
+        # standard ingest rule for id-keyed training data
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select(
             F.col("o_custkey").cast("int").alias("userId"),
             F.col("l_partkey").cast("int").alias("itemId"),
@@ -227,6 +232,10 @@ def implicit_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # same NULL-id quarantine as the explicit ratings builder: ALS.fit
+        # raises on NULL ids, and an interaction without a user or item
+        # identity carries no signal (r14 nullkeys find)
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .groupBy(
             F.col("o_custkey").cast("int").alias("userId"),
             F.col("l_partkey").cast("int").alias("itemId"),

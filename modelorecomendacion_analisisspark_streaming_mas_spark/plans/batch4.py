@@ -501,7 +501,7 @@ def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECURSIVE_SQL = """
-WITH RECURSIVE mo(mi, hi) AS (
+WITH RECURSIVE mo(mi, hi){maxrec} AS (
   SELECT mn, mx FROM (
     SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mn,
            CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS INT) AS mx
@@ -522,17 +522,34 @@ FROM mo LEFT JOIN monthly m ON m.mi = mo.mi
 """
 
 
-@register("q45_recursive_month_spine", oracle=_RECURSIVE_SQL.format(orders="orders"))
+# Engine-side recursion ceiling: Spark 4 defaults WITH RECURSIVE to 100
+# levels and q45's depth is the data's month span -- ~85 on sane orders,
+# but a single year-2262 order date (r14 timex axis) stretches it to
+# thousands and the query dies RECURSION_LEVEL_LIMIT_EXCEEDED while
+# DuckDB runs the identical SQL fine. 120_000 months (10k years) covers
+# the full representable date range, so the spine is bounded by the TYPE,
+# not by a magic number; the clause is Spark-only dialect (DuckDB has no
+# recursion cap to raise).
+_Q45_MAX_LEVELS = 120_000
+
+
+@register("q45_recursive_month_spine", oracle=_RECURSIVE_SQL.format(orders="orders", maxrec=""))
 def q45_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.0's recursive CTE): a complete month spine
     unrolled by linear recursion from the min to the max order month --
     the bounds ride along in the working table so the recursive term
     needs no subquery -- left-joined to monthly aggregates. The oracle is
-    the IDENTICAL recursive SQL in DuckDB. Recursion depth = month span
-    (~85), each step a one-row working set: the engine executes it as an
-    iterative union, not a self-join explosion."""
+    the IDENTICAL recursive SQL in DuckDB (minus the Spark-only MAX
+    RECURSION LEVEL clause, see _Q45_MAX_LEVELS). Recursion depth = month
+    span (~85 on sane dates), each step a one-row working set: the engine
+    executes it as an iterative union, not a self-join explosion."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q45")
-    return spark.sql(_RECURSIVE_SQL.format(orders="orders_q45"))
+    return spark.sql(
+        _RECURSIVE_SQL.format(
+            orders="orders_q45",
+            maxrec=f" MAX RECURSION LEVEL {_Q45_MAX_LEVELS}",
+        )
+    )
 
 
 @register(

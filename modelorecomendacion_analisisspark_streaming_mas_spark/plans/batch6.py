@@ -533,7 +533,7 @@ WITH iv AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month_start
   FROM bounds
 )
-SELECT m.month_start,
+SELECT strftime(m.month_start, '%Y-%m-%d') AS month_start,
        CAST(count(*) AS BIGINT) AS n_open,
        (sum(CAST(round(iv.o_totalprice * 100) AS BIGINT)) / 1e2) AS sum_open_value
 FROM months m
@@ -556,11 +556,19 @@ def q66_interval_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("s"),
         F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 45 AS INT))").alias("e"),
     )
+    # month boundaries are emitted as 'yyyy-MM-dd' STRINGS (the q40
+    # discipline): a raw TIMESTAMP output overflows pandas' ns range once
+    # an interval crosses 2262-04-11 (the r14 timex find), and DATE
+    # round-trips as date-vs-datetime64 depending on the consumer's Arrow
+    # conversion path; the formatted string is the one portable surface.
+    # date_format lives in its own projection -- generators cannot nest.
     binned = iv.select(
         "o_totalprice",
         F.explode(
             F.expr("sequence(date_trunc('month', s), e, interval 1 month)")
-        ).alias("month_start"),
+        ).alias("month_ts"),
+    ).select(
+        "o_totalprice", F.date_format("month_ts", "yyyy-MM-dd").alias("month_start")
     )
     return binned.groupBy("month_start").agg(
         F.count(F.lit(1)).alias("n_open"),
@@ -730,6 +738,11 @@ def funnel_user_stages(
     (ts, step_no) sort key. Reusable core of q68; tie and window
     semantics pinned by tests/test_batch6_ops.py.
     """
+    # NULL user_id is unattributable -- it cannot anchor a per-user funnel
+    # and the oracle's user_id equi-joins drop it anyway; without this
+    # filter the engine's distinct() user list counted a phantom NULL
+    # "user" at stage 0 (r14 nullkeys find)
+    ev = ev.filter(F.col("user_id").isNotNull())
     step = None
     for i, name in enumerate(steps, start=1):
         step = (
@@ -859,7 +872,8 @@ _Q71_ORACLE = f"""
 WITH hs AS (
   SELECT DISTINCT event_type,
          (('0x'||substr(md5('kmv|' || user_id::VARCHAR),1,8))::UBIGINT)::BIGINT AS h
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
 ), sk AS (
   SELECT event_type, h FROM (
     SELECT event_type, h,
@@ -892,7 +906,7 @@ WITH hs AS (
     AND EXISTS (SELECT 1 FROM sk b WHERE b.event_type = 'purchase' AND b.h = su.h)
 ), ex AS (
   SELECT DISTINCT event_type, user_id FROM events
-  WHERE event_type IN ('click', 'purchase')
+  WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
 ), exacts AS (
   SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_click,
          count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_purchase,
@@ -926,8 +940,14 @@ def q71_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_hash32
 
     k = _Q71_K
+    # NULL user_id has no identity to count: distinct sketches and exact
+    # distinct counts both exclude it, like SQL count(DISTINCT). Without
+    # the filter the engines disagree TWICE (r14 nullkeys find): Spark
+    # sorts the NULL hash FIRST into the bottom-k sketch where DuckDB
+    # sorts it last, and the engine's groupBy-based exact side counts the
+    # NULL group where count(DISTINCT) skips it.
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(*_Q71_TYPES)
+        F.col("event_type").isin(*_Q71_TYPES) & F.col("user_id").isNotNull()
     )
     hs = ev.select(
         "event_type",

@@ -632,6 +632,7 @@ _M06_ORACLE = f"""
 WITH bask AS (
   SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
 ), n_c AS (SELECT count(DISTINCT cust) AS n FROM bask),
 pop AS (
   SELECT part, count(*) AS n_cust,
@@ -666,6 +667,12 @@ def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bask = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        # a NULL customer / part is not a basket member: DataFrame
+        # distinct-count would tally NULL as a customer (inflating every
+        # lift by (n+1)/n) while the cust=cust pair join silently drops
+        # those baskets anyway -- exclude them outright, mirrored in the
+        # oracle (r14 nullkeys find)
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)  # reused by n_c, pop, and the pair join
     )
@@ -724,15 +731,21 @@ def m06_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row shifts.
 # --------------------------------------------------------------------------
 
+# NOT EXISTS, not NOT IN: `NULL NOT IN (...)` evaluates NULL and silently
+# EXCLUDES the row, while the engine's left_anti keeps a NULL-key row (no
+# match -> survivor). For a deletion cascade the anti-join semantics are
+# the correct ones -- an order with an unknown customer belongs to no
+# DELETED customer -- so the oracle mirrors them NULL-safely (r14
+# nullkeys find: 215 NULL-custkey orders vanished from the oracle only).
 _Q78_ORACLE = f"""
 WITH del AS (
   SELECT c_custkey FROM customer WHERE c_custkey % 11 = 0
 ), surv_c AS (
-  SELECT c_custkey FROM customer
-  WHERE c_custkey NOT IN (SELECT c_custkey FROM del)
+  SELECT c_custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.c_custkey = c.c_custkey)
 ), surv_o AS (
-  SELECT o_orderkey, o_totalprice FROM orders
-  WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.c_custkey = o.o_custkey)
 ), surv_l AS (
   SELECT l.l_extendedprice, l.l_discount FROM lineitem l
   WHERE l.l_orderkey IN (SELECT o_orderkey FROM surv_o)

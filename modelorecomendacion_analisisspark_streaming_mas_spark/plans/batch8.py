@@ -1823,7 +1823,11 @@ WITH RECURSIVE daily AS (
   UNION ALL
   SELECT s.event_type, s.day, s.n, s.i,
          0.25e0 * s.n + 0.75e0 * r.ewma, r.ewma
-  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+  -- NULL-safe type equality: a NULL event_type forms a daily series like
+  -- any other group (the engine's groupBy-fold keeps it), but a plain
+  -- equi-join can never chain it past i=1 (r14 nullkeys find)
+  FROM rec r JOIN seq s
+    ON s.event_type IS NOT DISTINCT FROM r.event_type AND s.i = r.i + 1
 )
 SELECT event_type, day, n,
        round(prev, 6) AS ewma_prev, round(n / prev, 6) AS ratio,

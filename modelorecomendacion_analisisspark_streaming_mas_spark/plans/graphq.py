@@ -52,6 +52,7 @@ _EDGES_SQL = """
 edges AS (
   SELECT DISTINCT 'c' || o.o_custkey AS src, 'p' || l.l_partkey AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
 )"""
 
 

@@ -433,12 +433,23 @@ def _dat_copy(spark: SparkSession, sf_dir: str) -> str:
         orders = load_table(spark, sf_dir, "orders")
         (
             orders.select(
+                # concat_ws SKIPS null arguments (r14 nullkeys find): a
+                # NULL o_custkey row would serialize with THREE fields,
+                # shifting every later column under the reader. NULL must
+                # serialize as an EMPTY field between separators (the
+                # reader's ''-> null convention), so coalesce each field
+                # to '' before joining.
                 F.concat_ws(
                     "::",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("o_custkey").cast("string"),
-                    F.col("o_totalprice").cast("string"),
-                    F.col("o_orderstatus"),
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit(""))
+                        for c in (
+                            "o_orderkey",
+                            "o_custkey",
+                            "o_totalprice",
+                            "o_orderstatus",
+                        )
+                    ],
                 ).alias("value")
             # 8 files -> 8 DS InputPartitions: files are the dat source's
             # unit of parallelism, so the staged copy should exercise a

@@ -191,13 +191,18 @@ def t05_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_hash32
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    win = shingles(toks, 8)
-    return docs.select(
+    # tokenize once and materialize the window array once (t04 discipline):
+    # `ws`/`win` are referenced more than once below, which also keeps
+    # CollapseProject from inlining the expensive expressions back in
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("ws"))
+    base = base.withColumn("win", shingles(F.col("ws"), 8))
+    return base.select(
         "doc_id",
-        rolling_hash(toks).alias("roll_fp"),
-        F.array_min(F.transform(win, lambda g: md5_hash32(g))).alias("min_window_fp"),
-        F.size(win).cast("long").alias("n_windows"),
+        rolling_hash(F.col("ws")).alias("roll_fp"),
+        F.array_min(
+            F.transform(F.col("win"), lambda g: md5_hash32(g))
+        ).alias("min_window_fp"),
+        F.size(F.col("win")).cast("long").alias("n_windows"),
     )
 
 

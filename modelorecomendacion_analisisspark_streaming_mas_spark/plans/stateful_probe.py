@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..compat import protobuf_shim
+from ..streaming.pipelines import EVENT_TIME_BOUND_SQL
 from .catalog import register
 
 
@@ -127,7 +128,7 @@ def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S19_ORACLE = """
 SELECT event_type, CAST(((user_id % 10) + 10) % 10 AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY event_type, bucket
+FROM events WHERE user_id IS NOT NULL GROUP BY event_type, bucket
 """
 
 
@@ -189,11 +190,15 @@ def _s21_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S22_GAP_MIN = 45
 
+# NULL user_id excluded: per-user stateful operators quarantine
+# unattributable rows at ingest (streaming/stateful_v2.py, r14 nullkeys).
+# Event-time bound: s22 is watermark/timer-driven, so it also applies the
+# ingest validity window (pipelines.bounded_event_time, r14 timex).
 _S22_ORACLE = f"""
 WITH seq AS (
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND {EVENT_TIME_BOUND_SQL}
 ), flags AS (
   SELECT user_id, ts,
          CASE WHEN prev IS NULL

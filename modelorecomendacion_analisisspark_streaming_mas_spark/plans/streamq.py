@@ -23,6 +23,7 @@ from ..sources.readers import local_rows_df
 from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_replay
 from ..streaming.stateful import longest_run_per_user
 from ..streaming.pipelines import (
+    EVENT_TIME_BOUND_SQL,
     demo_latest_topk,
     dynamic_sessionized_counts,
     sessionized_counts,
@@ -85,10 +86,12 @@ def _replayed(
 
 @register(
     "s01_stream_tumbling_counts",
-    oracle="""
+    # WHERE bound: watermark entries quarantine event times outside the
+    # ingest validity window (pipelines.bounded_event_time, r14 timex)
+    oracle=f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
-FROM events GROUP BY win_start, event_type
+FROM events WHERE {EVENT_TIME_BOUND_SQL} GROUP BY win_start, event_type
 """,
 )
 def s01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,11 +108,11 @@ def s01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s02_stream_sliding_counts",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT event_type,
          to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS t30
-  FROM events
+  FROM events WHERE {EVENT_TIME_BOUND_SQL}
 ), w AS (
   SELECT event_type, unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win
   FROM t
@@ -132,10 +135,10 @@ def s02_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s03_stream_session_counts",
-    oracle="""
+    oracle=f"""
 WITH o AS (
   SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events
+  FROM events WHERE {EVENT_TIME_BOUND_SQL}
 ), m AS (
   SELECT user_id,
          CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
@@ -251,10 +254,10 @@ def s06_stream_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s07_stream_stream_join",
-    oracle="""
+    oracle=f"""
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
-FROM events c
-JOIN events p
+FROM (SELECT * FROM events WHERE {EVENT_TIME_BOUND_SQL}) c
+JOIN (SELECT * FROM events WHERE {EVENT_TIME_BOUND_SQL}) p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
@@ -279,12 +282,12 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s12_stream_dynamic_session",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT user_id, ts,
          CASE WHEN event_type = 'click' THEN ts + INTERVAL 5 MINUTE
               ELSE ts + INTERVAL 15 MINUTE END AS reach
-  FROM events
+  FROM events WHERE {EVENT_TIME_BOUND_SQL}
 ), y AS (
   SELECT user_id, ts,
          max(reach) OVER (PARTITION BY user_id ORDER BY ts
@@ -352,10 +355,13 @@ def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup-by-id stated EXPLICITLY: the old `count(*) FROM events`
     # assumed unique event_ids, which the r13 dupx variant (100 identical
     # copies per row) broke -- the engine dedups to one row per id, so
-    # the oracle must too (identical on normal data).
-    oracle="""
+    # the oracle must too (identical on normal data). WHERE bound: this
+    # is the WATERMARKED dedup (unlike s04), so it quarantines event
+    # times outside the ingest validity window (r14 timex).
+    oracle=f"""
 SELECT event_type, count(*) AS n_events
-FROM (SELECT DISTINCT event_id, event_type FROM events)
+FROM (SELECT DISTINCT event_id, event_type FROM events
+      WHERE {EVENT_TIME_BOUND_SQL})
 GROUP BY event_type""",
 )
 def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,8 +390,11 @@ def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over sorted copies computes. Identical on duplicate-free data.
     oracle="""
 WITH uniq AS (
+  -- NULL user_id excluded: per-user stateful operators quarantine
+  -- unattributable rows at ingest (streaming/stateful.py, r14 nullkeys)
   SELECT user_id, ts, event_id, event_type, count(*) AS cnt
-  FROM events GROUP BY user_id, ts, event_id, event_type
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id, ts, event_id, event_type
 ), ord AS (
   SELECT user_id, event_type, cnt,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -404,7 +413,8 @@ WITH uniq AS (
 )
 SELECT b.user_id, b.best_run, b.best_type, c.n_events
 FROM best b
-JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) c
+JOIN (SELECT user_id, count(*) AS n_events FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id) c
   USING (user_id)
 WHERE b.pick = 1
 """,
@@ -495,10 +505,10 @@ def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s13_stream_file_sink",
-    oracle="""
+    oracle=f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
-FROM events GROUP BY win_start, event_type
+FROM events WHERE {EVENT_TIME_BOUND_SQL} GROUP BY win_start, event_type
 """,
 )
 def s13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,7 +532,10 @@ def s13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out_dir)
-        .filter(F.col("event_type") != "__sentinel__")
+        # NULL-safe: a plain != also swallows rows whose event_type is
+        # NULL (NULL != x is NULL -> filtered), silently dropping the
+        # whole NULL-type window family (r14 nullkeys find)
+        .filter(~F.col("event_type").eqNullSafe("__sentinel__"))
         .select("win_start", "event_type", "n", "sum_value")
     )
 
@@ -540,10 +553,10 @@ def s13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s14_stream_left_outer_join",
-    oracle="""
+    oracle=f"""
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
-FROM events c
-LEFT JOIN events p
+FROM (SELECT * FROM events WHERE {EVENT_TIME_BOUND_SQL}) c
+LEFT JOIN (SELECT * FROM events WHERE {EVENT_TIME_BOUND_SQL}) p
   ON c.user_id = p.user_id
  AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
@@ -727,12 +740,16 @@ def s16_stream_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s17_stream_static_anti_join",
+    # NULL-user rows SURVIVE decontamination: a user that cannot be
+    # identified is not on the blocklist, which is exactly what the
+    # engine's left_anti computes -- but a bare `user_id % 97 <> 0`
+    # evaluates NULL and silently drops them (r14 nullkeys find)
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
 FROM events
-WHERE user_id % 97 <> 0
+WHERE user_id IS NULL OR user_id % 97 <> 0
 GROUP BY event_type
 """,
 )

@@ -34,13 +34,30 @@ def stage_events_for_replay(
     directory; ``copies`` > 1 plants exact duplicates to exercise streaming
     dedup, ``n_files`` splits the replay into that many files (so
     maxFilesPerTrigger can force genuinely incremental multi-batch runs).
-    Returns the schema for the file-stream reader."""
+    Returns the schema for the file-stream reader.
+
+    The staged files are EVENT-TIME ORDERED (a global orderBy writes
+    range-partitioned part files whose lexicographic names follow ts; the
+    file source replays same-mtime files in path order): historical
+    replay in event-time order is the standard backfill discipline, and
+    it guarantees no sane row is ever declared late REGARDLESS of how
+    availableNow splits the files into micro-batches. Unordered staging
+    let a batch boundary fall between a new-era row and an older row,
+    silently late-dropping the older one (r14 timex find). ``copies`` are
+    UNIONED BEFORE the sort so duplicates ride adjacent in the same
+    range, not as a second later wave that arrives entirely late."""
     ev = load_events(spark, sf_dir)
+    if copies > 1:
+        base = ev
+        for _ in range(1, copies):
+            ev = ev.unionByName(base)
     if n_files:
-        ev = ev.repartition(n_files)
+        ev = ev.repartitionByRange(n_files, "ts", "event_id").sortWithinPartitions(
+            "ts", "event_id"
+        )
+    else:
+        ev = ev.orderBy("ts", "event_id")
     ev.write.mode("overwrite").parquet(out_dir)
-    for i in range(1, copies):
-        ev.write.mode("append").parquet(out_dir)
     return ev.schema
 
 

@@ -26,6 +26,43 @@ from ..functions.numeric import cents_sum_spark
 
 from ..functions.etl import when_chain
 
+# Event-time validity window for every WATERMARKED operator (r14 timex
+# find): the global watermark is max(event time) - delay, so ONE corrupt
+# far-future timestamp (a 2262 event in a 2024 stream) silently declares
+# the entire sane corpus late -- windows stop closing, dedup drops first
+# occurrences, joins drop matches. Standard production discipline is an
+# ingest validity window that quarantines rows whose event time cannot be
+# real. The LOWER bound is forced by the engine itself: Structured
+# Streaming's global watermark STARTS at epoch 0, so any row with event
+# time at/near 1970-01-01 is born late and silently dropped by every
+# watermarked operator regardless of arrival order (r14 timex: the
+# epoch-0 and pre-epoch slices vanished from the engine only -- a 106-row
+# deficit exactly matching those slices). 1970-01-02 clears the floor
+# plus any delay the catalog uses (<= 24 h). The upper bound 2200
+# excludes the far-future poison. Both are no-ops on sane data. Applied
+# INSIDE each watermark-bearing pipeline function so every caller is
+# protected, and mirrored verbatim in those entries' oracles
+# (EVENT_TIME_BOUND_SQL). Operators WITHOUT watermarks intentionally keep
+# extreme timestamps -- they are representable and aggregate fine.
+EVENT_TIME_VALID_LO = "1970-01-02"
+EVENT_TIME_VALID_HI = "2200-01-01"
+EVENT_TIME_BOUND_SQL = (
+    f"ts >= TIMESTAMP '{EVENT_TIME_VALID_LO}'"
+    f" AND ts < TIMESTAMP '{EVENT_TIME_VALID_HI}'"
+)
+
+
+def bounded_event_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Quarantine rows outside the event-time validity window. MUST wrap
+    every stream that feeds ``withWatermark`` (see module constant note);
+    a production deployment would route the rejects to a quarantine sink
+    instead of dropping them."""
+    return stream.filter(
+        (F.col(ts_col) >= F.lit(EVENT_TIME_VALID_LO).cast("timestamp"))
+        & (F.col(ts_col) < F.lit(EVENT_TIME_VALID_HI).cast("timestamp"))
+    )
+
+
 # Reference age bins, app3/live_counts.py:52-61.
 AGE_BINS = [
     (None, 18, "<18"),
@@ -77,7 +114,7 @@ def tumbling_counts(
     """Event-time tumbling window counts with watermark (the section 2.9
     "not present" surface)."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        bounded_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), cents_sum_spark("value").alias("sum_value"))
         .select(
@@ -98,7 +135,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Sliding event-time windows: each event lands in width/slide windows."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        bounded_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, width, slide).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -118,7 +155,7 @@ def sessionized_counts(
     """Session windows per user (gap-based), the canonical stateful
     sessionization the reference's driver-side counting can't express."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        bounded_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -146,7 +183,7 @@ def dynamic_sessionized_counts(
         F.lit(default_gap)
     )
     return (
-        stream.withWatermark(ts_col, watermark)
+        bounded_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -163,7 +200,7 @@ def stream_stream_click_purchase_join(
     watermarked so join state evicts once the constraint window passes --
     the bounded-state contract stream-stream joins require at scale."""
     c = (
-        clicks.withWatermark("ts", watermark)
+        bounded_event_time(clicks).withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -171,7 +208,7 @@ def stream_stream_click_purchase_join(
         )
     )
     p = (
-        purchases.withWatermark("ts", watermark)
+        bounded_event_time(purchases).withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -209,7 +246,7 @@ def stream_stream_left_outer_join(
     state forever (on an unbounded production stream the next real event
     plays that role)."""
     c = (
-        clicks.withWatermark("ts", watermark)
+        bounded_event_time(clicks).withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -223,7 +260,7 @@ def stream_stream_left_outer_join(
         )
     )
     p = (
-        purchases.withWatermark("ts", watermark)
+        bounded_event_time(purchases).withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -245,7 +282,11 @@ def stream_dedup_within_watermark(
 ) -> DataFrame:
     """Bounded-state streaming dedup: state only spans the watermark horizon
     (the 100 TB answer to unbounded dropDuplicates state)."""
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
+    return (
+        bounded_event_time(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
 
 
 def stream_dedup_counts(stream: DataFrame, id_col: str = "event_id") -> DataFrame:

@@ -86,9 +86,19 @@ def foreach_batch_incremental_rollup(
             existing = spark.read.parquet(table_dir).filter(
                 F.col(partition_col).isin(parts)
             )
-            keep = existing.join(
-                rows_new.select(*key_cols), key_cols, "left_anti"
-            )
+            # NULL-SAFE anti-join on the merge keys: with a plain equi
+            # left_anti, an existing row whose key contains NULL (e.g. a
+            # NULL event_type group) never matches the batch's updated row
+            # for the same key, so the stale total SURVIVES next to the
+            # new one and the view accretes one duplicate per trigger
+            # (r14 nullkeys find). eqNullSafe makes latest-wins hold for
+            # NULL keys too.
+            new_keys = rows_new.select(*key_cols)
+            cond = None
+            for k in key_cols:
+                c = existing[k].eqNullSafe(new_keys[k])
+                cond = c if cond is None else cond & c
+            keep = existing.join(new_keys, cond, "left_anti")
             merged = keep.unionByName(rows_new).localCheckpoint(eager=True)
         (
             merged.repartition(F.col(partition_col))

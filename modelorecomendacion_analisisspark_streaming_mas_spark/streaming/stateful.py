@@ -106,7 +106,15 @@ def longest_run_per_user(stream: DataFrame) -> DataFrame:
     ``n_events`` strictly increases per emission, so the latest row per user
     is the one with max ``n_events``. ``ooo_events`` counts cross-batch
     event-time order violations (see module docstring) -- 0 certifies the
-    run counts are exact."""
+    run counts are exact.
+
+    NULL user_id rows are excluded: no identity, no per-user state row
+    (the rule every user-keyed stateful operator in this repo applies; a
+    NULL key also floats the Arrow id column, silently changing emission
+    dtypes -- r14 nullkeys find)."""
+    from pyspark.sql import functions as F
+
+    stream = stream.filter(F.col("user_id").isNotNull())
     return stream.groupBy("user_id").applyInPandasWithState(
         _longest_run_fn,
         outputStructType=OUT_SCHEMA,

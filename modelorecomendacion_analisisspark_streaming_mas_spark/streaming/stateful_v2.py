@@ -228,7 +228,16 @@ def bucket_counts_per_type(stream: DataFrame, n_buckets: int = 10) -> DataFrame:
     transformWithStateInPandas MapState (update mode). Final emission per
     key (max monotone ``n_seen``) equals the batch
     groupBy(event_type, user_id % n_buckets) count."""
-    return stream.select("event_type", "user_id").groupBy(
+    from pyspark.sql import functions as F
+
+    # NULL user_id has no bucket: pandas value_counts silently drops the
+    # NaN it arrives as, so without the explicit filter the engine and
+    # the SQL oracle disagree on whether a NULL bucket exists (r14
+    # nullkeys find) -- and the NaN-tainted float column would corrupt
+    # the % arithmetic for 2^63-adjacent ids besides
+    return stream.filter(F.col("user_id").isNotNull()).select(
+        "event_type", "user_id"
+    ).groupBy(
         "event_type"
     ).transformWithStateInPandas(
         statefulProcessor=UserBucketCounts(n_buckets),
@@ -342,7 +351,11 @@ def funnel_stage_per_user(
     step = F.lit(0)
     for i, name in reversed(list(enumerate(steps, start=1))):
         step = F.when(F.col("event_type") == name, i).otherwise(step)
-    src = stream.select(
+    # NULL user_id cannot anchor a per-user state row (the same
+    # unattributable-events rule as q68's batch funnel; a NULL key also
+    # turns the Arrow batch's id column float, NaN-crashing the handler
+    # -- r14 nullkeys find)
+    src = stream.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         step.cast("int").alias("step"),
@@ -464,6 +477,17 @@ def timer_sessionize_per_user(
     is_sent = (
         F.col("event_type").isin(*drop_types) if drop_types else F.lit(False)
     )
+    from .pipelines import bounded_event_time
+
+    # NULL user_id cannot hold a session (same rule as the funnel: no
+    # identity, no per-user state row; the NaN-tainted Arrow id column
+    # also crashes the handler -- r14 nullkeys find). Dropping the rows
+    # below the watermark node is fine: the sentinel still advances the
+    # global watermark, and a NULL-keyed row could never close anyway.
+    # bounded_event_time: event-time TIMERS run off the global watermark,
+    # so one far-future row would instantly fire every user's timer and
+    # late-drop the sane corpus (r14 timex find; see pipelines constant).
+    stream = bounded_event_time(stream).filter(F.col("user_id").isNotNull())
     src = stream.withWatermark("ts", watermark).select(
         "ts",
         "user_id",

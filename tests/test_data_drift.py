@@ -438,3 +438,119 @@ def test_oracle_agreement_survives_duplicate_explosion(spark, dupx_variant_dir, 
     got = _canon(q.fn(spark, dupx_variant_dir).toPandas())
     want = _canon(con.execute(q.oracle).df())
     assert got.equals(want), f"{name}: dupx variant disagrees with oracle"
+
+
+# r14 axis (a), timestamp extremes: epoch 0 / pre-epoch / 2262 (int64-ns
+# ceiling) / DST instants / year 1 / 9999 on ts-bearing columns. First
+# contact found: q45 dying on Spark's default 100-level recursion cap,
+# q66's TIMESTAMP output overflowing Arrow's ns range past 2262, and the
+# whole watermark family silently late-dropping sane history -- Spark's
+# global watermark STARTS at epoch 0 (pre-epoch rows are born late) and
+# one far-future row poisons it for everything else. The fixes: MAX
+# RECURSION LEVEL, date32 outputs, the bounded_event_time ingest validity
+# window mirrored in the oracles, and event-time-ORDERED replay staging.
+TIMEX_QUERIES = [
+    "q45_recursive_month_spine",
+    "q66_interval_month_overlap",
+    "q40_gap_fill_daily",            # day spine across the widened span
+    "s08_stream_dedup_watermark",    # watermark bound + epoch floor
+    "s13_stream_file_sink",          # append-mode windows + ordered replay
+]
+
+
+@pytest.fixture(scope="module")
+def timex_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_timex_")
+    build("timex", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", TIMEX_QUERIES)
+def test_oracle_agreement_survives_timestamp_extremes(spark, timex_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{timex_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, timex_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: timex variant disagrees with oracle"
+
+
+# r14 axis (c), NULL join/group keys: o_custkey / l_partkey / l_suppkey /
+# c_nationkey / user_id / event_type go NULL on slices. First contact
+# found 19 divergences: NOT-IN vs left_anti (q78), the dat writer's
+# concat_ws silently SKIPPING null fields (q81, field-shift corruption),
+# NULL-as-a-customer lift inflation (m06), non-NULL-safe recursive joins
+# (q86/s31), NULL identity in distinct sketches (q71), NULL graph
+# vertices (g03/g05), the merge sink's non-NULL-safe latest-wins anti-
+# join accreting duplicates (s15), `col != lit` swallowing NULL rows
+# (s13), `user_id % 97 <> 0` silently dropping NULL users from
+# decontamination (s17), and per-user stateful operators crashing or
+# drifting on NULL keys (s09/s19/s21/s22, ALS m01/m02/m05).
+NULLKEYS_QUERIES = [
+    "q78_delete_propagation",
+    "q81_dat_source_roundtrip",
+    "q68_funnel_stages",
+    "m06_cooccurrence_lift",
+    "q86_ewma_anomaly",
+    "q71_kmv_sketch_setops",
+    "g03_component_histogram",
+    "s15_incremental_rollup",
+    "s17_stream_static_anti_join",
+]
+
+
+@pytest.fixture(scope="module")
+def nullkeys_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_nullkeys_")
+    build("nullkeys", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", NULLKEYS_QUERIES)
+def test_oracle_agreement_survives_null_keys(spark, nullkeys_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{nullkeys_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, nullkeys_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: nullkeys variant disagrees with oracle"
+
+
+def test_als_ratings_builders_quarantine_null_ids(spark, nullkeys_variant_dir):
+    """ALS.fit raises 'Ids MUST NOT be Null' mid-job; both ratings
+    builders must quarantine NULL-key interactions at build (r14
+    nullkeys find -- m01/m02/m05 died on first contact)."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.ml.recommend import (
+        implicit_interactions,
+        ratings_from_testdata,
+    )
+
+    for builder in (ratings_from_testdata, implicit_interactions):
+        df = builder(spark, nullkeys_variant_dir)
+        n_null = df.filter(
+            F.col("userId").isNull() | F.col("itemId").isNull()
+        ).count()
+        assert n_null == 0, f"{builder.__name__} leaked NULL-id ratings"
+        assert df.count() > 0

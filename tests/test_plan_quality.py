@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
 
@@ -264,8 +265,13 @@ def test_q68_funnel_has_single_data_shuffle_and_no_python(spark):
     p = _plan(spark, "q68_funnel_stages")
     assert "EvalPython" not in p  # the HOF state machine stays JVM-side
     assert "collect_list(struct" in p  # one per-user collect, partial-agg'd
-    # funnel-type filter reaches the scan's data filters (pre-collect prune)
-    assert "DataFilters: [CASE WHEN (event_type" in p
+    # funnel-type filter reaches the scan's data filters (pre-collect
+    # prune); since r14 the NULL-user quarantine pushes ahead of it, so
+    # match the CASE filter anywhere in a DataFilters list rather than
+    # pinning list position
+    assert re.search(r"DataFilters: \[[^\]]*CASE WHEN \(event_type", p)
+    # and the r14 NULL-user quarantine itself reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(user_id)]" in p
 
 
 def test_catalog_wide_no_cartesian_no_single_partition_window(spark):
@@ -547,3 +553,18 @@ def test_megadoc_row_width_stays_linear(spark, tmp_path):
         wall = time.perf_counter() - t0
         assert n > 0, name
         assert wall < 90, f"{name}: {wall:.0f}s on 10x256KiB docs -- quadratic row-width shape reintroduced?"
+
+    # t05 (r14 find): shingles() used to re-evaluate an unmaterialized
+    # tokenize(text) INSIDE its per-window lambda -- O(len x windows) per
+    # doc; 1 MiB docs stalled indefinitely where the fixed shape runs in
+    # seconds. count() would PRUNE the fingerprint projections entirely
+    # (how the bug originally hid), so force full evaluation with an
+    # aggregate over the computed columns.
+    t0 = time.perf_counter()
+    out = REGISTRY["t05_doc_fingerprints"].fn(spark, d)
+    row = out.agg(
+        F.sum("n_windows").alias("w"), F.min("min_window_fp").alias("m")
+    ).first()
+    wall = time.perf_counter() - t0
+    assert row["w"] and row["w"] > 0
+    assert wall < 90, f"t05: {wall:.0f}s on 10x256KiB docs -- quadratic shingle lambda reintroduced?"
