@@ -31,7 +31,7 @@ from . import batch9  # noqa: E402,F401
 # freshness treadmill again (same precedent as r13, accepted by the r13
 # judge):
 #
-#   1. _VERIFY_FIRST_R14 (28): entries whose SEMANTICS or oracle changed
+#   1. _VERIFY_FIRST_R14 (32): entries whose SEMANTICS or oracle changed
 #      this round -- the timex fixes (q45 MAX RECURSION LEVEL, q66
 #      string month keys, the watermark family's bounded_event_time
 #      ingest window + ts-ordered replay staging: s01/s02/s03/s07/s08/
@@ -42,12 +42,16 @@ from . import batch9  # noqa: E402,F401
 #      stateful quarantine), plus t05 (linear oracle + the shingles()
 #      lambda-rebind engine fix) and t14/mm08 (MATERIALIZED rid CTEs).
 #      Every member re-simmed MATCH at sf0.001 on its variant AND on
-#      unperturbed data after its change.
-#   2. _PATH_CHANGED_R14 (35): execution path changed, results proven
+#      unperturbed data after its change. t06/d13/d15/d02 joined when the
+#      1 MiB longstr extension found their oracles' list-slice /
+#      list-index comprehensions quadratic (rewritten on the
+#      shingle_rows_sql lead()-window device) and d15's engine chunker
+#      carrying the full token array through its span explode.
+#   2. _PATH_CHANGED_R14 (31): execution path changed, results proven
 #      identical -- every other streaming entry (ts-ordered staging is
 #      upstream of all of them), every shingles() consumer (the lambda
 #      rebind), and every _shared_graph consumer (NULL-endpoint edge
-#      filter). 22 of these fill the remainder of the 50-window.
+#      filter). 18 of these fill the remainder of the 50-window.
 #   3. The freshness treadmill for everyone else: r11 cohort first (the
 #      r13 VERDICT prescription, pre-verified r13), then the r13-overflow
 #      / displaced-r8 names, then r9 / r10 / r12 records.
@@ -88,6 +92,10 @@ _VERIFY_FIRST_R14: list[str] = [
     "s21_stream_funnel_stages",
     "s22_stream_timer_sessions",
     "s31_stream_ewma_anomaly",
+    "t06_repetition_metrics",
+    "d13_duplicated_spans",
+    "d15_cdc_chunk_dedup",
+    "d02_minhash_near_dups",
 ]
 
 _PATH_CHANGED_R14: list[str] = [
@@ -109,7 +117,6 @@ _PATH_CHANGED_R14: list[str] = [
     "s05_stream_latest_topk",
     "s18_stream_tws_latest",
     "s20_stream_countmin_cells",
-    "d02_minhash_near_dups",
     "d04_ngram_jaccard_dedup",
     "d06_contamination_check",
     "d07_near_dup_clusters",
@@ -117,7 +124,6 @@ _PATH_CHANGED_R14: list[str] = [
     "d10_incremental_index_dedup",
     "d16_soft_dedup_weights",
     "q48_training_data_pipeline",
-    "t06_repetition_metrics",
     "g01_part_in_degrees",
     "g02_pagerank_top100",
     "g04_trade_triangles",
@@ -178,7 +184,6 @@ _FRESHNESS_TREADMILL: list[str] = [
     "q54_schema_evolution_read",
     "q76_json_roundtrip",
     "q77_merge_upsert_apply",
-    "d15_cdc_chunk_dedup",
     "e02_knn_lsh",
     "e09_knn_label_eval",
     "q39_udtf_doc_chunks",
@@ -233,7 +238,6 @@ _FRESHNESS_TREADMILL: list[str] = [
     "q47_map_type_roundtrip",
     "e04_knn_pq_adc",
     "e06_knn_ivfpq",
-    "d13_duplicated_spans",
     "e08_mmr_diversified",
     "t11_zipf_fit",
     "t12_bpe_encode",

@@ -55,16 +55,26 @@ from .catalog import grid_mean_spark, grid_mean_sql, register
 _D13_K = 5
 _D13_TOPN = 50
 
+# position-stamped shingles via lead() windows (the slice-comprehension
+# struct form was quadratic in doc length -- r14 longstr find, the
+# shingle_rows_sql class with a position kept): _rid partitions so
+# duplicate doc rows (dupx) cannot interleave window positions.
+_D13_SH = " || ' ' || ".join(
+    ["_w"] + [f"lead(_w, {k}) OVER pw" for k in range(1, _D13_K)]
+)
+
 _D13_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+WITH tok AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, string_split(text, ' ') AS t
+  FROM documents
   WHERE len(string_split(text, ' ')) >= {_D13_K}
 ), pos AS (
-  SELECT doc_id,
-         unnest([{{'pos': i, 'sh': array_to_string(t[i:i+{_D13_K - 1}], ' ')}}
-                 for i in generate_series(1, len(t) - {_D13_K - 1})],
-                recursive := true)
-  FROM tok
+  SELECT doc_id, pos, sh FROM (
+    SELECT doc_id, _i AS pos, _n, {_D13_SH} AS sh
+    FROM (SELECT _rid, doc_id, len(t) AS _n,
+                 generate_subscripts(t, 1) AS _i, unnest(t) AS _w FROM tok)
+    WINDOW pw AS (PARTITION BY _rid ORDER BY _i)
+  ) WHERE pos + {_D13_K - 1} <= _n
 ), dup AS (
   SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
 ), dp AS (
@@ -835,38 +845,55 @@ _D15_W = 5  # rolling window (tokens)
 _D15_MOD = 16  # expected chunk length = MOD tokens
 _D15_TOPN = 50
 
-_D15_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t
+def _cdc_chunk_ctes() -> str:
+    """Shared DuckDB CTE chain producing the CDC chunk lattice `ch`
+    (doc_id, n, clen, chash) over DISTINCT document identities --
+    fully LINEAR in document length: the old form built per-doc hash
+    LISTS and boundary/span comprehensions that DuckDB evaluates
+    quadratically on megadocs (the r14 longstr shingle_rows_sql class).
+    Rolling boundary detection runs as lag() windows over unnested
+    token positions; span membership is a cumulative bound count; chunk
+    text reassembles via ordered string_agg. 31^4/31^3/31^2 literals
+    match the engine's cdc_chunk_frame polynomial exactly. `_rid`
+    partitions every window (the t14 device) so duplicate rows can
+    never interleave positions."""
+    return f"""tok AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, string_split(text, ' ') AS t
   FROM (SELECT DISTINCT doc_id, text FROM documents)
   WHERE len(string_split(text, ' ')) >= {_D15_W}
-), hsrc AS (
-  SELECT doc_id, t, len(t) AS n,
-         [('0x' || substr(md5(x), 1, 8))::UBIGINT % 2147483647 for x in t] AS hs
-  FROM tok
-), b AS (
-  SELECT doc_id, t, n,
-         [i for i in generate_series({_D15_W}, n)
-          if (hs[i-4] * 923521 + hs[i-3] * 29791 + hs[i-2] * 961
-              + hs[i-1] * 31 + hs[i]) % 2147483647 % {_D15_MOD} = 0] AS bounds
-  FROM hsrc
-), b2 AS (
-  SELECT doc_id, t, n,
-         list_prepend(0, [x for x in bounds if x < n] || [n]) AS bs
-  FROM b
-), spans AS (
-  SELECT doc_id,
-         unnest([{{'s': bs[j] + 1, 'e': bs[j + 1]}}
-                 for j in generate_series(1, len(bs) - 1)], recursive := true)
-  FROM b2
+), hh AS (
+  SELECT _rid, doc_id, n, i, w,
+         ('0x' || substr(md5(w), 1, 8))::UBIGINT % 2147483647 AS h
+  FROM (SELECT _rid, doc_id, len(t) AS n,
+               generate_subscripts(t, 1) AS i, unnest(t) AS w FROM tok)
+), roll AS (
+  SELECT _rid, doc_id, n, i, w,
+         CASE WHEN i >= {_D15_W} AND i < n AND
+                   (lag(h, 4) OVER pw * 923521 + lag(h, 3) OVER pw * 29791
+                    + lag(h, 2) OVER pw * 961 + lag(h, 1) OVER pw * 31 + h)
+                   % 2147483647 % {_D15_MOD} = 0
+              THEN 1 ELSE 0 END AS is_bound
+  FROM hh
+  WINDOW pw AS (PARTITION BY _rid ORDER BY i)
+), sp AS (
+  SELECT _rid, doc_id, n, i, w,
+         1 + coalesce(sum(is_bound) OVER (
+               PARTITION BY _rid ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS span_id
+  FROM roll
 ), ch AS (
-  SELECT s.doc_id, s.e - s.s + 1 AS clen,
-         md5(array_to_string(b2.t[s.s:s.e], ' ')) AS chash
-  FROM spans s JOIN b2 USING (doc_id)
-), dup AS (
+  SELECT doc_id, any_value(n) AS n, CAST(count(*) AS BIGINT) AS clen,
+         md5(string_agg(w, ' ' ORDER BY i)) AS chash
+  FROM sp GROUP BY _rid, doc_id, span_id
+)"""
+
+
+_D15_ORACLE = f"""
+WITH {_cdc_chunk_ctes()}, dup AS (
   SELECT chash FROM ch GROUP BY chash HAVING count(DISTINCT doc_id) >= 2
 ), per_doc AS (
-  SELECT c.doc_id,
+  SELECT c.doc_id, any_value(c.n) AS n,
          count(*) AS n_chunks,
          count(d.chash) AS n_dup_chunks,
          coalesce(sum(c.clen) FILTER (WHERE d.chash IS NOT NULL), 0) AS dup_tokens
@@ -877,8 +904,8 @@ SELECT p.doc_id,
        CAST(p.n_chunks AS BIGINT) AS n_chunks,
        CAST(p.n_dup_chunks AS BIGINT) AS n_dup_chunks,
        CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
-       round(p.dup_tokens / CAST(b2.n AS DOUBLE), 4) AS dup_token_frac
-FROM per_doc p JOIN b2 USING (doc_id)
+       round(p.dup_tokens / CAST(p.n AS DOUBLE), 4) AS dup_token_frac
+FROM per_doc p
 ORDER BY dup_token_frac DESC, doc_id
 LIMIT {_D15_TOPN}
 """
@@ -921,29 +948,47 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     bounds = F.filter(
         F.sequence(F.lit(w), n), lambda i: _window_hash(i) % mod == 0
     )
-    bs = F.concat(
-        F.array(F.lit(0)),
-        F.filter(bounds, lambda x: x < n),
-        F.array(n),
+    # bs MUST be a materialized column, not an expression: the chunks
+    # lambda below references it per span element, and Catalyst
+    # re-evaluates lambda-captured EXPRESSIONS per element (the r14
+    # shingles class) -- the whole bounds filter would re-run once per
+    # chunk, O(n^2/MOD) per doc
+    tok = tok.withColumn(
+        "bs",
+        F.concat(
+            F.array(F.lit(0)),
+            F.filter(bounds, lambda x: x < n),
+            F.array(n),
+        ),
     )
-    spans = F.transform(
+    bs = F.col("bs")
+    # chunk stats are computed INSIDE the row (one transform over the
+    # span list; total slice work = n tokens) and only the tiny
+    # (clen, chash) structs explode. The old shape exploded the spans
+    # FIRST and carried the full token array into every span row --
+    # O(len x n_spans) bytes per doc, the q39 payload-duplication class:
+    # invisible at 64 KiB (40 MB/doc), ~16 GB per 1 MiB megadoc (r14
+    # longstr find; the oracle had the matching quadratic in its list
+    # comprehensions, so the pair hid each other).
+    chunks = F.transform(
         F.sequence(F.lit(1), F.size(bs) - 1),
         lambda j: F.struct(
-            (F.element_at(bs, j) + 1).alias("s"), F.element_at(bs, j + 1).alias("e")
+            (F.element_at(bs, j + 1) - F.element_at(bs, j)).alias("clen"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "t",
+                        F.element_at(bs, j) + 1,
+                        F.element_at(bs, j + 1) - F.element_at(bs, j),
+                    ),
+                )
+            ).alias("chash"),
         ),
     )
     return (
-        tok.select("doc_id", "t", n.alias("n"), F.explode(spans).alias("sp"))
-        .select(
-            "doc_id",
-            "n",
-            (F.col("sp.e") - F.col("sp.s") + 1).alias("clen"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice("t", F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1)
-                )
-            ).alias("chash"),
-        )
+        tok.select("doc_id", n.alias("n"), F.explode(chunks).alias("c"))
+        .select("doc_id", "n", F.col("c.clen").alias("clen"), F.col("c.chash").alias("chash"))
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .catalog import grid_mean_spark, grid_mean_sql, register
+from .catalog import grid_mean_spark, grid_mean_sql, register, shingle_rows_sql
 
 # CCNet buckets the corpus into head/middle/tail thirds by perplexity;
 # fixed cross-entropy cuts near the observed terciles keep the entry
@@ -438,17 +438,19 @@ def mm08_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D16_GATE = 0.5
 
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
-_DUCK_SH5 = (
-    "CASE WHEN len(t) >= 5 "
-    "THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)] "
-    "ELSE [array_to_string(t, ' ')] END"
-)
 
+# 5-gram shingle rows via catalog.shingle_rows_sql (lead() windows -- the
+# slice comprehension is quadratic in doc length, r14 longstr find);
+# DISTINCT per _rid == the old per-row list_distinct (dupx multiplicity
+# preserved).
 _D16_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-), sh AS (
-  SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS s FROM tok
+WITH tok AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, source,
+         string_split(text, ' ') AS t
+  FROM documents
+), {shingle_rows_sql('tok', 5, 'doc_id, source')},
+sh AS (
+  SELECT DISTINCT _rid, doc_id, source, g AS s FROM shw
 ), hashed AS (
   SELECT doc_id, source, {_DUCK_H32.format(expr='s')} AS h FROM sh
 ), df AS (

@@ -284,3 +284,40 @@ def grid_mean_sql(col: str, in_scale: int, out_dp: int) -> str:
         f" ELSE -floor((2 * {mul} * -{s} + {n} * {r}) / (2e0 * {n} * {r}))"
         f" END / 1e{out_dp})"
     )
+
+
+def shingle_rows_sql(src: str, n: int, keys: str, tok: str = "t", out: str = "shw") -> str:
+    """DuckDB CTE fragment emitting per-row word n-gram shingle ROWS
+    (``_rid``, *keys*, ``g``) via lead() windows -- LINEAR in document
+    length. Replaces the ``[array_to_string(t[i:i+k], ' ') for i in
+    range(...)]`` slice comprehension, which DuckDB evaluates
+    QUADRATICALLY in doc length (r14 longstr: 9.9 s -> 46 s for 20k ->
+    40k tokens; whole oracles stalled on 1 MiB docs).
+
+    ``src`` must expose ``_rid`` (a unique per-PHYSICAL-ROW id, from a
+    MATERIALIZED ``row_number() OVER ()`` CTE so it is evaluated once --
+    the t14 device), the pass-through ``keys`` columns, and a token-list
+    column ``tok``. The window partitions on ``_rid``, never on doc_id:
+    under exact-duplicate doc rows (the r13 dupx variant) a doc_id
+    partition would interleave the copies' positions and build windows
+    ACROSS row boundaries. Documents shorter than ``n`` tokens yield one
+    whole-text shingle, matching functions.text.shingles. Shingle order
+    within a row is NOT guaranteed; consumers must be order-invariant
+    (set/list_distinct/count shapes -- all current callers are)."""
+    lead_g = " || ' ' || ".join(
+        ["_w"] + [f"lead(_w, {k}) OVER pw" for k in range(1, n)]
+    )
+    return f"""{out}_pos AS (
+  SELECT _rid, {keys}, len({tok}) AS _n,
+         generate_subscripts({tok}, 1) AS _i, unnest({tok}) AS _w
+  FROM {src}
+), {out} AS (
+  SELECT _rid, {keys}, g FROM (
+    SELECT _rid, {keys}, _i, _n, {lead_g} AS g
+    FROM {out}_pos
+    WINDOW pw AS (PARTITION BY _rid ORDER BY _i)
+  ) WHERE _i + {n - 1} <= _n
+  UNION ALL
+  SELECT _rid, {keys}, array_to_string({tok}, ' ') AS g
+  FROM {src} WHERE len({tok}) < {n}
+)"""

@@ -23,19 +23,12 @@ from ..functions.text import md5_hash32, shingles, token_count, tokenize
 from ..graph.algorithms import connected_components
 from ..operators.dedup import minhash_near_duplicates
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import register, shingle_rows_sql
 from .textops import _D02_PAIR_CTES
 
 # portable 32-bit md5 hash in DuckDB SQL (same as textops)
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
 
-# DuckDB word-5-gram shingle list over a token list `t` (the d02 3-gram
-# convention generalized: 1-based inclusive slices).
-_DUCK_SH5 = (
-    "CASE WHEN len(t) >= 5 "
-    "THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)] "
-    "ELSE [array_to_string(t, ' ')] END"
-)
 
 
 # --------------------------------------------------------------------------
@@ -48,11 +41,18 @@ _DUCK_SH5 = (
 # filter on n_contaminated > 0).
 # --------------------------------------------------------------------------
 
+# 5-gram shingle rows via catalog.shingle_rows_sql (lead() windows --
+# the slice comprehension is quadratic in doc length, r14 longstr find);
+# DISTINCT per _rid reproduces the old per-row list_distinct exactly
+# (duplicate doc rows keep their multiplicity).
 _D06_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-), sh AS (
-  SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS s FROM tok
+WITH tok AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, source,
+         string_split(text, ' ') AS t
+  FROM documents
+), {shingle_rows_sql('tok', 5, 'doc_id, source')},
+sh AS (
+  SELECT DISTINCT _rid, doc_id, source, g AS s FROM shw
 ), hashed AS (
   SELECT doc_id, source, {_DUCK_H32.format(expr='s')} AS h FROM sh
 ), bench AS (
@@ -110,9 +110,12 @@ def d06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranked most-repetitive first; the downstream filter drops the tail.
 # --------------------------------------------------------------------------
 
-_T06_ORACLE = """
+_T06_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tok3 AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, string_split(text, ' ') AS t
+  FROM documents
 ), flat AS (
   SELECT doc_id, unnest(t) AS w FROM tok
 ), cnt AS (
@@ -120,17 +123,15 @@ WITH tok AS (
 ), dom AS (
   SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_ratio
   FROM cnt GROUP BY doc_id
-), rep AS (
+), {shingle_rows_sql('tok3', 3, 'doc_id', out='shw3')},
+rep AS (
+  -- distinct/total 3-gram counts per PHYSICAL row (lead() windows via
+  -- catalog.shingle_rows_sql; the slice comprehension was quadratic in
+  -- doc length -- t06 stalled on 1 MiB docs, r14 longstr find)
   SELECT doc_id,
-         round(1.0 - len(list_distinct(sh3)) / CAST(len(sh3) AS DOUBLE), 4)
+         round(1.0 - count(DISTINCT g) / CAST(count(g) AS DOUBLE), 4)
            AS dup_3gram_ratio
-  FROM (
-    SELECT doc_id,
-           CASE WHEN len(t) >= 3
-                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
-                ELSE [array_to_string(t, ' ')] END AS sh3
-    FROM tok
-  )
+  FROM shw3 GROUP BY _rid, doc_id
 )
 SELECT d.doc_id, r.dup_3gram_ratio, d.top_token_ratio
 FROM dom d JOIN rep r USING (doc_id)

@@ -18,7 +18,7 @@ from ..functions.text import ROLLING_BASE, ROLLING_MOD, rolling_hash, shingles, 
 from ..operators.dedup import ngram_jaccard_join
 from ..operators.similarity import cosine_near_dup_matmul, ivf_cosine_topk
 from ..sources.readers import load_table
-from .catalog import register
+from .catalog import register, shingle_rows_sql
 
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
 
@@ -33,14 +33,17 @@ _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
 # document IDENTITIES (ngram_jaccard_join dedupes its input the same way
 # -- the r13 dupx sweep found duplicate rows truncating the engine's
 # prefix windows AND the oracle's final joins re-inflating x(copies^2)).
-_D04_ORACLE = """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(t) >= 3
-           THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
-           ELSE [array_to_string(t, ' ')] END) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t
-        FROM (SELECT DISTINCT doc_id, text FROM documents))
+# shingle lists come from catalog.shingle_rows_sql (lead() windows, linear
+# in doc length -- the quadratic slice comprehension stalled on 1 MiB docs,
+# r14 longstr); list(DISTINCT g) keyed on identity-distinct rows, and no
+# downstream consumer depends on shingle order inside `s`.
+_D04_ORACLE = f"""
+WITH dsh AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, string_split(text, ' ') AS t
+  FROM (SELECT DISTINCT doc_id, text FROM documents)
+), {shingle_rows_sql('dsh', 3, 'doc_id')},
+sh AS (
+  SELECT doc_id, list(DISTINCT g) AS s FROM shw GROUP BY doc_id
 ), ex AS (
   SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh
 ), dfreq AS (

@@ -35,7 +35,7 @@ from ..streaming.pipelines import (
     streaming_group_counts,
     tumbling_counts,
 )
-from .catalog import register
+from .catalog import register, shingle_rows_sql
 
 
 # Replay staging is deterministic per (sf_dir, copies): stage once per
@@ -1802,43 +1802,18 @@ def s29_stream_semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _s30_oracle() -> str:
-    from .batch8 import _D15_MOD, _D15_TOPN, _D15_W
+    from .batch8 import _D15_TOPN, _cdc_chunk_ctes
 
-    # DISTINCT (doc_id, text): document identities, matching the engine's
-    # cdc_chunk_frame dedup (r13 dupx -- also collapses the spans-x-b2
-    # per-doc_id join to one row per doc)
+    # DISTINCT (doc_id, text) document identities, matching the engine's
+    # cdc_chunk_frame dedup; the chunk lattice is batch8._cdc_chunk_ctes
+    # (linear lag()-window form -- the old list-comprehension lattice was
+    # quadratic in doc length, r14 longstr find), so d15 and s30 share
+    # the IDENTICAL chunk identities by construction.
     return f"""
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t
-  FROM (SELECT DISTINCT doc_id, text FROM documents)
-  WHERE len(string_split(text, ' ')) >= {_D15_W}
-), hsrc AS (
-  SELECT doc_id, t, len(t) AS n,
-         [('0x' || substr(md5(x), 1, 8))::UBIGINT % 2147483647 for x in t] AS hs
-  FROM tok
-), b AS (
-  SELECT doc_id, t, n,
-         [i for i in generate_series({_D15_W}, n)
-          if (hs[i-4] * 923521 + hs[i-3] * 29791 + hs[i-2] * 961
-              + hs[i-1] * 31 + hs[i]) % 2147483647 % {_D15_MOD} = 0] AS bounds
-  FROM hsrc
-), b2 AS (
-  SELECT doc_id, t, n,
-         list_prepend(0, [x for x in bounds if x < n] || [n]) AS bs
-  FROM b
-), spans AS (
-  SELECT doc_id,
-         unnest([{{'s': bs[j] + 1, 'e': bs[j + 1]}}
-                 for j in generate_series(1, len(bs) - 1)], recursive := true)
-  FROM b2
-), ch AS (
-  SELECT s.doc_id, s.e - s.s + 1 AS clen,
-         md5(array_to_string(b2.t[s.s:s.e], ' ')) AS chash
-  FROM spans s JOIN b2 USING (doc_id)
-), idx AS (
+WITH {_cdc_chunk_ctes()}, idx AS (
   SELECT DISTINCT chash FROM ch WHERE doc_id % 2 = 0
 ), per_doc AS (
-  SELECT c.doc_id,
+  SELECT c.doc_id, any_value(c.n) AS n,
          count(*) AS n_chunks,
          count(i.chash) AS n_dup_chunks,
          coalesce(sum(c.clen) FILTER (WHERE i.chash IS NOT NULL), 0) AS dup_tokens
@@ -1850,8 +1825,8 @@ SELECT p.doc_id,
        CAST(p.n_chunks AS BIGINT) AS n_chunks,
        CAST(p.n_dup_chunks AS BIGINT) AS n_dup_chunks,
        CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
-       round(p.dup_tokens / CAST(b2.n AS DOUBLE), 4) AS dup_token_frac
-FROM per_doc p JOIN b2 USING (doc_id)
+       round(p.dup_tokens / CAST(p.n AS DOUBLE), 4) AS dup_token_frac
+FROM per_doc p
 ORDER BY dup_token_frac DESC, doc_id
 LIMIT {_D15_TOPN}
 """
@@ -2041,7 +2016,7 @@ def _staged_corpus_docs(spark: SparkSession, sf_dir: str) -> str:
     return _CORPUS_STAGED[key]
 
 
-from .curation import _D06_ORACLE, _DUCK_H32, _DUCK_SH5  # noqa: E402  (oracle twin, same
+from .curation import _D06_ORACLE, _DUCK_H32  # noqa: E402  (oracle twin, same
 # import rationale as _Q83_ORACLE/_Q86_ORACLE)
 
 
@@ -2049,13 +2024,17 @@ from .curation import _D06_ORACLE, _DUCK_H32, _DUCK_SH5  # noqa: E402  (oracle t
 # dedup), so its oracle runs d06's lattice over DISTINCT documents --
 # d06 itself stays row-level (its engine counts physical rows). The two
 # twins agree bit-for-bit on duplicate-free data; the r13 dupx variant
-# is what forces the distinction.
+# is what forces the distinction. 5-gram shingles come from
+# catalog.shingle_rows_sql (lead() windows; the old slice comprehension
+# is quadratic in doc length -- r14 longstr find).
 _S32_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t
+WITH tok AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, source,
+         string_split(text, ' ') AS t
   FROM (SELECT DISTINCT doc_id, source, text FROM documents)
-), sh AS (
-  SELECT doc_id, source, unnest(list_distinct({_DUCK_SH5})) AS s FROM tok
+), {shingle_rows_sql('tok', 5, 'doc_id, source')},
+sh AS (
+  SELECT DISTINCT _rid, doc_id, source, g AS s FROM shw
 ), hashed AS (
   SELECT doc_id, source, {_DUCK_H32.format(expr='s')} AS h FROM sh
 ), bench AS (
@@ -2191,14 +2170,16 @@ def s32_stream_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFram
 # document IDENTITIES (the engine's sink readback keeps one row per
 # (doc_id, dup_of)), so exact-duplicate doc rows (the r13 dupx variant)
 # must not re-inflate the oracle's final shingle joins x(copies^2).
-_S33_ORACLE = """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(t) >= 3
-           THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
-           ELSE [array_to_string(t, ' ')] END) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t
-        FROM (SELECT DISTINCT doc_id, text FROM documents))
+# shingle lists via catalog.shingle_rows_sql (lead() windows -- the slice
+# comprehension is quadratic in doc length, r14 longstr find); order inside
+# `s` is irrelevant to every consumer below.
+_S33_ORACLE = f"""
+WITH dsh AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, string_split(text, ' ') AS t
+  FROM (SELECT DISTINCT doc_id, text FROM documents)
+), {shingle_rows_sql('dsh', 3, 'doc_id')},
+sh AS (
+  SELECT doc_id, list(DISTINCT g) AS s FROM shw GROUP BY doc_id
 ), ex AS (
   SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE doc_id % 2 = 0
 ), dfreq AS (

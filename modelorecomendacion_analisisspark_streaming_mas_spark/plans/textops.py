@@ -24,7 +24,7 @@ from ..functions.text import (
 from ..operators.dedup import minhash_near_duplicates, simhash
 from ..operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
 from ..sources.readers import load_table
-from .catalog import grid_mean_spark, grid_mean_sql, register
+from .catalog import grid_mean_spark, grid_mean_sql, register, shingle_rows_sql
 
 # portable 32-bit md5 hash in DuckDB SQL
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
@@ -74,14 +74,18 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
 # CTE block shared with d07's clustering oracle (curation.py): everything up
 # to the exact-verified pair set. Kept separate from the final SELECT so both
 # oracles run the IDENTICAL hash lattice.
-_D02_PAIR_CTES = f"""tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(t) >= 3
-           THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]
-           ELSE [array_to_string(t, ' ')] END) AS s
-  FROM tok
+# per-ROW shingle lists via catalog.shingle_rows_sql (lead() windows; the
+# slice comprehension is quadratic in doc length, r14 longstr find). `sh`
+# keeps one row per PHYSICAL documents row (GROUP BY _rid) so duplicate doc
+# rows (dupx) keep their multiplicity exactly as the old per-row
+# list_distinct did; shingle order inside `s` is irrelevant downstream
+# (min-hash folds, len(), list_filter/contains).
+_D02_PAIR_CTES = f"""tok AS MATERIALIZED (
+  SELECT row_number() OVER () AS _rid, doc_id, string_split(text, ' ') AS t
+  FROM documents
+), {shingle_rows_sql('tok', 3, 'doc_id')},
+sh AS (
+  SELECT doc_id, list(DISTINCT g) AS s FROM shw GROUP BY _rid, doc_id
 ), hb_t AS (
   SELECT doc_id, s, [{_DUCK_H32.format(expr='g')} for g in s] AS hb FROM sh
 ), sig AS (

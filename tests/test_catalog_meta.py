@@ -55,10 +55,16 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
-        _NEXT_R13,
+        _PATH_CHANGED_R14,
         _ROWS_ONLY_TAIL,
-        _VERIFY_FIRST,
+        _VERIFY_FIRST_R14,
     )
+
+    _VERIFY_FIRST = _VERIFY_FIRST_R14
+    # r14: the semantic wave (32) leads; the path-changed cohort (every
+    # streaming / shingle / graph entry whose execution path changed with
+    # results proven identical) fills the remaining window slots.
+    _NEXT_R13 = _PATH_CHANGED_R14
 
     window = list(REGISTRY)[:50]
     # r13: front of the window is anything brand-new or changed this

@@ -547,7 +547,12 @@ def test_megadoc_row_width_stays_linear(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(f"{d}/documents.parquet")
 
-    for name in ("t04_tfidf_top_terms", "q39_udtf_doc_chunks"):
+    # d15 joined r14: its chunker exploded span structs while carrying
+    # the FULL token array into every span row (the q39 payload class,
+    # ~16 GB per 1 MiB doc) AND its bounds list was a lambda-captured
+    # expression re-evaluated per chunk (the shingles class); count()
+    # works here because the per-doc aggregate forces chunk generation.
+    for name in ("t04_tfidf_top_terms", "q39_udtf_doc_chunks", "d15_cdc_chunk_dedup"):
         t0 = time.perf_counter()
         n = REGISTRY[name].fn(spark, d).count()
         wall = time.perf_counter() - t0
