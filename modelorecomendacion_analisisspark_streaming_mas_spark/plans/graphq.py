@@ -345,6 +345,7 @@ edges AS (
   SELECT 'c' || o.o_custkey AS src, 'p' || l.l_partkey AS dst,
          count(*) AS w
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
   GROUP BY 1, 2
 )"""
 
@@ -400,6 +401,10 @@ def weighted_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(_maybe_broadcast(orders, orders_small), li.l_orderkey == orders.o_orderkey)
+        # NULL-endpoint drop, mirroring _EDGES_SQL / bipartite_graph_encoded:
+        # a NULL custkey/partkey must not mint a NULL vertex (r14 nullkeys
+        # axis; r14 ADVICE flagged the weighted twin as unfixed).
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_partkey") * 2 + 1).alias("dst"),

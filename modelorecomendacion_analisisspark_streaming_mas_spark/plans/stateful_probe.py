@@ -42,6 +42,28 @@ FROM events GROUP BY event_type
 """
 
 
+def _n_event_types(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct state-key cardinality for the per-type handlers (one cheap
+    column-pruned aggregate over the batch twin of the replay source)."""
+    from ..sources.readers import load_events
+
+    return load_events(spark, sf_dir).select("event_type").distinct().count()
+
+
+def _n_users(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct state-key cardinality for the per-user handlers (NULL keys
+    are quarantined at ingest, so they are not state keys)."""
+    from ..sources.readers import load_events
+
+    return (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+
+
 def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-type (count, sum) through transformWithStateInPandas
     (ValueState); final state per key equals the batch aggregate (same
@@ -52,19 +74,22 @@ def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     HDFS-backed provider cannot host -- and RocksDB is the store you'd
     run at 100 TB anyway (incremental-changelog checkpointing, off-heap
     state)."""
-    from ..sources.streams import run_to_memory_sink
+    from ..sources.streams import derive_state_partitions, run_to_memory_sink
     from ..streaming.stateful_v2 import running_count_sum_per_type
     from .streamq import _replayed
 
     stream = _replayed(spark, sf_dir)
     out_stream = running_count_sum_per_type(stream)
-    # State parallelism (pinned into the checkpoint at first start)
-    # should track key cardinality: 5 event types on 8 partitions
-    # means 8 RocksDB instances opened+committed per micro-batch for
-    # 5 keys of work -- measured 2.4x slower than 4 partitions at
-    # sf0.1. At real scale this knob goes UP with keys x throughput.
+    # State parallelism (pinned into the checkpoint at first start) is
+    # DERIVED from key cardinality -- more RocksDB instances than keys is
+    # pure per-micro-batch open/commit cost (measured 2.4x at sf0.1 for
+    # 8 partitions over 5 keys; see derive_state_partitions). At real
+    # scale the knob rises with keys until the session default governs.
     _, out = run_to_memory_sink(
-        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+        out_stream,
+        "update",
+        shuffle_partitions=derive_state_partitions(spark, _n_event_types(spark, sf_dir)),
+        rocksdb_state=True,
     )
     return out.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
@@ -95,15 +120,18 @@ def _s18_stream_tws_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; this one pins ORDER inside state)."""
     from pyspark.sql import Window
 
-    from ..sources.streams import run_to_memory_sink
+    from ..sources.streams import derive_state_partitions, run_to_memory_sink
     from ..streaming.stateful_v2 import latest_k_per_type
     from .streamq import _replayed
 
     stream = _replayed(spark, sf_dir)
     out_stream = latest_k_per_type(stream, k=3)
-    # 4 partitions for 5 keys: see the sizing note in s10.
+    # key-derived state parallelism: see the sizing note in s10.
     _, out = run_to_memory_sink(
-        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+        out_stream,
+        "update",
+        shuffle_partitions=derive_state_partitions(spark, _n_event_types(spark, sf_dir)),
+        rocksdb_state=True,
     )
     w = Window.partitionBy("event_type")
     return (
@@ -138,15 +166,18 @@ def _s19_stream_tws_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission per key equals the batch two-column groupBy count."""
     from pyspark.sql import Window
 
-    from ..sources.streams import run_to_memory_sink
+    from ..sources.streams import derive_state_partitions, run_to_memory_sink
     from ..streaming.stateful_v2 import bucket_counts_per_type
     from .streamq import _replayed
 
     stream = _replayed(spark, sf_dir)
     out_stream = bucket_counts_per_type(stream, n_buckets=10)
-    # 4 partitions for 5 keys: see the sizing note in s10.
+    # key-derived state parallelism: see the sizing note in s10.
     _, out = run_to_memory_sink(
-        out_stream, "update", shuffle_partitions=4, rocksdb_state=True
+        out_stream,
+        "update",
+        shuffle_partitions=derive_state_partitions(spark, _n_event_types(spark, sf_dir)),
+        rocksdb_state=True,
     )
     w = Window.partitionBy("event_type")
     return (
@@ -171,13 +202,19 @@ def _s21_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _replayed(spark, sf_dir)
     out_stream = funnel_stage_per_user(stream, window_min=1440)
-    # 16 partitions, not the 4 the counter-style tws queries use: like
-    # s22, the per-user handler does real Python work (re-sorting and
-    # replaying the buffered history each batch for ~150 user keys), so
-    # wider state parallelism wins (measured ~4.8s -> ~3.4s warm at
-    # sf0.1); the partition count never changes WHAT is emitted.
+    # key-derived state parallelism (~150 user keys at sf0.1 -> the
+    # session default governs): like s22, the per-user handler does real
+    # Python work (re-sorting and replaying the buffered history each
+    # batch), so parallelism wins right up to the key count (16 measured
+    # ~4.8s -> ~3.4s over 4 at sf0.1); the partition count never changes
+    # WHAT is emitted.
+    from ..sources.streams import derive_state_partitions
+
     _, out = run_to_memory_sink(
-        out_stream, "update", shuffle_partitions=16, rocksdb_state=True
+        out_stream,
+        "update",
+        shuffle_partitions=derive_state_partitions(spark, _n_users(spark, sf_dir)),
+        rocksdb_state=True,
     )
     w = Window.partitionBy("user_id")
     final = (
@@ -237,13 +274,18 @@ def _s22_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_stream = timer_sessionize_per_user(
         stream, gap_min=_S22_GAP_MIN, drop_types=("__sentinel__",)
     )
-    # 16 partitions, not the 4 the other tws queries use: timer
-    # sessionization keeps a per-user event buffer, so the per-partition
-    # Python handler does real work (sort + gap walk per user) and wider
-    # state parallelism wins (measured 9.3s -> ~4s at sf0.1; the
+    # key-derived state parallelism: timer sessionization keeps a
+    # per-user event buffer, so the per-partition Python handler does
+    # real work (sort + gap walk per user) and parallelism wins up to
+    # the key count (16 measured 9.3s -> ~4s over 4 at sf0.1; the
     # partition count never changes WHAT is emitted, only where).
+    from ..sources.streams import derive_state_partitions
+
     _, out = run_to_memory_sink(
-        out_stream, "append", shuffle_partitions=16, rocksdb_state=True
+        out_stream,
+        "append",
+        shuffle_partitions=derive_state_partitions(spark, _n_users(spark, sf_dir)),
+        rocksdb_state=True,
     )
     # no sentinel filter needed: the sentinel row advances the watermark
     # but never reaches the handler (dropped by type INSIDE

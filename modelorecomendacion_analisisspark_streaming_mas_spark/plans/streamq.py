@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents_sum_spark
 
 from ..sources.readers import local_rows_df
-from ..sources.streams import file_stream, run_to_memory_sink, stage_events_for_replay
+from ..sources.streams import (
+    REPLAY_STATE_PARTITIONS,
+    file_stream,
+    run_to_memory_sink,
+    stage_events_for_replay,
+)
 from ..streaming.stateful import longest_run_per_user
 from ..streaming.pipelines import (
     EVENT_TIME_BOUND_SQL,
@@ -96,7 +101,7 @@ FROM events WHERE {EVENT_TIME_BOUND_SQL} GROUP BY win_start, event_type
 )
 def s01_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
-    _, out = run_to_memory_sink(tumbling_counts(stream), "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(tumbling_counts(stream), "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out
 
 
@@ -123,7 +128,7 @@ FROM w GROUP BY win_start, event_type
 )
 def s02_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
-    _, out = run_to_memory_sink(sliding_counts(stream), "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(sliding_counts(stream), "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out
 
 
@@ -150,7 +155,7 @@ FROM m GROUP BY user_id
 )
 def s03_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
-    _, sessions = run_to_memory_sink(sessionized_counts(stream), "complete", shuffle_partitions=8)
+    _, sessions = run_to_memory_sink(sessionized_counts(stream), "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -174,7 +179,7 @@ GROUP BY event_type""",
 )
 def s04_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir, copies=2)
-    _, out = run_to_memory_sink(stream_dedup_counts(stream), "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(stream_dedup_counts(stream), "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out
 
 
@@ -240,7 +245,7 @@ def s06_stream_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, out = run_to_memory_sink(
         streaming_group_counts(stream, "event_type", "user_id"),
         "complete",
-        shuffle_partitions=8,
+        shuffle_partitions=REPLAY_STATE_PARTITIONS,
     )
     return out
 
@@ -267,7 +272,7 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _replayed(spark, sf_dir).filter(F.col("event_type") == "click")
     purchases = _replayed(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = stream_stream_click_purchase_join(clicks, purchases, within="30 minutes")
-    _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
+    _, out = run_to_memory_sink(joined, "append", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out
 
 
@@ -305,7 +310,7 @@ FROM m GROUP BY user_id
 def s12_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir)
     sessions = dynamic_sessionized_counts(stream)
-    _, out = run_to_memory_sink(sessions, "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(sessions, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -340,7 +345,7 @@ def s11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         cents_sum_spark("value").alias("sum_value"),
     )
-    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out
 
 
@@ -367,7 +372,7 @@ GROUP BY event_type""",
 def s08_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replayed(spark, sf_dir, copies=2)
     deduped = stream_dedup_within_watermark(stream)
-    _, out = run_to_memory_sink(deduped, "append", shuffle_partitions=8)
+    _, out = run_to_memory_sink(deduped, "append", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
@@ -429,7 +434,7 @@ def s09_stream_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently trusted).
     stream = _replayed(spark, sf_dir)
     runs = longest_run_per_user(stream)
-    _, out = run_to_memory_sink(runs, "update", shuffle_partitions=8)
+    _, out = run_to_memory_sink(runs, "update", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     # n_events strictly increases per emission, so max_by picks each user's
     # final state even if availableNow split the replay into several batches.
     return out.groupBy("user_id").agg(
@@ -568,7 +573,7 @@ def s14_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = stream.filter(F.col("event_type").isin("click", "__sentinel__"))
     purchases = stream.filter(F.col("event_type").isin("purchase", "__sentinel__"))
     joined = stream_stream_left_outer_join(clicks, purchases, within="30 minutes")
-    _, out = run_to_memory_sink(joined, "append", shuffle_partitions=8)
+    _, out = run_to_memory_sink(joined, "append", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     # drop the sentinel's own join output by its type marker -- NOT by an
     # id-domain test (`user_id >= 0` silently dropped real clicks when the
     # r13 extremes variant put -2^63-adjacent longs into user_id)
@@ -767,7 +772,7 @@ def s17_stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = clean.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), cents_sum_spark("value").alias("sum_value")
     )
-    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out.select("event_type", F.col("n").cast("long").alias("n"), "sum_value")
 
 
@@ -828,7 +833,7 @@ def s20_stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    _, out = run_to_memory_sink(cells, "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(cells, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     return out.select("j", "bucket", F.col("cnt").cast("long").alias("cnt"))
 
 
@@ -936,7 +941,7 @@ def s23_stream_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_energy_c"),
         )
     )
-    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=8)
+    _, out = run_to_memory_sink(agg, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     # exact integer half-away cents from the 1e-4-grid energy sum (r13
     # money-sum discipline; the old double sum of 4dp-rounded values was
     # engine-order-dependent)
@@ -1373,7 +1378,7 @@ def s27_stream_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "side", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    _, state = run_to_memory_sink(cells_stream, "complete", shuffle_partitions=8)
+    _, state = run_to_memory_sink(cells_stream, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     cells = (
         state.groupBy("event_type", "bucket")
         .agg(
@@ -1967,7 +1972,7 @@ def s31_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_stream = stream.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    _, state = run_to_memory_sink(daily_stream, "complete", shuffle_partitions=8)
+    _, state = run_to_memory_sink(daily_stream, "complete", shuffle_partitions=REPLAY_STATE_PARTITIONS)
     # |types| x |days| rows; materialize so the fold plans over a stable
     # snapshot of the memory-sink view (the s27 device)
     return ewma_anomaly_report(state.localCheckpoint(eager=True))

@@ -504,6 +504,9 @@ NULLKEYS_QUERIES = [
     "q86_ewma_anomaly",
     "q71_kmv_sketch_setops",
     "g03_component_histogram",
+    # r14 ADVICE: the weighted-edge twin (g06) lacked the NULL-endpoint
+    # filter its _shared_graph siblings got; fixed r15, pinned here.
+    "g06_weighted_pagerank_top100",
     "s15_incremental_rollup",
     "s17_stream_static_anti_join",
 ]

@@ -236,3 +236,56 @@ def test_item_factor_collect_guard(model_rmse, monkeypatch):
     monkeypatch.setattr(R, "ITEM_FACTOR_COLLECT_LIMIT", 1)
     with pytest.raises(ValueError, match="fold_in_batch"):
         R.item_factor_matrix(model)
+
+
+def test_m02_self_validation_catches_broken_fold_in(spark, sf_dir):
+    """r14 VERDICT #3: the ALS entries are self-validating. m02 computes
+    fold-in-vs-transform rank correlation in-query and RAISES below 0.7,
+    so a deliberately broken fold-in (permuted factor rows -- scores no
+    longer track the model) fails the catalog entry outright instead of
+    sailing through the rows>0 check."""
+    import numpy as np
+    import pytest
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import mlq
+
+    model, ratings, ids, Y = mlq._fitted(spark, sf_dir)
+    # healthy parity first: the real factors correlate
+    corr = mlq._fold_in_parity_corr(model, ratings, ids, Y)
+    assert corr is None or corr > 0.7, corr
+
+    # permute the factor rows: item ids no longer match their factors
+    rng = np.random.RandomState(7)
+    Y_broken = Y[rng.permutation(len(Y))]
+    broken_corr = mlq._fold_in_parity_corr(model, ratings, ids, Y_broken)
+    assert broken_corr is not None and broken_corr <= 0.7, broken_corr
+
+    # and end-to-end: m02 with the broken factors cached raises
+    key = mlq._model_key(spark, sf_dir)
+    orig = mlq._MODELS[key]
+    try:
+        mlq._MODELS[key] = (model, ratings, ids, Y_broken)
+        with pytest.raises(AssertionError, match="m02 self-validation"):
+            mlq.m02_cold_start_fold_in(spark, sf_dir)
+    finally:
+        mlq._MODELS[key] = orig
+
+
+def test_als_family_emits_validation_columns(spark, sf_dir):
+    """Every ALS rows-only entry now carries its acceptance metric in the
+    output schema, so the driver's rows-only record is self-describing:
+    rows > 0 AND the rows say the check passed."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import mlq
+
+    m01 = mlq.m01_als_top5_recs(spark, sf_dir)
+    assert {"train_rmse", "baseline_rmse", "rmse_ok"} <= set(m01.columns)
+    rows = m01.select("rmse_ok").distinct().collect()
+    assert rows and all(r["rmse_ok"] for r in rows)
+
+    m02 = mlq.m02_cold_start_fold_in(spark, sf_dir)
+    assert {"fold_in_corr", "parity_ok"} <= set(m02.columns)
+    assert all(r["parity_ok"] for r in m02.select("parity_ok").distinct().collect())
+
+    m05 = mlq.m05_implicit_als_recs(spark, sf_dir)
+    assert {"mean_pos", "mean_neg", "pref_ok"} <= set(m05.columns)
+    assert all(r["pref_ok"] for r in m05.select("pref_ok").distinct().collect())
