@@ -20,121 +20,125 @@ from . import batch8  # noqa: E402,F401
 from . import batch9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Registration-order policy (round 14 rotation).
+# Registration-order policy (round 15 rotation).
 #
 # The driver's CORRECTNESS sweep samples exactly 50 queries per round *in
 # registration order*, so the order of this dict decides which queries get
-# a hard driver-side oracle run. The r13 VERDICT prescribed r11-cohort ->
-# r13-overflow -> displaced-r8 for this window, but r14's three hostile
-# axes (timex / nullkeys / skew) changed MORE than a window's worth of
-# execution paths, so the standing VERIFY_FIRST policy overrides the
-# freshness treadmill again (same precedent as r13, accepted by the r13
-# judge):
+# a hard driver-side oracle run. The r14 VERDICT prescribed rotating the
+# window to the 27-entry stale cohort (last driver-certified <= r8) and
+# the three entries whose code changed this round; this round's changes
+# (ALS self-validation columns, key-derived state parallelism, replay
+# mtime pinning, the g06 NULL-endpoint filter) fit INSIDE that window, so
+# prescription and VERIFY_FIRST coincide for once:
 #
-#   1. _VERIFY_FIRST_R14 (32): entries whose SEMANTICS or oracle changed
-#      this round -- the timex fixes (q45 MAX RECURSION LEVEL, q66
-#      string month keys, the watermark family's bounded_event_time
-#      ingest window + ts-ordered replay staging: s01/s02/s03/s07/s08/
-#      s12/s13/s14/s22) and the nullkeys fixes (q78 NOT EXISTS, q81 dat
-#      writer null fields, q68/q71/m06 NULL-identity exclusion, q86/s31
-#      NULL-safe recursive join, g03/g05 NULL-vertex drop, s15 eqNullSafe
-#      merge, s17 NULL-survives-decontamination, s09/s19/s21 NULL-key
-#      stateful quarantine), plus t05 (linear oracle + the shingles()
-#      lambda-rebind engine fix) and t14/mm08 (MATERIALIZED rid CTEs).
-#      Every member re-simmed MATCH at sf0.001 on its variant AND on
-#      unperturbed data after its change. t06/d13/d15/d02 joined when the
-#      1 MiB longstr extension found their oracles' list-slice /
-#      list-index comprehensions quadratic (rewritten on the
-#      shingle_rows_sql lead()-window device) and d15's engine chunker
-#      carrying the full token array through its span explode.
-#   2. _PATH_CHANGED_R14 (31): execution path changed, results proven
-#      identical -- every other streaming entry (ts-ordered staging is
-#      upstream of all of them), every shingles() consumer (the lambda
-#      rebind), and every _shared_graph consumer (NULL-endpoint edge
-#      filter). 18 of these fill the remainder of the 50-window.
-#   3. The freshness treadmill for everyone else: r11 cohort first (the
-#      r13 VERDICT prescription, pre-verified r13), then the r13-overflow
-#      / displaced-r8 names, then r9 / r10 / r12 records.
-#   4. Inherently rows-only entries at the very end (a window slot spent
-#      on them can never upgrade to a hash match).
+#   1. _VERIFY_FIRST_R15 (50) = the exact driver window:
+#      - the 27 stale entries (<= r8), including the now-self-validating
+#        ALS family m01/m02/m05 and the two remaining rows-only entries
+#        q17/q44 (deliberately windowed this round per the r14 VERDICT --
+#        their driver record can only ever be rows>0, but the ALS rows now
+#        carry validation columns worth recording);
+#      - g06 (SEMANTICS: weighted edges drop NULL endpoints, r14 ADVICE);
+#      - s10/s18/s19/s21/s22 (state parallelism now derived from key
+#        cardinality -- physical change, results proven identical);
+#      - 17 replay-staging consumers most sensitive to file replay order
+#        (the mtime pinning is upstream of every streaming entry): the
+#        watermark family s01-s03/s07/s08/s12-s14 plus s09/s15/s17/s24/
+#        s26/s29/s30/s31/s33.
+#      Every member re-verified MATCH (or rows-only valid) at sf0.001 and
+#      sf0.01 on the shipped code before commit.
+#   2. _PATH_CHANGED_R15 (11): the remaining streaming entries -- same
+#      mtime-pinning path change, results proven identical, all
+#      r13/r14-certified, so they queue right behind the window.
+#   3. _FRESHNESS_TREADMILL (131): everyone else, stalest first (the
+#      pre-r14-certified names in their prior relative order), entries
+#      certified in the r14 window last.
 #
-# Every name appears in exactly one list (asserted in _apply_order): the
-# lists are a PARTITION of the registry, so the window arithmetic above
-# is auditable by len() alone.
+# Every name appears in exactly one list and the cohort sizes are
+# asserted in _apply_order (r14 ADVICE: the sizes can no longer drift
+# from this comment), so the lists remain a PARTITION of the registry
+# auditable by len() alone.
 # ---------------------------------------------------------------------------
 
-_VERIFY_FIRST_R14: list[str] = [
-    "q45_recursive_month_spine",
-    "q66_interval_month_overlap",
-    "q68_funnel_stages",
-    "q71_kmv_sketch_setops",
-    "q78_delete_propagation",
-    "q81_dat_source_roundtrip",
-    "q86_ewma_anomaly",
-    "m06_cooccurrence_lift",
-    "g03_component_histogram",
-    "g05_bfs_level_histogram",
-    "t05_doc_fingerprints",
-    "t14_perplexity_filter",
-    "mm08_audio_segments",
+_VERIFY_FIRST_R15: list[str] = [
+    "d05_embedding_near_dups",
+    "d09_canonical_keep_best",
+    "d10_incremental_index_dedup",
+    "e03_knn_ivf",
+    "m01_als_top5_recs",
+    "m02_cold_start_fold_in",
+    "m05_implicit_als_recs",
+    "mm01_resize_plan",
+    "q02_flagship_top_tokens",
+    "q03_global_rank_customers",
+    "q08_daily_events",
+    "q10_dedup_pairs_histogram",
+    "q11_set_ops_nationkeys",
+    "q12_null_fill_activity",
+    "q13_top_orders",
+    "q17_sample_stats",
+    "q18_range_lookup_tiers",
+    "q38_robust_stats",
+    "q44_hll_sketch_distinct",
+    "q60_sequence_packing",
+    "q61_source_quality_gate",
+    "q63_epoch_shuffle_shards",
+    "q64_vocab_coverage",
+    "q65_bloom_prune_join",
+    "q67_countmin_heavy_hitters",
+    "q69_retention_cohorts",
+    "q70_curation_pipeline_v2",
+    "g06_weighted_pagerank_top100",
+    "s10_stream_tws_counts",
+    "s18_stream_tws_latest",
+    "s19_stream_tws_buckets",
+    "s21_stream_funnel_stages",
+    "s22_stream_timer_sessions",
     "s01_stream_tumbling_counts",
     "s02_stream_sliding_counts",
     "s03_stream_session_counts",
     "s07_stream_stream_join",
     "s08_stream_dedup_watermark",
-    "s09_stream_longest_run",
     "s12_stream_dynamic_session",
     "s13_stream_file_sink",
     "s14_stream_left_outer_join",
+    "s09_stream_longest_run",
     "s15_incremental_rollup",
     "s17_stream_static_anti_join",
-    "s19_stream_tws_buckets",
-    "s21_stream_funnel_stages",
-    "s22_stream_timer_sessions",
+    "s24_stream_upsert_snapshot",
     "s31_stream_ewma_anomaly",
-    "t06_repetition_metrics",
-    "d13_duplicated_spans",
-    "d15_cdc_chunk_dedup",
-    "d02_minhash_near_dups",
+    "s26_stream_lsh_dedup_probe",
+    "s29_stream_semantic_dedup_probe",
+    "s30_stream_cdc_dedup_probe",
+    "s33_stream_ngram_jaccard_probe",
 ]
 
-_PATH_CHANGED_R14: list[str] = [
+_PATH_CHANGED_R15: list[str] = [
     "s23_stream_image_features",
-    "s30_stream_cdc_dedup_probe",
     "s32_stream_contamination_probe",
     "s04_stream_dedup_counts",
-    "s33_stream_ngram_jaccard_probe",
     "s27_stream_psi_cells",
     "s06_stream_group_counts",
-    "s10_stream_tws_counts",
     "s11_stream_static_join",
     "s16_stream_quality_router",
     "s25_stream_jsonl_sink",
     "s28_stream_ivf_ingest",
-    "s29_stream_semantic_dedup_probe",
-    "s26_stream_lsh_dedup_probe",
-    "s24_stream_upsert_snapshot",
     "s05_stream_latest_topk",
-    "s18_stream_tws_latest",
     "s20_stream_countmin_cells",
+]
+
+_FRESHNESS_TREADMILL: list[str] = [
     "d04_ngram_jaccard_dedup",
     "d06_contamination_check",
     "d07_near_dup_clusters",
-    "d09_canonical_keep_best",
-    "d10_incremental_index_dedup",
     "d16_soft_dedup_weights",
     "q48_training_data_pipeline",
     "g01_part_in_degrees",
     "g02_pagerank_top100",
     "g04_trade_triangles",
-    "g06_weighted_pagerank_top100",
     "g07_kcore_summary",
     "g08_clustering_coefficient",
     "g09_label_propagation",
     "g10_graphframe_notebook_port",
-]
-
-_FRESHNESS_TREADMILL: list[str] = [
     "e10_rrf_hybrid",
     "e05_knn_truncated_rerank",
     "mm04_audio_features",
@@ -148,24 +152,6 @@ _FRESHNESS_TREADMILL: list[str] = [
     "mm03_video_frame_plan",
     "q49_stratified_source_sample",
     "t07_pii_redaction",
-    "q61_source_quality_gate",
-    "q63_epoch_shuffle_shards",
-    "q64_vocab_coverage",
-    "q67_countmin_heavy_hitters",
-    "q69_retention_cohorts",
-    "q70_curation_pipeline_v2",
-    "q60_sequence_packing",
-    "d05_embedding_near_dups",
-    "e03_knn_ivf",
-    "mm01_resize_plan",
-    "q02_flagship_top_tokens",
-    "q38_robust_stats",
-    "q03_global_rank_customers",
-    "q10_dedup_pairs_histogram",
-    "q11_set_ops_nationkeys",
-    "q12_null_fill_activity",
-    "q13_top_orders",
-    "q18_range_lookup_tiers",
     "q04_star_join_revenue",
     "q06_map_lookup_regions",
     "q14_running_spend",
@@ -212,9 +198,7 @@ _FRESHNESS_TREADMILL: list[str] = [
     "t04_tfidf_top_terms",
     "t08_bigram_cross_entropy",
     "t10_token_entropy",
-    "q65_bloom_prune_join",
     "q83_psi_drift",
-    "q08_daily_events",
     "q40_gap_fill_daily",
     "mm02_image_features",
     "mm06_image_phash_dedup",
@@ -257,29 +241,42 @@ _FRESHNESS_TREADMILL: list[str] = [
     "mm05_shard_manifest",
     "q59_snapshot_diff",
     "e13_knn_nsw_beam",
-]
-
-_ROWS_ONLY_TAIL: list[str] = [
-    "m01_als_top5_recs",
-    "m02_cold_start_fold_in",
-    "m05_implicit_als_recs",
-    "q17_sample_stats",
-    "q44_hll_sketch_distinct",
+    "q45_recursive_month_spine",
+    "q66_interval_month_overlap",
+    "q68_funnel_stages",
+    "q71_kmv_sketch_setops",
+    "q78_delete_propagation",
+    "q81_dat_source_roundtrip",
+    "q86_ewma_anomaly",
+    "m06_cooccurrence_lift",
+    "g03_component_histogram",
+    "g05_bfs_level_histogram",
+    "t05_doc_fingerprints",
+    "t14_perplexity_filter",
+    "mm08_audio_segments",
+    "t06_repetition_metrics",
+    "d13_duplicated_spans",
+    "d15_cdc_chunk_dedup",
+    "d02_minhash_near_dups",
 ]
 
 
 def _apply_order() -> None:
     cohorts = [
-        _VERIFY_FIRST_R14,
-        _PATH_CHANGED_R14,
+        _VERIFY_FIRST_R15,
+        _PATH_CHANGED_R15,
         _FRESHNESS_TREADMILL,
-        _ROWS_ONLY_TAIL,
     ]
+    # r14 ADVICE: assert the documented cohort sizes so the policy comment
+    # cannot drift from the lists.
+    assert len(_VERIFY_FIRST_R15) == 50, len(_VERIFY_FIRST_R15)
+    assert len(_PATH_CHANGED_R15) == 11, len(_PATH_CHANGED_R15)
+    assert len(_FRESHNESS_TREADMILL) == 131, len(_FRESHNESS_TREADMILL)
     flat = [n for lst in cohorts for n in lst]
     assert len(flat) == len(set(flat)), sorted(
         n for n in set(flat) if flat.count(n) > 1
     )
-    order: list[str] = [n for n in _VERIFY_FIRST_R14 if n in REGISTRY]
+    order: list[str] = [n for n in _VERIFY_FIRST_R15 if n in REGISTRY]
     placed = set(flat)
     # New / unlisted queries: never driver-checked, so verify early.
     order += [n for n in REGISTRY if n not in placed]

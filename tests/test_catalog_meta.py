@@ -55,16 +55,16 @@ def test_driver_window_covers_unverified_queries():
     never had (or is due for) a driver-side oracle run inside that window.
     A refactor that silently restores module-import order fails here."""
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import (
-        _PATH_CHANGED_R14,
-        _ROWS_ONLY_TAIL,
-        _VERIFY_FIRST_R14,
+        _PATH_CHANGED_R15,
+        _VERIFY_FIRST_R15,
     )
 
-    _VERIFY_FIRST = _VERIFY_FIRST_R14
-    # r14: the semantic wave (32) leads; the path-changed cohort (every
-    # streaming / shingle / graph entry whose execution path changed with
-    # results proven identical) fills the remaining window slots.
-    _NEXT_R13 = _PATH_CHANGED_R14
+    _VERIFY_FIRST = _VERIFY_FIRST_R15
+    # r15: the window IS the prescription (stale-27 cohort + this round's
+    # changed plans); the path-changed cohort (remaining streaming entries
+    # downstream of the replay mtime pinning, results proven identical)
+    # queues right behind it.
+    _NEXT_R13 = _PATH_CHANGED_R15
 
     window = list(REGISTRY)[:50]
     # r13: front of the window is anything brand-new or changed this
@@ -93,12 +93,13 @@ def test_driver_window_covers_unverified_queries():
         assert nxt_in_window == nxt_registered[: len(nxt_in_window)]
         # and the window is exactly VERIFY_FIRST + that prefix (no strays)
         assert set(window) == set(vf) | set(nxt_in_window)
-    # Inherently rows-only samples can never upgrade to hash matches --
-    # they must not consume early window slots; the registry flag and the
-    # tail list must agree.
-    tail = list(REGISTRY)[-len(_ROWS_ONLY_TAIL):]
-    assert set(tail) == set(_ROWS_ONLY_TAIL)
-    assert {n for n, q in REGISTRY.items() if q.rows_only} == set(_ROWS_ONLY_TAIL)
+    # r15 exception to the rows-only-last rule: the r14 VERDICT explicitly
+    # prescribed windowing the five rows-only entries this round (the ALS
+    # family is newly self-validating and m01/m02/m05/q17/q44 are all part
+    # of the <=r8 stale cohort), so they live INSIDE _VERIFY_FIRST_R15 and
+    # the registry's rows_only flags must agree with that placement.
+    rows_only = {n for n, q in REGISTRY.items() if q.rows_only}
+    assert rows_only <= set(_VERIFY_FIRST_R15), rows_only - set(_VERIFY_FIRST_R15)
 
 
 def test_rows_only_set_is_intentional():

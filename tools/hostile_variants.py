@@ -85,6 +85,30 @@ Variants:
                them unmatched, anti-join / NOT-IN semantics diverge
                loudly if any oracle uses NOT IN, and NULL groups must
                form the same single group in both engines.
+  jsonx     -- events.props goes MALFORMED on event_id %% 17 slices
+               (r15 axis): truncated mid-object, deep-nested (48 levels),
+               duplicate keys, bare scalar, array-not-object, empty
+               string, non-JSON garbage, JSON `null` literal, lone
+               Unicode escape. Exercises every from_json / variant /
+               json-extract consumer (q15/q37/s16/s06...): both engines
+               must agree row-by-row on what parses and what degrades
+               to NULL.
+  schemadrift -- parquet schema drift on READ (r15 axis): every table's
+               columns are written in REVERSED order; lineitem.
+               l_linenumber is widened INT32 -> BIGINT; orders.
+               o_orderkey/o_custkey and customer.c_custkey/c_nationkey
+               are narrowed BIGINT -> INTEGER (values fit at test SFs).
+               Any code that reads columns positionally, pins a physical
+               schema, or assumes LongType ids diverges here; joins
+               cross int32/int64 widths.
+  nullx     -- COMBINED nullkeys x extremes (r15 axis): the nullkeys
+               NULL slices land first, then the extremes IEEE values
+               (inf/NaN/1e308/subnormal on value, +/-2^63-adjacent longs
+               on user_id) land on the surviving rows. NULL keys and
+               IEEE poison in the SAME build: quarantine logic that
+               accidentally keys on `IS NOT NULL AND is finite` or
+               NULL-safe joins that break under NaN group keys surface
+               only in the combination.
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -347,6 +371,84 @@ def build(
                 f"SELECT doc_id, {grown} AS text, lang, source,"
                 f" length({grown}) AS n_chars FROM {src}"
             )
+        elif variant == "jsonx" and t == "events":
+            deep = "{" + '"a":{' * 47 + '"k":1' + "}" * 47 + "}"
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE event_id % 17"
+                "  WHEN 0 THEN substr(props, 1, greatest(length(props) - 2, 1))"  # truncated
+                f"  WHEN 1 THEN '{deep}'"
+                "  WHEN 2 THEN '{\"k\": 1, \"k\": 2}'"
+                "  WHEN 3 THEN '42'"
+                "  WHEN 4 THEN '[1, 2, 3]'"
+                "  WHEN 5 THEN ''"
+                "  WHEN 6 THEN 'not json at all'"
+                "  WHEN 7 THEN 'null'"
+                "  WHEN 8 THEN '{\"k\": \"\\ud800\"}'"
+                "  ELSE props END AS props)"
+                f" FROM {src}"
+            )
+        elif variant == "schemadrift":
+            cols = [
+                r[0]
+                for r in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+            ]
+            widen = {"l_linenumber": "BIGINT"}
+            narrow = {
+                "o_orderkey": "INTEGER", "o_custkey": "INTEGER",
+                "c_custkey": "INTEGER", "c_nationkey": "INTEGER",
+            }
+            exprs = []
+            for c in reversed(cols):
+                if c in widen:
+                    exprs.append(f"CAST({c} AS {widen[c]}) AS {c}")
+                elif c in narrow:
+                    exprs.append(f"CAST({c} AS {narrow[c]}) AS {c}")
+                else:
+                    exprs.append(c)
+            sel = f"SELECT {', '.join(exprs)} FROM {src}"
+        elif variant == "nullx" and t == "orders":
+            sel = (
+                "SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0 THEN NULL"
+                f" ELSE o_custkey END AS o_custkey) FROM {src}"
+            )
+        elif variant == "nullx" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN (l_orderkey * 7 + l_linenumber) % 11 = 0 THEN NULL"
+                "  ELSE l_partkey END AS l_partkey,"
+                " CASE WHEN (l_orderkey * 7 + l_linenumber) % 13 = 0 THEN NULL"
+                "  ELSE l_suppkey END AS l_suppkey)"
+                f" FROM {src}"
+            )
+        elif variant == "nullx" and t == "customer":
+            sel = (
+                "SELECT * REPLACE (CASE WHEN c_custkey % 17 = 0 THEN NULL"
+                f" ELSE c_nationkey END AS c_nationkey) FROM {src}"
+            )
+        elif variant == "nullx" and t == "events":
+            # nullkeys slices land FIRST (%7 user_id, %23 event_type), then
+            # the extremes values land on the survivors (%13 user_id longs,
+            # %11 IEEE value) -- NULL keys and IEEE poison in one build
+            sel = (
+                "SELECT * REPLACE ("
+                " CASE WHEN event_id % 7 = 0 THEN NULL"
+                "  WHEN event_id % 13 = 0 THEN 9223372036854775807"
+                "  WHEN event_id % 13 = 1 THEN -9223372036854775808"
+                "  WHEN event_id % 13 = 2 THEN 9223372036854775806"
+                "  ELSE user_id END AS user_id,"
+                " CASE WHEN event_id % 23 = 0 THEN NULL"
+                "  ELSE event_type END AS event_type,"
+                " CASE event_id % 11"
+                "  WHEN 0 THEN 'infinity'::DOUBLE"
+                "  WHEN 1 THEN '-infinity'::DOUBLE"
+                "  WHEN 2 THEN 'nan'::DOUBLE"
+                "  WHEN 3 THEN 1e308"
+                "  WHEN 4 THEN -1e308"
+                "  WHEN 5 THEN 5e-324"
+                "  ELSE value END AS value)"
+                f" FROM {src}"
+            )
         elif variant == "unicode" and t == "documents":
             toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
             sel = (
@@ -375,7 +477,8 @@ def main() -> None:
     ap.add_argument("--variant", required=True,
                     choices=["nulls", "singlerow", "unicode", "salt", "ties",
                              "empty", "bigmoney", "extremes", "dupx", "longstr",
-                             "timex", "skew", "nullkeys"])
+                             "timex", "skew", "nullkeys", "jsonx", "schemadrift",
+                             "nullx"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--dup-factor", type=int, default=100)
