@@ -40,16 +40,21 @@ from . import batch9  # noqa: E402,F401
 #      - g06 (SEMANTICS: weighted edges drop NULL endpoints, r14 ADVICE);
 #      - s10/s18/s19/s21/s22 (state parallelism now derived from key
 #        cardinality -- physical change, results proven identical);
-#      - 17 replay-staging consumers most sensitive to file replay order
+#      - the cents-policy wave (the r15 nullx axis replaced the
+#        fail-loud cents cast with the bounded value-validity window,
+#        changing 11 entries' sum semantics on hostile data): q08/q40/
+#        s01/s06/s10/s11/s13/s15/s16/s17/s25 -- all inside the window;
+#      - replay-staging consumers most sensitive to file replay order
 #        (the mtime pinning is upstream of every streaming entry): the
-#        watermark family s01-s03/s07/s08/s12-s14 plus s09/s15/s17/s24/
-#        s26/s29/s30/s31/s33.
+#        watermark family s02/s03/s07/s08/s12/s14 plus s09/s31.
 #      Every member re-verified MATCH (or rows-only valid) at sf0.001 and
 #      sf0.01 on the shipped code before commit.
-#   2. _PATH_CHANGED_R15 (11): the remaining streaming entries -- same
+#   2. _PATH_CHANGED_R15 (12): the remaining streaming entries -- same
 #      mtime-pinning path change, results proven identical, all
-#      r13/r14-certified, so they queue right behind the window.
-#   3. _FRESHNESS_TREADMILL (131): everyone else, stalest first (the
+#      r13/r14-certified, so they queue right behind the window (led by
+#      the five entries the cents-policy wave displaced from the fill
+#      slots: s24/s26/s29/s30/s33).
+#   3. _FRESHNESS_TREADMILL (130): everyone else, stalest first (the
 #      pre-r14-certified names in their prior relative order), entries
 #      certified in the r14 window last.
 #
@@ -104,23 +109,24 @@ _VERIFY_FIRST_R15: list[str] = [
     "s09_stream_longest_run",
     "s15_incremental_rollup",
     "s17_stream_static_anti_join",
-    "s24_stream_upsert_snapshot",
+    "q40_gap_fill_daily",
     "s31_stream_ewma_anomaly",
-    "s26_stream_lsh_dedup_probe",
-    "s29_stream_semantic_dedup_probe",
-    "s30_stream_cdc_dedup_probe",
-    "s33_stream_ngram_jaccard_probe",
-]
-
-_PATH_CHANGED_R15: list[str] = [
-    "s23_stream_image_features",
-    "s32_stream_contamination_probe",
-    "s04_stream_dedup_counts",
-    "s27_stream_psi_cells",
     "s06_stream_group_counts",
     "s11_stream_static_join",
     "s16_stream_quality_router",
     "s25_stream_jsonl_sink",
+]
+
+_PATH_CHANGED_R15: list[str] = [
+    "s24_stream_upsert_snapshot",
+    "s26_stream_lsh_dedup_probe",
+    "s29_stream_semantic_dedup_probe",
+    "s30_stream_cdc_dedup_probe",
+    "s33_stream_ngram_jaccard_probe",
+    "s23_stream_image_features",
+    "s32_stream_contamination_probe",
+    "s04_stream_dedup_counts",
+    "s27_stream_psi_cells",
     "s28_stream_ivf_ingest",
     "s05_stream_latest_topk",
     "s20_stream_countmin_cells",
@@ -199,7 +205,6 @@ _FRESHNESS_TREADMILL: list[str] = [
     "t08_bigram_cross_entropy",
     "t10_token_entropy",
     "q83_psi_drift",
-    "q40_gap_fill_daily",
     "mm02_image_features",
     "mm06_image_phash_dedup",
     "d11_canonical_url_dedup",
@@ -270,8 +275,8 @@ def _apply_order() -> None:
     # r14 ADVICE: assert the documented cohort sizes so the policy comment
     # cannot drift from the lists.
     assert len(_VERIFY_FIRST_R15) == 50, len(_VERIFY_FIRST_R15)
-    assert len(_PATH_CHANGED_R15) == 11, len(_PATH_CHANGED_R15)
-    assert len(_FRESHNESS_TREADMILL) == 131, len(_FRESHNESS_TREADMILL)
+    assert len(_PATH_CHANGED_R15) == 12, len(_PATH_CHANGED_R15)
+    assert len(_FRESHNESS_TREADMILL) == 130, len(_FRESHNESS_TREADMILL)
     flat = [n for lst in cohorts for n in lst]
     assert len(flat) == len(set(flat)), sorted(
         n for n in set(flat) if flat.count(n) > 1

@@ -38,6 +38,7 @@ from .catalog import (
     money_sum_spark,
     money_sum_sql,
     register,
+    try_json_k_sql,
 )
 
 # --------------------------------------------------------------------------
@@ -344,7 +345,7 @@ def q07_regex_brand_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(ts, '%d/%m/%Y') AS day_str,
        event_type,
        count(*)                  AS n_events,
-       (sum(CAST(round(value * 100) AS BIGINT)) / 1e2)      AS sum_value
+       (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2)      AS sum_value
 FROM events
 GROUP BY day_str, event_type
 """,
@@ -565,16 +566,21 @@ def q14_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_type,
        count(*)                                               AS n,
-       {grid_mean_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)", 1, 2)} AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       {grid_mean_sql(try_json_k_sql("props", "BIGINT"), 1, 2)} AS avg_k,
+       max({try_json_k_sql("props", "BIGINT")}) AS max_k
 FROM events
 GROUP BY event_type
 """,
 )
 def q15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # try-VARIANT semantics, not bare from_json: Spark 4 under ANSI mode
+    # RAISES on malformed records in from_json, and real event streams
+    # carry malformed payloads (r15 jsonx axis: truncated, duplicate-key,
+    # lone-surrogate...). Policy: anything VARIANT refuses -> NULL k,
+    # mirrored in the oracle by catalog.try_json_k_sql.
     parsed = events.withColumn(
-        "k", F.from_json("props", "k BIGINT").getField("k")
+        "k", F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

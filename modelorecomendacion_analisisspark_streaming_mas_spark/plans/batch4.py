@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents_sum_spark
 
 from ..sources.readers import load_table
-from .catalog import money_sum_spark, grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register
+from .catalog import money_sum_spark, grid_mean_spark, grid_mean_sql, money_mean_sql, money_mean_spark, register, try_json_k_sql
 
 
 @register(
@@ -227,23 +227,27 @@ def q36_listagg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q37_variant_event_props",
-    oracle="""
-SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
+    oracle=f"""
+SELECT CAST({try_json_k_sql("props", "INT")} // 10 AS INT) AS k_decile,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+       CAST(min({try_json_k_sql("props", "INT")}) AS INT) AS k_min,
+       CAST(max({try_json_k_sql("props", "INT")}) AS INT) AS k_max
 FROM events
 GROUP BY 1
 """,
 )
 def q37_variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion via the VARIANT type (Spark 4):
-    parse_json once into VARIANT's binary-shredded form, then typed path
-    access with variant_get. At scale this is the schema-on-read pattern
-    for heterogeneous event payloads -- parse once, access structurally,
-    no per-query JSON string re-parsing."""
+    try_parse_json once into VARIANT's binary-shredded form, then typed
+    path access with try_variant_get. At scale this is the schema-on-read
+    pattern for heterogeneous event payloads -- parse once, access
+    structurally, no per-query JSON string re-parsing. The try_ variants
+    are the production forms: real streams carry malformed payloads
+    (r15 jsonx axis) and the non-try forms RAISE mid-job on the first
+    truncated record; policy = anything VARIANT refuses yields NULL
+    (catalog.try_json_k_sql is the oracle twin)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select(k.alias("k"))
         .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
@@ -304,7 +308,7 @@ WITH b AS (
   FROM b
 ), daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(count(*) AS BIGINT) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS v
+         CAST(count(*) AS BIGINT) AS n, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS v
   FROM events GROUP BY 1, 2
 )
 SELECT s.event_type,

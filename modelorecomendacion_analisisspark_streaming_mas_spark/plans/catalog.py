@@ -286,6 +286,27 @@ def grid_mean_sql(col: str, in_scale: int, out_dp: int) -> str:
     )
 
 
+def try_json_k_sql(col: str = "props", typ: str = "BIGINT") -> str:
+    """DuckDB twin of Spark's ``try_variant_get(try_parse_json(col),
+    '$.k', typ)`` -- the engine-wide malformed-JSON policy (r15 jsonx
+    axis): anything VARIANT refuses (truncated, non-JSON, empty, lone
+    surrogate, DUPLICATE KEYS) and any non-object/absent-k payload yields
+    NULL. DuckDB's json_extract RAISES on malformed input and keeps the
+    FIRST duplicate key (Spark VARIANT rejects the object), so the guard
+    must check json_valid AND key uniqueness before extracting; the
+    boundary is string-typed extraction of lone surrogates (Spark
+    sanitizes to '?', DuckDB calls the document invalid), which no
+    catalog query does -- every consumer casts k to an integer type,
+    where both sides agree on NULL. Verified class-by-class in
+    tests/test_data_drift.py::test_jsonx_k_extraction_semantics_matrix.
+    """
+    keys = f"json_keys({col})"
+    return (
+        f"(CASE WHEN json_valid({col}) AND len({keys}) = len(list_distinct({keys}))"
+        f" THEN TRY_CAST(json_extract_string({col}, '$.k') AS {typ}) END)"
+    )
+
+
 def shingle_rows_sql(src: str, n: int, keys: str, tok: str = "t", out: str = "shw") -> str:
     """DuckDB CTE fragment emitting per-row word n-gram shingle ROWS
     (``_rid``, *keys*, ``g``) via lead() windows -- LINEAR in document

@@ -37,7 +37,7 @@ def stateful_v2_available() -> bool:
 
 
 _S10_ORACLE = """
-SELECT event_type, count(*) AS n_events, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+SELECT event_type, count(*) AS n_events, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events GROUP BY event_type
 """
 

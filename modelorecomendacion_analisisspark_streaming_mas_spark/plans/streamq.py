@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import cents_sum_spark
+from ..functions.numeric import cents_sum_spark, valid_cents_spark
 
 from ..sources.readers import local_rows_df
 from ..sources.streams import (
@@ -95,7 +95,7 @@ def _replayed(
     # ingest validity window (pipelines.bounded_event_time, r14 timex)
     oracle=f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-       event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+       event_type, count(*) AS n, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events WHERE {EVENT_TIME_BOUND_SQL} GROUP BY win_start, event_type
 """,
 )
@@ -236,7 +236,7 @@ def s05_stream_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s06_stream_group_counts",
     oracle="""
-SELECT event_type, user_id, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+SELECT event_type, user_id, count(*) AS n, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events GROUP BY event_type, user_id
 """,
 )
@@ -330,7 +330,7 @@ def s12_stream_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s11_stream_static_join",
     oracle="""
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-       (sum(CAST(round(e.value * 100) AS BIGINT)) / 1e2) AS sum_value
+       (sum(CASE WHEN (abs(e.value) <= 1000000000000.0) THEN CAST(round(e.value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events e JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY c.c_mktsegment
 """,
@@ -499,8 +499,21 @@ def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fans one row across 32 pickled slices and this coalesce(1)-style
         # single-file write then paid a Python-worker round-trip per empty
         # slice (~4 s of the old s13 fixed cost; staged bytes identical).
+        # Row built BY FIELD NAME, never positionally: the staged schema
+        # follows the source file's physical column order, which is not
+        # ours to assume (r15 schemadrift axis first contact: a reversed-
+        # column events file put the sentinel ts into the value slot and
+        # killed s13/s14/s22 mid-write).
+        sentinel_vals = {
+            "event_id": -1,
+            "ts": _SENTINEL_TS,
+            "user_id": -1,
+            "event_type": "__sentinel__",
+            "value": 0.0,
+            "props": "{}",
+        }
         sentinel = local_rows_df(
-            spark, [(-1, _SENTINEL_TS, -1, "__sentinel__", 0.0, "{}")], schema
+            spark, [tuple(sentinel_vals[f.name] for f in schema.fields)], schema
         )
         sentinel.write.mode("append").parquet(d)
         _STAGED[key] = (d, schema)
@@ -512,7 +525,7 @@ def _replayed_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s13_stream_file_sink",
     oracle=f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-       event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+       event_type, count(*) AS n, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events WHERE {EVENT_TIME_BOUND_SQL} GROUP BY win_start, event_type
 """,
 )
@@ -595,7 +608,7 @@ def s14_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s15_incremental_rollup",
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-       count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+       count(*) AS n, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events GROUP BY day, event_type
 """,
 )
@@ -612,7 +625,7 @@ def s15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.sum(valid_cents_spark("value")).alias("sum_cents"),
         )
     )
     table_dir = tempfile.mkdtemp(prefix="mras_mv_")
@@ -691,7 +704,7 @@ SELECT CASE WHEN event_type <> 'error' AND value >= 0.5
             THEN 'accept' ELSE 'reject' END AS route,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+       (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events
 GROUP BY route, event_type
 """,
@@ -752,7 +765,7 @@ def s16_stream_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+       (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events
 WHERE user_id IS NULL OR user_id % 97 <> 0
 GROUP BY event_type
@@ -1043,7 +1056,7 @@ def s24_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s25_stream_jsonl_sink",
     oracle="""
-SELECT event_type, count(*) AS n, (sum(CAST(round(value * 100) AS BIGINT)) / 1e2) AS sum_value
+SELECT event_type, count(*) AS n, (sum(CASE WHEN (abs(value) <= 1000000000000.0) THEN CAST(round(value * 100) AS BIGINT) END) / 1e2) AS sum_value
 FROM events WHERE user_id % 4 = 0 GROUP BY event_type
 """,
     doc="Spark 4 Python DataSource stream writer (jsonl_dir) end-to-end: "

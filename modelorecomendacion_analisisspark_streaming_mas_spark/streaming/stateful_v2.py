@@ -44,8 +44,8 @@ OUT_SCHEMA = "event_type string, n_events bigint, sum_cents bigint"
 
 
 def _exact_cents_sum(values: pd.Series) -> int:
-    """Exact integer-cents sum of a float64 Series, failing LOUDLY on any
-    value outside the representable cents grid.
+    """Exact integer-cents sum of a FINITE float64 Series, failing LOUDLY
+    on any value outside the representable cents grid.
 
     pandas ``astype('int64')`` raises only for non-finite values; a FINITE
     off-scale double (e.g. 1e300) silently WRAPS to garbage (r13 ADVICE:
@@ -53,7 +53,9 @@ def _exact_cents_sum(values: pd.Series) -> int:
     the DuckDB oracle both raise on the same input, so the pandas path must
     bound-check before casting to keep all three engines degrading
     identically. The reduction itself runs at object dtype (Python ints),
-    so the batch total cannot wrap either.
+    so the batch total cannot wrap either. Invalid readings are the
+    caller's business (quarantine them with ``_valid_values`` first):
+    here any non-finite or off-scale value raises.
     """
     scaled = values.mul(100).round()
     arr = scaled.to_numpy()
@@ -65,7 +67,27 @@ def _exact_cents_sum(values: pd.Series) -> int:
             f"(scaled={offender!r}); refusing to wrap -- mirror of the "
             "ANSI-cast / grid-guard fail-loud contract"
         )
+    if not len(scaled):
+        return 0
     return int(scaled.astype("int64").to_numpy().astype(object).sum())
+
+
+def _valid_values(values: pd.Series) -> pd.Series:
+    """Apply the value-validity window (functions/numeric.VALUE_VALID_MAX)
+    to an Arrow batch: NaN/inf and absurd magnitudes are sensor garbage,
+    quarantined from SUMS (row counts still count them) -- the r15 policy
+    shared with cents_sum_spark/_sql, so the stateful path and the batch
+    oracle stay hash-identical on hostile telemetry. NaN fails the abs
+    bound like it does in both engines' comparisons. The Arrow batch
+    surfaces SQL NULL as NaN in a plain float64 column, so NULL readings
+    are quarantined here too; the events schema ships value NOT NULL at
+    every SF and variant, so the two are indistinguishable today."""
+    from ..functions.numeric import VALUE_VALID_MAX
+
+    arr = values.to_numpy(dtype="float64")
+    with np.errstate(invalid="ignore"):
+        mask = np.abs(arr) <= VALUE_VALID_MAX
+    return values[mask]
 
 
 class RunningCountSum(StatefulProcessor):
@@ -91,12 +113,13 @@ class RunningCountSum(StatefulProcessor):
         n, cents = self._agg.get() if self._agg.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            # exact integer-cents accumulation (2dp-grid telemetry): the
-            # r13 extremes variant showed float running sums absorbing /
-            # overflowing in arrival order; off-scale or NaN/inf values
-            # fail LOUDLY via the bound-checked cast (pandas astype alone
-            # silently wraps finite off-scale doubles -- r13 ADVICE)
-            cents += _exact_cents_sum(pdf["value"])
+            # exact integer-cents accumulation over VALID readings only
+            # (2dp-grid telemetry: the r13 extremes variant showed float
+            # running sums absorbing / overflowing in arrival order; the
+            # r15 nullx axis set the quarantine policy -- garbage readings
+            # leave the SUM, never kill the stream, and counts still
+            # count them, identical to the batch oracle's device)
+            cents += _exact_cents_sum(_valid_values(pdf["value"]))
         self._agg.update((n, cents))
         yield pd.DataFrame(
             {"event_type": [key[0]], "n_events": [n], "sum_cents": [cents]}

@@ -557,3 +557,239 @@ def test_als_ratings_builders_quarantine_null_ids(spark, nullkeys_variant_dir):
         ).count()
         assert n_null == 0, f"{builder.__name__} leaked NULL-id ratings"
         assert df.count() > 0
+
+
+# r15 axis: malformed events.props JSON. First contact found 2 finds --
+# Spark 4 under ANSI RAISES in from_json/parse_json on the first malformed
+# record (q15/q37 died mid-job), fixed by the try-VARIANT policy: anything
+# VARIANT refuses (truncated, garbage, empty, lone surrogate, DUPLICATE
+# KEYS) yields NULL k, mirrored in DuckDB by catalog.try_json_k_sql's
+# json_valid + unique-keys guard (DuckDB's json_extract raises on malformed
+# input and keeps the FIRST duplicate key, so an unguarded oracle diverges).
+JSONX_QUERIES = [
+    "q15_json_props",
+    "q37_variant_event_props",
+    "s16_stream_quality_router",
+    "s06_stream_group_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def jsonx_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_jsonx_")
+    build("jsonx", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", JSONX_QUERIES)
+def test_oracle_agreement_survives_malformed_json(spark, jsonx_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{jsonx_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, jsonx_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: jsonx variant disagrees with oracle"
+
+
+def test_jsonx_k_extraction_semantics_matrix(spark):
+    """Class-by-class pin of the malformed-JSON policy: Spark's
+    try_variant_get(try_parse_json(.), '$.k', 'bigint') and DuckDB's
+    catalog.try_json_k_sql must agree on every malformation class the
+    jsonx axis plants (and on well-formed input)."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans.catalog import (
+        try_json_k_sql,
+    )
+
+    deep = "{" + '"a":{' * 47 + '"k":1' + "}" * 47 + "}"
+    cases = [
+        '{"k": 8',              # truncated
+        deep,                   # deep-nested, no top-level k
+        '{"k": 1, "k": 2}',     # duplicate keys: VARIANT refuses -> NULL
+        "42",                   # bare scalar
+        "[1, 2, 3]",            # array, not object
+        "",                     # empty string
+        "not json at all",      # garbage
+        "null",                 # JSON null literal
+        '{"k": "\\ud800"}',     # lone surrogate
+        '{"k": 7}',             # well-formed
+        None,                   # SQL NULL
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "props string")
+    got = [
+        r["k"]
+        for r in df.select(
+            F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = []
+    for c in cases:
+        if c is None:
+            want.append(None)
+            continue
+        lit = c.replace("'", "''")
+        want.append(
+            con.execute(
+                f"SELECT {try_json_k_sql('p', 'BIGINT')} FROM (SELECT '{lit}' AS p)"
+            ).fetchone()[0]
+        )
+    assert got == want == [None] * 9 + [7, None], (got, want)
+
+
+# r15 axis: parquet schema drift on read (reversed column order, int32<->
+# int64 width changes). First contact: 3 finds, one root cause -- the
+# replay sentinel row was built POSITIONALLY against the staged file's
+# schema, so a reordered events file put the sentinel timestamp into the
+# value slot and killed s13/s14/s22 mid-write. Fixed by by-name row
+# construction; these pins hold the whole class (every load_table site
+# reads by name, joins cross int32/int64 widths).
+SCHEMADRIFT_QUERIES = [
+    "s13_stream_file_sink",
+    "s14_stream_left_outer_join",
+    "s22_stream_timer_sessions",
+    "q01_pricing_summary",        # lineitem widened l_linenumber
+    "q04_star_join_revenue",      # joins cross narrowed customer keys
+    "q54_schema_evolution_read",  # the mergeSchema entry itself
+    "g01_part_in_degrees",        # packed ids from narrowed keys
+]
+
+
+@pytest.fixture(scope="module")
+def schemadrift_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_schemadrift_")
+    build("schemadrift", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", SCHEMADRIFT_QUERIES)
+def test_oracle_agreement_survives_schema_drift(spark, schemadrift_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{schemadrift_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, schemadrift_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: schemadrift variant disagrees with oracle"
+
+
+# r15 axis: combined nullkeys x extremes. First contact: 11 finds, one
+# root cause -- the r13 fail-loud cents cast meant ONE inf/NaN/1e308
+# telemetry reading killed every value-summing query (q08/q40/s01/s06/
+# s10/s11/s13/s15/s16/s17/s25), and no order-independent sum even exists
+# for finite off-scale values. Policy replaced by the bounded VALUE
+# validity window (functions/numeric.VALUE_VALID_MAX, the value twin of
+# pipelines.bounded_event_time): readings outside it are quarantined
+# from SUMS deterministically in both engines, row counts still count
+# them, and money columns keep the fail-loud grid guard.
+NULLX_QUERIES = [
+    "q08_daily_events",
+    "q40_gap_fill_daily",
+    "s01_stream_tumbling_counts",
+    "s06_stream_group_counts",
+    "s11_stream_static_join",
+    "s15_incremental_rollup",
+    "s16_stream_quality_router",
+    "s17_stream_static_anti_join",
+]
+
+
+@pytest.fixture(scope="module")
+def nullx_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_nullx_")
+    build("nullx", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", NULLX_QUERIES)
+def test_oracle_agreement_survives_nullkeys_x_extremes(spark, nullx_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{nullx_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, nullx_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: nullx variant disagrees with oracle"
+
+
+def test_value_validity_window_semantics_matrix(spark):
+    """Class-by-class pin of the value-validity window: the Spark and
+    DuckDB cents_sum devices must agree on every hostile reading class
+    (inf, -inf, NaN, finite off-scale 1e308, subnormal, at-the-bound,
+    just-past-the-bound, NULL, all-invalid group)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.numeric import (
+        VALUE_VALID_MAX,
+        cents_sum_spark,
+        cents_sum_sql,
+    )
+
+    data = [
+        ("a", 1.23), ("a", 4.56),                        # plain finite
+        ("b", float("inf")), ("b", 2.0),                 # +inf quarantined
+        ("c", float("inf")), ("c", float("-inf")),       # all-invalid -> NULL
+        ("d", float("nan")), ("d", 1.0),                 # NaN quarantined
+        ("e", 5e-324), ("e", 1.0),                       # subnormal rounds to 0 cents
+        ("f", 1e308), ("f", 71.54),                      # finite off-scale quarantined
+        ("g", VALUE_VALID_MAX), ("g", 1.0),              # at the bound: valid
+        ("h", VALUE_VALID_MAX * 1.01), ("h", 1.0),       # past the bound: quarantined
+        ("i", None), ("i", 3.0),                         # NULL skipped as ever
+    ]
+    df = spark.createDataFrame(data, "g string, value double")
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(cents_sum_spark("value").alias("s")).collect()
+    }
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", data)
+    want = dict(
+        con.execute(
+            f"SELECT g, {cents_sum_sql('value')} AS s FROM t GROUP BY g"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in got:
+        if got[k] is None or (isinstance(got[k], float) and math.isnan(got[k])):
+            assert want[k] is None or math.isnan(want[k]), (k, got[k], want[k])
+        else:
+            assert got[k] == want[k], (k, got[k], want[k])
+    # spot semantics: quarantine leaves the finite mass
+    assert got["a"] == 5.79 and got["b"] == 2.0 and got["c"] is None
+    assert got["d"] == 1.0 and got["f"] == 71.54
+    assert got["g"] == VALUE_VALID_MAX + 1.0 and got["h"] == 1.0
+    assert got["i"] == 3.0

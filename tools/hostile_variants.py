@@ -109,6 +109,14 @@ Variants:
                accidentally keys on `IS NOT NULL AND is finite` or
                NULL-safe joins that break under NaN group keys surface
                only in the combination.
+  sfx2      -- sf-jump build (r15 axis): the input SF unioned with a
+               second FK-consistent copy (every key family offset by
+               10,000,000; copy-2 document texts get a per-doc suffix so
+               the dedup corpus doesn't become 100%% twins; region/nation
+               dims stay fixed). Doubles the volume through every gated
+               path (PROBE_BROADCAST_SHINGLE_LIMIT, bucket_cap, q75 hist
+               limit, broadcast thresholds) to prove small-SF-tuned gates
+               flip to their shuffled fallbacks with identical results.
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -449,6 +457,59 @@ def build(
                 "  ELSE value END AS value)"
                 f" FROM {src}"
             )
+        elif variant == "sfx2":
+            OFF = 10_000_000
+            if t in ("region", "nation"):
+                sel = f"SELECT * FROM {src}"
+            elif t == "customer":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (c_custkey + {OFF} AS c_custkey) FROM {src}"
+                )
+            elif t == "supplier":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (s_suppkey + {OFF} AS s_suppkey) FROM {src}"
+                )
+            elif t == "part":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (p_partkey + {OFF} AS p_partkey) FROM {src}"
+                )
+            elif t == "orders":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (o_orderkey + {OFF} AS o_orderkey,"
+                    f" o_custkey + {OFF} AS o_custkey) FROM {src}"
+                )
+            elif t == "lineitem":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (l_orderkey + {OFF} AS l_orderkey,"
+                    f" l_partkey + {OFF} AS l_partkey,"
+                    f" l_suppkey + {OFF} AS l_suppkey) FROM {src}"
+                )
+            elif t == "events":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (event_id + {OFF} AS event_id,"
+                    f" user_id + {OFF} AS user_id) FROM {src}"
+                )
+            elif t == "documents":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT doc_id + {OFF} AS doc_id,"
+                    f" text || ' sfxtok' || doc_id::VARCHAR AS text, lang, source,"
+                    f" length(text || ' sfxtok' || doc_id::VARCHAR) AS n_chars"
+                    f" FROM {src}"
+                )
+            elif t == "embeddings":
+                sel = (
+                    f"SELECT * FROM {src} UNION ALL "
+                    f"SELECT * REPLACE (vec_id + {OFF} AS vec_id) FROM {src}"
+                )
+            else:
+                sel = f"SELECT * FROM {src}"
         elif variant == "unicode" and t == "documents":
             toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
             sel = (
@@ -478,7 +539,7 @@ def main() -> None:
                     choices=["nulls", "singlerow", "unicode", "salt", "ties",
                              "empty", "bigmoney", "extremes", "dupx", "longstr",
                              "timex", "skew", "nullkeys", "jsonx", "schemadrift",
-                             "nullx"])
+                             "nullx", "sfx2"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--dup-factor", type=int, default=100)
