@@ -42,26 +42,44 @@ FROM events GROUP BY event_type
 """
 
 
+# Key-cardinality cache: one distinct-count job per (SparkContext,
+# sf_dir, events fingerprint, key column) -- the same content-keyed
+# per-context pattern as graphq._shared_graph, so in-place regeneration
+# rebuilds and a different context never reads another's count.
+_KEYCARD_CACHE: dict[tuple, int] = {}
+
+
+def _key_cardinality(spark: SparkSession, sf_dir: str, col: str) -> int:
+    from ..sources.readers import load_events, table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, ("events",)),
+        col,
+    )
+    if key not in _KEYCARD_CACHE:
+        _KEYCARD_CACHE[key] = (
+            load_events(spark, sf_dir)
+            .filter(F.col(col).isNotNull())
+            .select(col)
+            .distinct()
+            .count()
+        )
+    return _KEYCARD_CACHE[key]
+
+
 def _n_event_types(spark: SparkSession, sf_dir: str) -> int:
     """Distinct state-key cardinality for the per-type handlers (one cheap
-    column-pruned aggregate over the batch twin of the replay source)."""
-    from ..sources.readers import load_events
-
-    return load_events(spark, sf_dir).select("event_type").distinct().count()
+    column-pruned aggregate over the batch twin of the replay source,
+    cached per context + content fingerprint)."""
+    return _key_cardinality(spark, sf_dir, "event_type")
 
 
 def _n_users(spark: SparkSession, sf_dir: str) -> int:
     """Distinct state-key cardinality for the per-user handlers (NULL keys
     are quarantined at ingest, so they are not state keys)."""
-    from ..sources.readers import load_events
-
-    return (
-        load_events(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .select("user_id")
-        .distinct()
-        .count()
-    )
+    return _key_cardinality(spark, sf_dir, "user_id")
 
 
 def _s10_stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,12 +226,19 @@ def _s21_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch), so parallelism wins right up to the key count (16 measured
     # ~4.8s -> ~3.4s over 4 at sf0.1); the partition count never changes
     # WHAT is emitted.
-    from ..sources.streams import derive_state_partitions
+    from ..sources.streams import (
+        HEAVY_HANDLER_KEYS_PER_PARTITION,
+        derive_state_partitions,
+    )
 
     _, out = run_to_memory_sink(
         out_stream,
         "update",
-        shuffle_partitions=derive_state_partitions(spark, _n_users(spark, sf_dir)),
+        shuffle_partitions=derive_state_partitions(
+            spark,
+            _n_users(spark, sf_dir),
+            keys_per_partition=HEAVY_HANDLER_KEYS_PER_PARTITION,
+        ),
         rocksdb_state=True,
     )
     w = Window.partitionBy("user_id")
@@ -279,12 +304,19 @@ def _s22_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real work (sort + gap walk per user) and parallelism wins up to
     # the key count (16 measured 9.3s -> ~4s over 4 at sf0.1; the
     # partition count never changes WHAT is emitted, only where).
-    from ..sources.streams import derive_state_partitions
+    from ..sources.streams import (
+        HEAVY_HANDLER_KEYS_PER_PARTITION,
+        derive_state_partitions,
+    )
 
     _, out = run_to_memory_sink(
         out_stream,
         "append",
-        shuffle_partitions=derive_state_partitions(spark, _n_users(spark, sf_dir)),
+        shuffle_partitions=derive_state_partitions(
+            spark,
+            _n_users(spark, sf_dir),
+            keys_per_partition=HEAVY_HANDLER_KEYS_PER_PARTITION,
+        ),
         rocksdb_state=True,
     )
     # no sentinel filter needed: the sentinel row advances the watermark

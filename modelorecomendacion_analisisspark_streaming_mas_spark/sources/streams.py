@@ -152,7 +152,18 @@ ROCKSDB_PROVIDER = (
 REPLAY_STATE_PARTITIONS = 8
 
 
-def derive_state_partitions(spark: SparkSession, n_keys: int) -> int:
+# Keys per partition needed to amortize one RocksDB instance's per-micro-
+# batch open/commit under a HEAVY Python handler (per-key sort/replay
+# work). Measured at sf0.1 (r15): 1500 session keys ran ~5.3s warm at 16
+# partitions (~94 keys each) vs ~6.5-7.8s at 32 (~47 keys each) -- the
+# extra instances cost more than their parallelism buys until each holds
+# on the order of a hundred keys.
+HEAVY_HANDLER_KEYS_PER_PARTITION = 100
+
+
+def derive_state_partitions(
+    spark: SparkSession, n_keys: int, keys_per_partition: int = 1
+) -> int:
     """State-store parallelism derived from KEY CARDINALITY, not a literal
     pin in query code (r14 VERDICT #6).
 
@@ -162,13 +173,18 @@ def derive_state_partitions(spark: SparkSession, n_keys: int) -> int:
     measured 2.4x slower than 4 at sf0.1 (the regression guard lives in
     tests/test_streaming.py::test_derive_state_partitions_tracks_keys).
     Below that ceiling, parallelism helps whenever the per-key handler
-    does real Python work -- so the knob is min(distinct keys, session
-    shuffle parallelism): it rises with key cardinality on a real cluster
-    (billions of keys -> the session default governs) and falls to the
-    key count on replay-sized state.
+    does real Python work, but each extra instance still pays the store
+    lifecycle -- ``keys_per_partition`` is the amortization floor (pass
+    HEAVY_HANDLER_KEYS_PER_PARTITION for handlers that buffer/replay per
+    key; leave 1 for trivial counters, whose key counts are the binding
+    term anyway). The knob therefore rises with key cardinality until
+    the session default governs (a real cluster's billions of keys), and
+    falls toward the key count / amortization floor on replay-sized
+    state.
     """
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(1, min(int(n_keys), default))
+    amortized = -(-int(n_keys) // max(1, int(keys_per_partition)))  # ceil div
+    return max(1, min(int(n_keys), default, amortized))
 
 
 def run_to_memory_sink(

@@ -1089,6 +1089,10 @@ def test_derive_state_partitions_tracks_keys(spark):
         derive_state_partitions,
     )
 
+    from modelorecomendacion_analisisspark_streaming_mas_spark.sources.streams import (
+        HEAVY_HANDLER_KEYS_PER_PARTITION,
+    )
+
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # 5 event-type keys must never open more store instances than keys
     assert derive_state_partitions(spark, 5) == min(5, default)
@@ -1096,6 +1100,20 @@ def test_derive_state_partitions_tracks_keys(spark):
     assert derive_state_partitions(spark, 1_000_000_000) == default
     # degenerate: at least one partition
     assert derive_state_partitions(spark, 0) == 1
+    # heavy handlers amortize the store lifecycle: ~100 keys/instance
+    # (r15 sf0.1 measurement: 1500 keys ran faster at 16 than 32)
+    heavy = derive_state_partitions(
+        spark, 1500, keys_per_partition=HEAVY_HANDLER_KEYS_PER_PARTITION
+    )
+    assert heavy == min(15, default), heavy
+    # and a billion heavy keys still saturate the session default
+    assert (
+        derive_state_partitions(
+            spark, 1_000_000_000,
+            keys_per_partition=HEAVY_HANDLER_KEYS_PER_PARTITION,
+        )
+        == default
+    )
 
     # and the policy holds in the code: no literal shuffle_partitions= pins
     # left in any plans/ query module
