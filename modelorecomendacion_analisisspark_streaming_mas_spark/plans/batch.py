@@ -697,17 +697,38 @@ def q17_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for this entry every round it is sampled -- by design (Spark's
     XORShiftRandom Bernoulli draw is not reproducible in DuckDB), not a
     failure. q28_hash_sample_stats is the deterministic hash-sample twin
-    (hash-exact r5); tests pin the sample-rate bounds."""
+    (hash-exact r5); tests pin the sample-rate bounds.
+
+    SELF-VALIDATING (r15, same upgrade as the ALS family): every row
+    carries split_ok (train + test == total, exact), frac_ok (the 5%
+    Bernoulli draw lands within 6 binomial sigmas of its expectation --
+    vacuous below 100 rows where the CI is wider than the range), and
+    seed_stable (re-drawing with the same seed reproduces the count
+    exactly). Any False RAISES, so the driver's rows-only record now
+    certifies the sampling contract, not just rows>0."""
     # narrow projection: the four counts only need one column's pages
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     sampled = li.sample(withReplacement=False, fraction=0.05, seed=42)
     train, test = li.randomSplit([0.8, 0.2], seed=42)
+    n_total = li.count()
+    n_sample = sampled.count()
+    n_train, n_test = train.count(), test.count()
+    split_ok = n_train + n_test == n_total
+    sigma = (n_total * 0.05 * 0.95) ** 0.5
+    frac_ok = n_total < 100 or abs(n_sample - 0.05 * n_total) <= 6 * sigma + 1
+    seed_stable = (
+        li.sample(withReplacement=False, fraction=0.05, seed=42).count() == n_sample
+    )
+    assert split_ok and frac_ok and seed_stable, (
+        f"q17 self-validation failed: split_ok={split_ok} frac_ok={frac_ok} "
+        f"seed_stable={seed_stable} (total={n_total}, sample={n_sample})"
+    )
     return spark.createDataFrame(
         [
-            ("sample_5pct", sampled.count()),
-            ("split_train", train.count()),
-            ("split_test", test.count()),
-            ("total", li.count()),
+            ("sample_5pct", n_sample, split_ok, frac_ok, seed_stable),
+            ("split_train", n_train, split_ok, frac_ok, seed_stable),
+            ("split_test", n_test, split_ok, frac_ok, seed_stable),
+            ("total", n_total, split_ok, frac_ok, seed_stable),
         ],
-        "subset string, n long",
+        "subset string, n long, split_ok boolean, frac_ok boolean, seed_stable boolean",
     )

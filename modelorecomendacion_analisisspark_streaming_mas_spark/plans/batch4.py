@@ -489,7 +489,14 @@ def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS-ONLY BY CONSTRUCTION: CORRECTNESS_r0N reports `err: no_oracle`
     for this entry every round it is sampled -- by design (DataSketches
     HLL binary sketches are not reproducible in DuckDB), not a failure.
-    q24_distinct_counts is the exact-count twin."""
+    q24_distinct_counts is the exact-count twin.
+
+    SELF-VALIDATING (r15, same upgrade as the ALS family): every row
+    carries rel_err (the merged-sketch estimate vs the in-engine EXACT
+    distinct for that priority) and err_ok (rel_err <= 5%; the lgK=12
+    default's expected error is ~1.6%). err_ok=false RAISES, so the
+    driver's rows-only record certifies the sketch's accuracy contract,
+    not just rows>0."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_custkey", "o_orderdate"
     )
@@ -497,11 +504,34 @@ def q44_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = orders.groupBy("o_orderpriority", half.alias("half")).agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
     )
-    return (
-        halves.groupBy("o_orderpriority")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
+    merged = halves.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs")
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("_exact")
+    )
+    out = (
+        merged.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "approx_custs",
+            F.when(
+                F.col("_exact") > 0,
+                F.round(
+                    F.abs(F.col("approx_custs") - F.col("_exact"))
+                    / F.col("_exact"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rel_err"),
+        )
+        .withColumn("err_ok", F.col("rel_err") <= 0.05)
         .orderBy("o_orderpriority")
     )
+    bad = out.filter(~F.col("err_ok")).count()
+    assert bad == 0, f"q44 self-validation failed: {bad} priorities exceed 5% rel_err"
+    return out
 
 
 _RECURSIVE_SQL = """

@@ -206,3 +206,24 @@ def test_grid_mean_exactness_guard_fails_loudly_out_of_range(spark):
     assert ok.agg(money_mean_spark("x").alias("m")).collect()[0]["m"] == 1.5
     nulls = spark.createDataFrame([(None,), (None,)], "x double")
     assert nulls.agg(grid_mean_spark("x", 1, 2).alias("m")).collect()[0]["m"] is None
+
+
+def test_q17_q44_emit_validation_columns(spark, sf_dir):
+    """r15: the last two rows-only entries join the ALS family's
+    self-validation upgrade -- the output rows must SAY the sampling /
+    sketch-accuracy contract held (the in-query asserts turn a violation
+    into a red driver entry)."""
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+    q17 = REGISTRY["q17_sample_stats"].fn(spark, sf_dir).toPandas()
+    assert {"split_ok", "frac_ok", "seed_stable"} <= set(q17.columns)
+    assert q17["split_ok"].all() and q17["frac_ok"].all() and q17["seed_stable"].all()
+    total = int(q17.loc[q17.subset == "total", "n"].iloc[0])
+    tr = int(q17.loc[q17.subset == "split_train", "n"].iloc[0])
+    te = int(q17.loc[q17.subset == "split_test", "n"].iloc[0])
+    assert tr + te == total
+
+    q44 = REGISTRY["q44_hll_sketch_distinct"].fn(spark, sf_dir).toPandas()
+    assert {"rel_err", "err_ok"} <= set(q44.columns)
+    assert q44["err_ok"].all()
+    assert (q44["rel_err"] <= 0.05).all()
