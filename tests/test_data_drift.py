@@ -802,3 +802,71 @@ def test_value_validity_window_semantics_matrix(spark):
     assert got["d"] == 1.0 and got["f"] == 71.54
     assert got["g"] == VALUE_VALID_MAX + 1.0 and got["h"] == 1.0
     assert got["i"] == 3.0
+
+
+# r15 axes 4 and 5 (beyond the prescribed three): degenerate parquet row
+# groups and all-ties TIME. Both swept clean on FULL first contact
+# (187/187 + 5, 0 bad each) -- the second and third structural axes ever
+# to do so (after r14 skew). The pins keep the harshest representatives
+# enforced: rowgroup = split planning / per-group pushdown independence;
+# tsdup = every window/session/latest-k path resolving purely on its
+# documented tie-breaks.
+ROWGROUP_QUERIES = ["q01_pricing_summary", "q50_clustered_scan_pruning",
+                    "d02_minhash_near_dups"]
+TSDUP_QUERIES = ["s03_stream_session_counts", "s05_stream_latest_topk",
+                 "s18_stream_tws_latest", "q56_batch_sessionization",
+                 "q21_asof_click_attribution"]
+
+
+@pytest.fixture(scope="module")
+def rowgroup_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_rowgroup_")
+    build("rowgroup", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def tsdup_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_tsdup_")
+    build("tsdup", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", ROWGROUP_QUERIES)
+def test_oracle_agreement_survives_tiny_row_groups(spark, rowgroup_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{rowgroup_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, rowgroup_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: rowgroup variant disagrees with oracle"
+
+
+@pytest.mark.parametrize("name", TSDUP_QUERIES)
+def test_oracle_agreement_survives_all_tied_timestamps(spark, tsdup_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tsdup_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, tsdup_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: tsdup variant disagrees with oracle"

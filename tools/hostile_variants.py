@@ -117,6 +117,19 @@ Variants:
                path (PROBE_BROADCAST_SHINGLE_LIMIT, bucket_cap, q75 hist
                limit, broadcast thresholds) to prove small-SF-tuned gates
                flip to their shuffled fallbacks with identical results.
+  rowgroup  -- every table rewritten with TINY parquet row groups
+               (ROW_GROUP_SIZE 64; r15 axis): the same bytes shredded
+               into hundreds/thousands of row groups per file. Stresses
+               split planning, row-group pruning, predicate-pushdown
+               evaluation per group, and any code that assumes one
+               row group == one file or a sane groups-per-file ratio.
+  tsdup     -- EVERY events row shares one timestamp (r15 axis: the
+               `ties` philosophy applied to TIME): every tumbling/
+               sliding/session window collapses to one bucket, every
+               watermark is a tie, every latest-k / sessionization /
+               as-of path must resolve purely on its documented
+               tie-breaks. orders.o_orderdate likewise constant (one
+               month spine step, zero date range).
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -510,6 +523,21 @@ def build(
                 )
             else:
                 sel = f"SELECT * FROM {src}"
+        elif variant == "tsdup" and t == "events":
+            sel = (
+                "SELECT * REPLACE (TIMESTAMP '2024-03-15 12:00:00' AS ts)"
+                f" FROM {src}"
+            )
+        elif variant == "tsdup" and t == "orders":
+            sel = (
+                "SELECT * REPLACE (TIMESTAMP '2024-03-15 00:00:00' AS o_orderdate)"
+                f" FROM {src}"
+            )
+        elif variant == "tsdup" and t == "lineitem":
+            sel = (
+                "SELECT * REPLACE (TIMESTAMP '2024-03-15 00:00:00' AS l_shipdate)"
+                f" FROM {src}"
+            )
         elif variant == "unicode" and t == "documents":
             toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
             sel = (
@@ -530,6 +558,14 @@ def build(
         else:
             sel = f"SELECT * FROM {src}"
         con.execute(f"COPY ({sel}) TO '{out_dir}/{t}.parquet' (FORMAT parquet)")
+        if variant == "rowgroup":
+            # DuckDB clamps ROW_GROUP_SIZE to vector multiples (2048), so
+            # the degenerate shred goes through pyarrow: identical bytes,
+            # 64-row groups (thousands of groups per file at test SFs).
+            import pyarrow.parquet as pq
+
+            path = f"{out_dir}/{t}.parquet"
+            pq.write_table(pq.read_table(path), path, row_group_size=64)
     return out_dir
 
 
@@ -539,7 +575,7 @@ def main() -> None:
                     choices=["nulls", "singlerow", "unicode", "salt", "ties",
                              "empty", "bigmoney", "extremes", "dupx", "longstr",
                              "timex", "skew", "nullkeys", "jsonx", "schemadrift",
-                             "nullx", "sfx2"])
+                             "nullx", "sfx2", "rowgroup", "tsdup"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--dup-factor", type=int, default=100)
