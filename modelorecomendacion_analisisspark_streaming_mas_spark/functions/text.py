@@ -121,8 +121,21 @@ def rolling_hash(tokens: Column) -> Column:
     )
 
 
+# The EXPLICIT whitespace class for normalization -- never a bare `\s`:
+# Java's \s includes \x0B (vertical tab), RE2's does not, so any
+# normalization that delegates its whitespace CLASS to the engine's \s
+# silently diverges between Spark and DuckDB on a document containing
+# \x0B (r15 ctrlchars axis -- found by the direct fingerprint probe; the
+# class is written in both engines' shared hex-escape syntax and pinned
+# byte-for-byte by tests/test_data_drift.py::
+# test_whitespace_class_agrees_on_control_chars).
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def doc_fingerprint(col: Column | str, bits_hex: int = 15) -> Column:
     """Deterministic document fingerprint: 60-bit md5 prefix of the
-    normalized (trimmed, space-collapsed, lowercased) text."""
-    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    normalized (trimmed, space-collapsed, lowercased) text. Whitespace
+    collapse uses the EXPLICIT class (see WS_CLASS), identical in both
+    engines."""
+    norm = F.lower(F.regexp_replace(F.trim(col), WS_CLASS + "+", " "))
     return F.conv(F.substring(F.md5(norm), 1, bits_hex), 16, 10).cast("long")

@@ -683,7 +683,7 @@ def q47_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH fp AS (
   SELECT doc_id, lang, source, text,
-         ('0x'||substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),1,15))::UBIGINT::BIGINT AS f
+         ('0x'||substr(md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))),1,15))::UBIGINT::BIGINT AS f
   FROM documents
 ), keep AS (
   SELECT min(doc_id) AS doc_id FROM fp GROUP BY f

@@ -41,7 +41,7 @@ _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
     oracle="""
 WITH fp AS (
   SELECT source,
-         ('0x'||substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),1,15))::UBIGINT::BIGINT AS f
+         ('0x'||substr(md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))),1,15))::UBIGINT::BIGINT AS f
   FROM documents
 )
 SELECT source, count(*) AS n_docs, count(DISTINCT f) AS n_unique,

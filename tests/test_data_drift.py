@@ -870,3 +870,92 @@ def test_oracle_agreement_survives_all_tied_timestamps(spark, tsdup_variant_dir,
     got = _canon(q.fn(spark, tsdup_variant_dir).toPandas())
     want = _canon(con.execute(q.oracle).df())
     assert got.equals(want), f"{name}: tsdup variant disagrees with oracle"
+
+
+# r15 axis 6: control / invisible characters. The FULL first-contact
+# sweep came back green, but the direct fingerprint probe found the trap
+# had not sprung: doc_fingerprint normalized with Java's `\s` (which
+# includes \x0B) while its d01/q48 oracle twins used RE2's `\s` (which
+# does not) -- a REAL latent divergence masked by per-source aggregation.
+# Fix: normalization uses the EXPLICIT class functions/text.WS_CLASS in
+# both engines; the variant's vtab twins now share one source so the
+# aggregate observes the class end-to-end.
+CTRLCHARS_QUERIES = [
+    "d01_exact_dedup_docs",
+    "q48_training_data_pipeline",
+    "t05_doc_fingerprints",
+    "t01_text_quality",
+    "d02_minhash_near_dups",
+]
+
+
+@pytest.fixture(scope="module")
+def ctrlchars_variant_dir(sf_dir):
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.hostile_variants import build
+
+    d = tempfile.mkdtemp(prefix="mras_ctrlchars_")
+    build("ctrlchars", sf_dir, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", CTRLCHARS_QUERIES)
+def test_oracle_agreement_survives_control_chars(spark, ctrlchars_variant_dir, name):
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{ctrlchars_variant_dir}/{t}.parquet'"
+        )
+    got = _canon(q.fn(spark, ctrlchars_variant_dir).toPandas())
+    want = _canon(con.execute(q.oracle).df())
+    assert got.equals(want), f"{name}: ctrlchars variant disagrees with oracle"
+
+
+def test_whitespace_class_agrees_on_control_chars(spark):
+    """Byte-for-byte pin of the explicit whitespace class: Spark (Java
+    regex) and DuckDB (RE2) must normalize every control-char case
+    identically -- including \\x0B, where the engines' `\\s` classes
+    DISAGREE (Java includes it, RE2 does not; the r15 ctrlchars find)."""
+    from pyspark.sql import functions as F
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.text import (
+        WS_CLASS,
+        doc_fingerprint,
+    )
+
+    cases = [
+        "ctl pair 0",        # canonical
+        "ctl\x0bpair 0",     # vertical tab: THE divergent char under \s
+        "ctl\x0cpair 0",     # form feed
+        "ctl\tpair 0",       # tab
+        "ctl\npair 0",       # newline
+        "ctl pair 0",   # NBSP: NOT whitespace in either engine
+        "ctl​pair 0",   # zero-width space: not whitespace either
+        "ctl\x00pair 0",     # NUL: preserved verbatim
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        r["f"] for r in df.select(doc_fingerprint(F.col("text")).alias("f")).collect()
+    ]
+    con = duckdb.connect()
+    want = []
+    ws_sql = WS_CLASS.replace("\\", "\\")  # same literal both engines
+    for c in cases:
+        lit = c.replace("'", "''").replace("\x00", "' || chr(0) || '")
+        want.append(
+            con.execute(
+                "SELECT ('0x'||substr(md5(lower(regexp_replace(trim('"
+                + lit
+                + f"'), '{ws_sql}+', ' ', 'g'))),1,15))::UBIGINT::BIGINT"
+            ).fetchone()[0]
+        )
+    assert got == want, list(zip(cases, got, want))
+    # and the whitespace family all collapses onto the canonical form
+    assert len(set(got[:5])) == 1, got[:5]
+    # while the non-whitespace invisibles stay distinct
+    assert len({got[0], got[5], got[6], got[7]}) == 4, got

@@ -130,6 +130,17 @@ Variants:
                as-of path must resolve purely on its documented
                tie-breaks. orders.o_orderdate likewise constant (one
                month spine step, zero date range).
+  ctrlchars -- control / invisible characters in text (r15 axis, the
+               unicode axis one rung down): on doc_id %% 31 slices,
+               documents.text gains NUL, vertical tab, form feed,
+               zero-width space/joiner, NBSP, RTL override, BOM, and a
+               combining cluster; two dedicated slices plant
+               space-vs-vertical-tab TWIN pairs ('ctl pair N' vs
+               'ctl\\x0bpair N') -- the sharp edge: Java's \\s includes
+               \\x0B, RE2's does not, so any normalization that
+               delegates its whitespace CLASS to the engine's \\s
+               diverges between Spark and DuckDB exactly here.
+               n_chars recomputed.
   unicode   -- documents.text / part.p_name / events.event_type rewritten
                with multi-byte content: accents via replace, a per-doc
                appended token cycling CJK / Greek / Cyrillic / emoji
@@ -538,6 +549,33 @@ def build(
                 "SELECT * REPLACE (TIMESTAMP '2024-03-15 00:00:00' AS l_shipdate)"
                 f" FROM {src}"
             )
+        elif variant == "ctrlchars" and t == "documents":
+            mut = (
+                "CASE doc_id % 31"
+                " WHEN 0 THEN text || ' nul' || chr(0) || 'tok'"
+                " WHEN 1 THEN text || ' vt' || chr(11) || 'tok'"
+                " WHEN 2 THEN text || ' ff' || chr(12) || 'tok'"
+                " WHEN 3 THEN text || ' zw​tok'"
+                " WHEN 4 THEN text || ' zj‍tok'"
+                " WHEN 5 THEN 'ctl pair ' || (doc_id // 31)::VARCHAR"
+                " WHEN 6 THEN 'ctl' || chr(11) || 'pair ' || (doc_id // 31)::VARCHAR"
+                " WHEN 7 THEN text || ' nb tok'"
+                " WHEN 8 THEN text || ' rt‮tok'"
+                " WHEN 9 THEN '﻿' || text"
+                " WHEN 10 THEN text || ' cómbtok'"
+                " ELSE text END"
+            )
+            # the vtab twins share ONE source so the d01/q48 per-source
+            # distinct-fingerprint aggregates actually observe the
+            # divergence (first build left them in different source
+            # groups and the trap never sprang -- the direct probe did)
+            srccol = (
+                "CASE WHEN doc_id % 31 IN (5, 6) THEN 'ctlsrc' ELSE source END"
+            )
+            sel = (
+                f"SELECT doc_id, {mut} AS text, lang, {srccol} AS source,"
+                f" length({mut}) AS n_chars FROM {src}"
+            )
         elif variant == "unicode" and t == "documents":
             toks = ", ".join(f"'{x}'" for x in UNI_TOKENS)
             sel = (
@@ -575,7 +613,7 @@ def main() -> None:
                     choices=["nulls", "singlerow", "unicode", "salt", "ties",
                              "empty", "bigmoney", "extremes", "dupx", "longstr",
                              "timex", "skew", "nullkeys", "jsonx", "schemadrift",
-                             "nullx", "sfx2", "rowgroup", "tsdup"])
+                             "nullx", "sfx2", "rowgroup", "tsdup", "ctrlchars"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--dup-factor", type=int, default=100)
