@@ -46,15 +46,18 @@ from . import batch9  # noqa: E402,F401
 #        s01/s06/s10/s11/s13/s15/s16/s17/s25 -- all inside the window;
 #      - replay-staging consumers most sensitive to file replay order
 #        (the mtime pinning is upstream of every streaming entry): the
-#        watermark family s02/s03/s07/s08/s12/s14 plus s09/s31.
+#        watermark family s02/s03/s07/s08/s12/s14;
+#      - d01/q48 (the ctrlchars axis changed their ORACLE strings to the
+#        explicit whitespace class -- a changed oracle needs driver
+#        re-certification; s09/s31 displaced to PATH_CHANGED head).
 #      Every member re-verified MATCH (or rows-only valid) at sf0.001 and
 #      sf0.01 on the shipped code before commit.
-#   2. _PATH_CHANGED_R15 (12): the remaining streaming entries -- same
+#   2. _PATH_CHANGED_R15 (14): the remaining streaming entries -- same
 #      mtime-pinning path change, results proven identical, all
 #      r13/r14-certified, so they queue right behind the window (led by
-#      the five entries the cents-policy wave displaced from the fill
-#      slots: s24/s26/s29/s30/s33).
-#   3. _FRESHNESS_TREADMILL (130): everyone else, stalest first (the
+#      the entries later waves displaced from the fill slots:
+#      s09/s31 then s24/s26/s29/s30/s33).
+#   3. _FRESHNESS_TREADMILL (128): everyone else, stalest first (the
 #      pre-r14-certified names in their prior relative order), entries
 #      certified in the r14 window last.
 #
@@ -106,11 +109,11 @@ _VERIFY_FIRST_R15: list[str] = [
     "s12_stream_dynamic_session",
     "s13_stream_file_sink",
     "s14_stream_left_outer_join",
-    "s09_stream_longest_run",
+    "d01_exact_dedup_docs",
     "s15_incremental_rollup",
     "s17_stream_static_anti_join",
     "q40_gap_fill_daily",
-    "s31_stream_ewma_anomaly",
+    "q48_training_data_pipeline",
     "s06_stream_group_counts",
     "s11_stream_static_join",
     "s16_stream_quality_router",
@@ -118,6 +121,8 @@ _VERIFY_FIRST_R15: list[str] = [
 ]
 
 _PATH_CHANGED_R15: list[str] = [
+    "s09_stream_longest_run",
+    "s31_stream_ewma_anomaly",
     "s24_stream_upsert_snapshot",
     "s26_stream_lsh_dedup_probe",
     "s29_stream_semantic_dedup_probe",
@@ -137,7 +142,6 @@ _FRESHNESS_TREADMILL: list[str] = [
     "d06_contamination_check",
     "d07_near_dup_clusters",
     "d16_soft_dedup_weights",
-    "q48_training_data_pipeline",
     "g01_part_in_degrees",
     "g02_pagerank_top100",
     "g04_trade_triangles",
@@ -235,7 +239,6 @@ _FRESHNESS_TREADMILL: list[str] = [
     "q87_kanon_release",
     "q21_asof_click_attribution",
     "q33_group_regression",
-    "d01_exact_dedup_docs",
     "d03_simhash_docs",
     "t02_lang_id_confusion",
     "e01_knn_bruteforce",
@@ -275,8 +278,8 @@ def _apply_order() -> None:
     # r14 ADVICE: assert the documented cohort sizes so the policy comment
     # cannot drift from the lists.
     assert len(_VERIFY_FIRST_R15) == 50, len(_VERIFY_FIRST_R15)
-    assert len(_PATH_CHANGED_R15) == 12, len(_PATH_CHANGED_R15)
-    assert len(_FRESHNESS_TREADMILL) == 130, len(_FRESHNESS_TREADMILL)
+    assert len(_PATH_CHANGED_R15) == 14, len(_PATH_CHANGED_R15)
+    assert len(_FRESHNESS_TREADMILL) == 128, len(_FRESHNESS_TREADMILL)
     flat = [n for lst in cohorts for n in lst]
     assert len(flat) == len(set(flat)), sorted(
         n for n in set(flat) if flat.count(n) > 1
