@@ -110,7 +110,11 @@ class RunningCountSum(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+        # one state-server RPC, not two: get() returns None when the
+        # variable is absent, so the exists() probe is a redundant
+        # roundtrip through the (pure-python-protobuf) state channel
+        prev = self._agg.get()
+        n, cents = prev if prev is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
             # exact integer-cents accumulation over VALID readings only
@@ -133,8 +137,15 @@ def running_count_sum_per_type(stream: DataFrame) -> DataFrame:
     """Streaming per-``event_type`` (count, sum(value)) via
     transformWithStateInPandas in update mode. Latest row per key (max
     ``n_events``) equals the batch groupBy aggregate over everything
-    consumed so far."""
-    return stream.groupBy("event_type").transformWithStateInPandas(
+    consumed so far.
+
+    Only (event_type, value) cross the Python boundary: the handler reads
+    nothing else, and an opaque transformWithState over the full row would
+    ship every column through Arrow (and defeat scan pruning upstream) --
+    guide section 4's project-before-the-boundary rule."""
+    return stream.select("event_type", "value").groupBy(
+        "event_type"
+    ).transformWithStateInPandas(
         statefulProcessor=RunningCountSum(),
         outputStructType=OUT_SCHEMA,
         outputMode="Update",
@@ -174,7 +185,8 @@ class LatestKEvents(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         cur = [(int(t), int(e)) for t, e in self._latest.get()]
-        n = self._seen.get()[0] if self._seen.exists() else 0
+        _seen = self._seen.get()  # None when absent: one RPC, not exists()+get()
+        n = _seen[0] if _seen is not None else 0
         for pdf in rows:
             n += len(pdf)
             cur.extend(
@@ -222,7 +234,8 @@ class UserBucketCounts(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n = self._seen.get()[0] if self._seen.exists() else 0
+        _seen = self._seen.get()  # None when absent: one RPC, not exists()+get()
+        n = _seen[0] if _seen is not None else 0
         local: dict[int, int] = {}
         for pdf in rows:
             n += len(pdf)
@@ -322,7 +335,8 @@ class WindowedFunnel(StatefulProcessor):
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         buf = [(int(t), int(s)) for t, s in self._buf.get()]
-        n = self._seen.get()[0] if self._seen.exists() else 0
+        _seen = self._seen.get()  # None when absent: one RPC, not exists()+get()
+        n = _seen[0] if _seen is not None else 0
         for pdf in rows:
             n += len(pdf)
             hits = pdf[pdf["step"] > 0]
@@ -438,8 +452,9 @@ class TimerSessionizer(StatefulProcessor):
         )
         if not ts_list:
             return
-        if self.sess.exists():
-            start, last, n = (int(x) for x in self.sess.get())
+        prev = self.sess.get()  # None when absent: one RPC, not exists()+get()
+        if prev is not None:
+            start, last, n = (int(x) for x in prev)
             # the previously registered close-timer is now stale
             self.handle.deleteTimer(self._timer_ms(last))
         else:
@@ -463,9 +478,10 @@ class TimerSessionizer(StatefulProcessor):
     def handleExpiredTimer(
         self, key: Any, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        if not self.sess.exists():
+        cur = self.sess.get()  # None when absent: one RPC, not exists()+get()
+        if cur is None:
             return
-        start, last, n = (int(x) for x in self.sess.get())
+        start, last, n = (int(x) for x in cur)
         if expiredTimerInfo.getExpiryTimeInMs() < self._timer_ms(last):
             return  # stale timer raced a newer event; the live one follows
         self.sess.clear()
