@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import spread
+
 IMAGE_SCHEMA = (
     "id long, content binary, meta struct<width: int, height: int, format: string>"
 )
@@ -362,8 +364,15 @@ def synth_png_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    src = source_df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    # spread BEFORE the encode: a replay-sized (id, text) source arrives
+    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
+    # lattice + container encode) onto as many cores; on a real cluster
+    # the scan is already thousands of splits and spread() is a no-op.
+    # The shuffle moves only the narrow (id, text) rows, never blobs.
+    src = spread(
+        source_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        )
     )
     return src.mapInPandas(build, schema=IMAGE_SCHEMA)
 
@@ -393,8 +402,15 @@ def synth_bmp_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    src = source_df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    # spread BEFORE the encode: a replay-sized (id, text) source arrives
+    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
+    # lattice + container encode) onto as many cores; on a real cluster
+    # the scan is already thousands of splits and spread() is a no-op.
+    # The shuffle moves only the narrow (id, text) rows, never blobs.
+    src = spread(
+        source_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        )
     )
     return src.mapInPandas(build, schema=IMAGE_SCHEMA)
 
@@ -449,8 +465,15 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    src = source_df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    # spread BEFORE the encode: a replay-sized (id, text) source arrives
+    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
+    # lattice + container encode) onto as many cores; on a real cluster
+    # the scan is already thousands of splits and spread() is a no-op.
+    # The shuffle moves only the narrow (id, text) rows, never blobs.
+    src = spread(
+        source_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        )
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 
@@ -499,8 +522,15 @@ def synth_wav_table_bursts(
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    src = source_df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    # spread BEFORE the encode: a replay-sized (id, text) source arrives
+    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
+    # lattice + container encode) onto as many cores; on a real cluster
+    # the scan is already thousands of splits and spread() is a no-op.
+    # The shuffle moves only the narrow (id, text) rows, never blobs.
+    src = spread(
+        source_df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        )
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 
@@ -580,20 +610,28 @@ def image_average_hash(
                 h, w = px.shape
                 rb = np.linspace(0, h, hash_size + 1).astype(int)
                 cb = np.linspace(0, w, hash_size + 1).astype(int)
-                block = np.array(
-                    [
-                        [
-                            px[rb[i] : max(rb[i + 1], rb[i] + 1),
-                               cb[j] : max(cb[j + 1], cb[j] + 1)].mean()
-                            for j in range(hash_size)
-                        ]
-                        for i in range(hash_size)
-                    ]
+                # block means via two reduceat passes (r16): the former
+                # 8x8 python-level slice-mean lattice was ~0.5 ms/image
+                # and dominated the whole pipeline. reduceat over equal
+                # consecutive indices returns the single element at that
+                # index -- exactly the old max(lo+1, hi) 1-px fallback
+                # for degenerate (<hash_size) dimensions.
+                sums = np.add.reduceat(
+                    np.add.reduceat(px, rb[:-1], axis=0), cb[:-1], axis=1
                 )
+                counts = np.outer(
+                    np.maximum(np.diff(rb), 1), np.maximum(np.diff(cb), 1)
+                )
+                block = sums / counts
                 bits = (block > block.mean()).flatten()
-                val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
+                if bits.size == 64:
+                    # packbits is MSB-first per byte, '>u8' is MSB-first
+                    # per word: identical bit layout to the shift loop
+                    val = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+                else:
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
                 # fold into signed 64-bit for a Spark long column
                 if val >= 1 << 63:
                     val -= 1 << 64

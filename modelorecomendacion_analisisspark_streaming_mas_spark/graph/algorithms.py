@@ -147,15 +147,16 @@ def pagerank(
     edges: DataFrame,
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """G3: GraphFrames-semantics PageRank (resetProbability=0.15,
     maxIter=10 -- Explorativa3.ipynb:372-376). Returns (id, pagerank).
 
-    checkpoint_every=2 measured best at sf0.1 (each broadcast build
-    re-executes the plan back to the last checkpoint, so deep cadences
-    re-run whole iterations; every-iteration checkpointing pays one extra
-    materialization job per round instead).
+    checkpoint_every=3 measured best at sf0.1 (r16 sweep over cadences
+    1/2/3/5/10: 4.5/3.6/3.4/3.5/4.1 s warm for 10 iterations -- each
+    broadcast build re-executes the plan back to the last checkpoint, so
+    deep cadences re-run whole iterations, while every-iteration
+    checkpointing pays one extra materialization job per round).
 
     When the vertex set is small (< BROADCAST_VERTEX_LIMIT) every
     iteration broadcasts the rank frame: the edge table then never
@@ -198,7 +199,7 @@ def pagerank_weighted(
     weight_col: str = "weight",
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Weighted PageRank: contribution of u to v is rank(u) * w(u,v) /
     sum_x w(u,x) -- the natural generalization the reference's graph
@@ -249,7 +250,7 @@ def pagerank_personalized(
     source_id,
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Personalized PageRank (the GraphFrames ``pageRank(sourceId=...)``
     surface): identical update rule family to ``pagerank`` except the
@@ -300,7 +301,7 @@ def pagerank_parallel_personalized(
     source_ids: list,
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """All-sources-at-once personalized PageRank (the GraphFrames
     ``parallelPersonalizedPageRank`` surface): the ``pagerank_personalized``

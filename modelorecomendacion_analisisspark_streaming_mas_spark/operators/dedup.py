@@ -268,6 +268,13 @@ def ngram_jaccard_join(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select("doc_id", "shingle", "rn", "sz")
+        # persisted: the self-join below broadcasts one side, so WITHOUT
+        # this both sides re-execute the whole two-shuffle window pipeline
+        # (no ReusedExchange across a BroadcastExchange boundary) -- r16
+        # measured ~2x on the full query. The prefix table is the PRUNED
+        # slice of the exploded shingles (factor ~(1-t)), strictly smaller
+        # than the sets_ cache above, and spills via MEMORY_AND_DISK.
+        .persist()
     )
 
     # PPJoin pruning predicates. Both are safe for the FIRST common prefix
