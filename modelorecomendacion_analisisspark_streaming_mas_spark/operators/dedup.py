@@ -393,8 +393,11 @@ def edit1_neighborhood_join(
             ),
         )
     )
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+    # spread before the O(total chars) deletion-variant explode: a
+    # replay-sized scan is 1 split and would serialize it on one core
+    # (no-op on real multi-split scans)
+    ex = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_name"))
     ).select("_id", "_name", F.explode(variants).alias("_v"))
 
     if bucket_cap is not None:
@@ -444,8 +447,8 @@ def edit1_neighborhood_join(
                 "substring(_name, i+1, 8192)) as _v, i as _p))"
             ),
         )
-        exp = df.select(
-            F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+        exp = spread(
+            df.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_name"))
         ).select("_id", "_name", F.explode(var_pos).alias("_s"))
         exp = exp.select(
             "_id", "_name", F.col("_s._v").alias("_v"), F.col("_s._p").alias("_p")

@@ -181,7 +181,13 @@ def ivf_cosine_topk(
     """
     # per-row norm computed once (see cosine_topk_bruteforce: the per-pair
     # recompute was the dominant cost; values are bit-identical)
-    e = embeddings.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    # spread: a replay-sized embeddings parquet arrives as ONE split, which
+    # serializes the |corpus| x |centroids| HOF dot-product lattice below
+    # onto a single core (no-op on real multi-split scans -- the same
+    # discipline as cosine_topk_bruteforce / lsh_cosine_topk).
+    e = spread(embeddings).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
     e = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
@@ -190,8 +196,16 @@ def ivf_cosine_topk(
         "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
     )
     wc = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cid"))
-    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
-        "vid", "v", "vn", "cid", "crn"
+    ranked = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .select("vid", "v", "vn", "cid", "crn")
+        # the |corpus| x |centroids| quantizer scan is the dominant build
+        # CPU and feeds multiple consumers (lists/probes here; home/cand/
+        # hub/entry-beam in the NSW build); unpersisted, EACH consumer
+        # re-executed the whole crossJoin + window pipeline (r16).
+        # Spillable MEMORY_AND_DISK cache, one row per (vector, ranked
+        # centroid) -- the same footprint the window shuffle already pays.
+        .persist()
     )
     lists = ranked.filter(F.col("crn") == 1).select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("nv"), F.col("vn").alias("nn"), "cid"
@@ -425,7 +439,13 @@ def nsw_beam_topk(
     NSW family. Recall vs brute force is pytest-gated
     (tests/test_ann_recall.py).
     """
-    e = embeddings.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    # spread: a replay-sized embeddings parquet arrives as ONE split, which
+    # serializes the |corpus| x |centroids| HOF dot-product lattice below
+    # onto a single core (no-op on real multi-split scans -- the same
+    # discipline as cosine_topk_bruteforce / lsh_cosine_topk).
+    e = spread(embeddings).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
     e = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
@@ -434,8 +454,16 @@ def nsw_beam_topk(
         "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
     )
     wc = Window.partitionBy("vid").orderBy(F.desc("cc"), F.asc("cid"))
-    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
-        "vid", "v", "vn", "cid", "crn"
+    ranked = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .select("vid", "v", "vn", "cid", "crn")
+        # the |corpus| x |centroids| quantizer scan is the dominant build
+        # CPU and feeds multiple consumers (lists/probes here; home/cand/
+        # hub/entry-beam in the NSW build); unpersisted, EACH consumer
+        # re-executed the whole crossJoin + window pipeline (r16).
+        # Spillable MEMORY_AND_DISK cache, one row per (vector, ranked
+        # centroid) -- the same footprint the window shuffle already pays.
+        .persist()
     )
     home = ranked.filter(F.col("crn") == 1).select(
         F.col("vid").alias("hid"), F.col("v").alias("hv"), F.col("vn").alias("hn"), "cid"
@@ -493,7 +521,12 @@ def nsw_beam_topk(
             rescored.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= beam_width)
             .select("query_id", "node", "cos")
-            .localCheckpoint(eager=True)
+            # LAZY persist, not an eager checkpoint (r16): the next round
+            # references this beam twice (frontier = beam UNION beam><und),
+            # so without caching the subtree doubles per round; the cache
+            # dedupes it at execution WITHOUT paying one materialization
+            # job per round up front. |Q| x beam_width rows -- tiny.
+            .persist()
         )
     return (
         beam.filter(F.col("node") != F.col("query_id"))

@@ -108,16 +108,26 @@ def duplicated_span_stats(docs: DataFrame, k: int = _D13_K) -> DataFrame:
     positions, duplicated positions, duplicated fraction, and the
     longest consecutive duplicated span (in positions; add k-1 for its
     token length)."""
-    tok = docs.select("doc_id", tokenize("text").alias("t")).filter(
-        F.size("t") >= k
-    )
+    from ..sources.readers import spread
+
+    # spread: the k-gram concat lattice below is the dominant CPU and a
+    # replay-sized documents scan is ONE split (no-op on real scans)
+    tok = spread(docs.select("doc_id", "text")).select(
+        "doc_id", tokenize("text").alias("t")
+    ).filter(F.size("t") >= k)
     sh_arr = F.transform(
         F.sequence(F.lit(1), F.size("t") - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice("t", i, k)),
     )
     pos = tok.select(
         "doc_id", F.posexplode(sh_arr).alias("pos0", "sh")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "sh"
+    # persisted (r16): consumed twice (the nd>=2 dup-shingle aggregate AND
+    # the dp probe join); unpersisted, both sides re-ran the shingle
+    # explode. One row per shingle position -- the same volume the groupBy
+    # shuffle already carries; spills via MEMORY_AND_DISK.
+    ).persist()
     dup = (
         pos.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -925,8 +935,14 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     w, mod = _D15_W, _D15_MOD
     # one row per document IDENTITY: duplicate doc rows (r13 dupx) would
     # multiply every chunk count and break the dup-fraction denominators
+    from ..sources.readers import spread
+
     tok = (
-        docs.select("doc_id", "text")
+        # spread: the per-token md5 + polynomial window lattice below is
+        # the dominant CPU; a replay-sized scan is ONE split (no-op on
+        # real multi-split scans). All consumers (d15, the s30 probe's
+        # foreachBatch frames) are batch DataFrames.
+        spread(docs.select("doc_id", "text"))
         .dropDuplicates(["doc_id", "text"])
         .select("doc_id", tokenize("text").alias("t"))
         .filter(F.size("t") >= w)
@@ -1003,7 +1019,9 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
 )
 def d15_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ch = cdc_chunk_frame(docs)
+    # persisted (r16): consumed twice (cross-doc dup aggregate + the
+    # per-doc join-back); unpersisted, both re-ran the chunk lattice
+    ch = cdc_chunk_frame(docs).persist()
     dup = (
         ch.groupBy("chash")
         .agg(F.countDistinct("doc_id").alias("nd"))
