@@ -369,10 +369,15 @@ def synth_png_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
     # lattice + container encode) onto as many cores; on a real cluster
     # the scan is already thousands of splits and spread() is a no-op.
     # The shuffle moves only the narrow (id, text) rows, never blobs.
+    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
+    # features / hash), so each task pays two Python-worker handshakes --
+    # the r16 partition sweep showed full local parallelism losing to 8
+    # on replay-sized corpora (see spread()).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-        )
+        ),
+        cap=8,
     )
     return src.mapInPandas(build, schema=IMAGE_SCHEMA)
 
@@ -407,10 +412,15 @@ def synth_bmp_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
     # lattice + container encode) onto as many cores; on a real cluster
     # the scan is already thousands of splits and spread() is a no-op.
     # The shuffle moves only the narrow (id, text) rows, never blobs.
+    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
+    # features / hash), so each task pays two Python-worker handshakes --
+    # the r16 partition sweep showed full local parallelism losing to 8
+    # on replay-sized corpora (see spread()).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-        )
+        ),
+        cap=8,
     )
     return src.mapInPandas(build, schema=IMAGE_SCHEMA)
 
@@ -470,10 +480,15 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
     # lattice + container encode) onto as many cores; on a real cluster
     # the scan is already thousands of splits and spread() is a no-op.
     # The shuffle moves only the narrow (id, text) rows, never blobs.
+    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
+    # features / hash), so each task pays two Python-worker handshakes --
+    # the r16 partition sweep showed full local parallelism losing to 8
+    # on replay-sized corpora (see spread()).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-        )
+        ),
+        cap=8,
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 
@@ -527,10 +542,15 @@ def synth_wav_table_bursts(
     # lattice + container encode) onto as many cores; on a real cluster
     # the scan is already thousands of splits and spread() is a no-op.
     # The shuffle moves only the narrow (id, text) rows, never blobs.
+    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
+    # features / hash), so each task pays two Python-worker handshakes --
+    # the r16 partition sweep showed full local parallelism losing to 8
+    # on replay-sized corpora (see spread()).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-        )
+        ),
+        cap=8,
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 

@@ -921,7 +921,7 @@ LIMIT {_D15_TOPN}
 """
 
 
-def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+def cdc_chunk_frame(docs: DataFrame, spread_input: bool = True) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, n, clen, chash): content-defined
     chunks of each document (the d15 chunker, shared with the s30
     streaming probe -- identical expressions, so batch and stream chunk
@@ -937,12 +937,16 @@ def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     # multiply every chunk count and break the dup-fraction denominators
     from ..sources.readers import spread
 
-    tok = (
+    src = docs.select("doc_id", "text")
+    if spread_input:
         # spread: the per-token md5 + polynomial window lattice below is
         # the dominant CPU; a replay-sized scan is ONE split (no-op on
-        # real multi-split scans). All consumers (d15, the s30 probe's
-        # foreachBatch frames) are batch DataFrames.
-        spread(docs.select("doc_id", "text"))
+        # real multi-split scans). Callers chunking a SMALL frame per
+        # micro-batch (the s30 probe) pass spread_input=False -- there a
+        # repartition per batch costs more than the parallelism buys.
+        src = spread(src)
+    tok = (
+        src
         .dropDuplicates(["doc_id", "text"])
         .select("doc_id", tokenize("text").alias("t"))
         .filter(F.size("t") >= w)

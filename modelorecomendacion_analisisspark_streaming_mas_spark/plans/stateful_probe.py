@@ -220,8 +220,9 @@ def _s21_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _replayed(spark, sf_dir)
     out_stream = funnel_stage_per_user(stream, window_min=1440)
-    # key-derived state parallelism (~150 user keys at sf0.1 -> the
-    # session default governs): like s22, the per-user handler does real
+    # key-derived state parallelism (~1500 user keys at sf0.1 ->
+    # ceil(1500/100)=15 partitions, matching the measured-optimal 16):
+    # like s22, the per-user handler does real
     # Python work (re-sorting and replaying the buffered history each
     # batch), so parallelism wins right up to the key count (16 measured
     # ~4.8s -> ~3.4s over 4 at sf0.1); the partition count never changes

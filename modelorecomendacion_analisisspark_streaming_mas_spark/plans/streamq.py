@@ -1882,8 +1882,10 @@ def s30_stream_cdc_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.dedup import PROBE_BROADCAST_SHINGLE_LIMIT
 
         # checkpointed: the rolling-hash chunking is the batch's dominant
-        # CPU cost and the frame is read twice below (totals + dup join)
-        ch = cdc_chunk_frame(batch_df).localCheckpoint(eager=True)
+        # CPU cost and the frame is read twice below (totals + dup join).
+        # spread_input=False: a per-micro-batch repartition of the small
+        # batch frame costs more than the parallelism buys (r16).
+        ch = cdc_chunk_frame(batch_df, spread_input=False).localCheckpoint(eager=True)
         # The probe-vs-index match used to be a LEFT join with ch (the
         # preserved batch side) on the left -- Spark cannot broadcast the
         # preserved side, so the corpus-sized chunk index re-shuffled

@@ -58,7 +58,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Widen a narrow scan before CPU-heavy per-row projections.
 
     A small parquet file arrives as ONE input partition, serializing any
@@ -66,8 +66,18 @@ def spread(df: DataFrame) -> DataFrame:
     single core. On a real cluster a 100 TB scan is already thousands of
     splits, so this is a no-op there -- it only round-robins when the scan
     has fewer partitions than the session's parallelism. (Plan-level check
-    only; triggers no job.)"""
+    only; triggers no job.)
+
+    ``cap`` bounds the widening for stages whose PER-TASK fixed cost is
+    high -- chained mapInPandas hops pay two Python-worker handshakes +
+    Arrow transposes per task, so tasks under a few hundred rows are
+    handshake-dominated (r16 mm02 sweep at sf0.1: 4/8/16/32 partitions ->
+    1.46/1.35/1.55/2.14 s warm; full parallelism LOST time). The cap only
+    changes the replay regime: real multi-split scans skip the
+    repartition entirely, cap or not."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if cap is not None:
+        target = min(target, cap)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -203,3 +203,27 @@ def test_no_round_avg_over_grid_aligned_oracle_inputs():
         "round(avg(...)) over grid-aligned input -- use grid_mean_sql: "
         f"{bad}"
     )
+
+
+def test_value_validity_bound_literal_matches_constant():
+    """ADVICE r15: the value-validity bound is hand-inlined as a float
+    literal in ~10 oracle SQL strings instead of composed from
+    functions.numeric; if VALUE_VALID_MAX ever changes, those oracles
+    would silently drift from the Spark side. Pin every inlined
+    ``abs(value) <= X`` bound in every registered oracle (and in the
+    plan sources) to repr(VALUE_VALID_MAX)."""
+    import re
+
+    from modelorecomendacion_analisisspark_streaming_mas_spark.functions.numeric import (
+        VALUE_VALID_MAX,
+    )
+    from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
+
+    want = repr(VALUE_VALID_MAX)
+    bad = []
+    for name, q in REGISTRY.items():
+        sql = q.oracle or ""
+        for m in re.finditer(r"abs\(value\) <= ([0-9.e+]+)", sql):
+            if m.group(1) != want:
+                bad.append((name, m.group(1)))
+    assert not bad, f"oracle value-validity bound drifted from {want}: {bad}"

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1 (min() over an empty series would crash)")
+    if not [n for n in args.queries.split(",") if n]:
+        ap.error("--queries must name at least one catalog entry")
 
     from modelorecomendacion_analisisspark_streaming_mas_spark.plans import REGISTRY
     from modelorecomendacion_analisisspark_streaming_mas_spark.session import get_spark
