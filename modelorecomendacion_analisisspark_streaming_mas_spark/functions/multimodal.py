@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.readers import spread
+from ..sources.readers import PY_CHAIN_SPREAD_MIN_BYTES, spread
 
 IMAGE_SCHEMA = (
     "id long, content binary, meta struct<width: int, height: int, format: string>"
@@ -364,20 +364,24 @@ def synth_png_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    # spread BEFORE the encode: a replay-sized (id, text) source arrives
-    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
-    # lattice + container encode) onto as many cores; on a real cluster
-    # the scan is already thousands of splits and spread() is a no-op.
-    # The shuffle moves only the narrow (id, text) rows, never blobs.
-    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
-    # features / hash), so each task pays two Python-worker handshakes --
-    # the r16 partition sweep showed full local parallelism losing to 8
-    # on replay-sized corpora (see spread()).
+    # spread BEFORE the encode -- but ONLY past the chained-Python size
+    # floor: a real corpus arrives as many splits (spread no-ops) or as a
+    # big single split worth widening, while a replay-sized (id, text)
+    # source costs more to spread than to encode serially. Downstream
+    # consumers chain a SECOND mapInPandas (decode / features / hash), so
+    # every spread task pays an Exchange share plus two Python-worker
+    # handshakes -- fixed cost that a run-once regime pays in full (the
+    # r16 driver bench measured mm02 2.67 -> 8.11 s at 32 cores from an
+    # unconditional spread; the warm-regime sweep that motivated it did
+    # not transfer). The shuffle, when taken, moves only the narrow
+    # (id, text) rows, never blobs; cap=8 bounds the handshake count in
+    # the single-big-split band (r16 sweep: 8-way beat 32-way warm).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
         ),
         cap=8,
+        min_bytes=PY_CHAIN_SPREAD_MIN_BYTES,
     )
     return src.mapInPandas(build, schema=IMAGE_SCHEMA)
 
@@ -407,20 +411,24 @@ def synth_bmp_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    # spread BEFORE the encode: a replay-sized (id, text) source arrives
-    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
-    # lattice + container encode) onto as many cores; on a real cluster
-    # the scan is already thousands of splits and spread() is a no-op.
-    # The shuffle moves only the narrow (id, text) rows, never blobs.
-    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
-    # features / hash), so each task pays two Python-worker handshakes --
-    # the r16 partition sweep showed full local parallelism losing to 8
-    # on replay-sized corpora (see spread()).
+    # spread BEFORE the encode -- but ONLY past the chained-Python size
+    # floor: a real corpus arrives as many splits (spread no-ops) or as a
+    # big single split worth widening, while a replay-sized (id, text)
+    # source costs more to spread than to encode serially. Downstream
+    # consumers chain a SECOND mapInPandas (decode / features / hash), so
+    # every spread task pays an Exchange share plus two Python-worker
+    # handshakes -- fixed cost that a run-once regime pays in full (the
+    # r16 driver bench measured mm02 2.67 -> 8.11 s at 32 cores from an
+    # unconditional spread; the warm-regime sweep that motivated it did
+    # not transfer). The shuffle, when taken, moves only the narrow
+    # (id, text) rows, never blobs; cap=8 bounds the handshake count in
+    # the single-big-split band (r16 sweep: 8-way beat 32-way warm).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
         ),
         cap=8,
+        min_bytes=PY_CHAIN_SPREAD_MIN_BYTES,
     )
     return src.mapInPandas(build, schema=IMAGE_SCHEMA)
 
@@ -475,20 +483,24 @@ def synth_wav_table(spark, source_df: DataFrame, id_col: str, text_col: str) -> 
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    # spread BEFORE the encode: a replay-sized (id, text) source arrives
-    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
-    # lattice + container encode) onto as many cores; on a real cluster
-    # the scan is already thousands of splits and spread() is a no-op.
-    # The shuffle moves only the narrow (id, text) rows, never blobs.
-    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
-    # features / hash), so each task pays two Python-worker handshakes --
-    # the r16 partition sweep showed full local parallelism losing to 8
-    # on replay-sized corpora (see spread()).
+    # spread BEFORE the encode -- but ONLY past the chained-Python size
+    # floor: a real corpus arrives as many splits (spread no-ops) or as a
+    # big single split worth widening, while a replay-sized (id, text)
+    # source costs more to spread than to encode serially. Downstream
+    # consumers chain a SECOND mapInPandas (decode / features / hash), so
+    # every spread task pays an Exchange share plus two Python-worker
+    # handshakes -- fixed cost that a run-once regime pays in full (the
+    # r16 driver bench measured mm02 2.67 -> 8.11 s at 32 cores from an
+    # unconditional spread; the warm-regime sweep that motivated it did
+    # not transfer). The shuffle, when taken, moves only the narrow
+    # (id, text) rows, never blobs; cap=8 bounds the handshake count in
+    # the single-big-split band (r16 sweep: 8-way beat 32-way warm).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
         ),
         cap=8,
+        min_bytes=PY_CHAIN_SPREAD_MIN_BYTES,
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 
@@ -537,20 +549,24 @@ def synth_wav_table_bursts(
                 )
             yield pd.DataFrame(rows, columns=["id", "content", "meta"])
 
-    # spread BEFORE the encode: a replay-sized (id, text) source arrives
-    # as 1-2 parquet splits, serializing the CPU-bound synth (md5 pixel
-    # lattice + container encode) onto as many cores; on a real cluster
-    # the scan is already thousands of splits and spread() is a no-op.
-    # The shuffle moves only the narrow (id, text) rows, never blobs.
-    # cap=8: downstream consumers chain a SECOND mapInPandas (decode /
-    # features / hash), so each task pays two Python-worker handshakes --
-    # the r16 partition sweep showed full local parallelism losing to 8
-    # on replay-sized corpora (see spread()).
+    # spread BEFORE the encode -- but ONLY past the chained-Python size
+    # floor: a real corpus arrives as many splits (spread no-ops) or as a
+    # big single split worth widening, while a replay-sized (id, text)
+    # source costs more to spread than to encode serially. Downstream
+    # consumers chain a SECOND mapInPandas (decode / features / hash), so
+    # every spread task pays an Exchange share plus two Python-worker
+    # handshakes -- fixed cost that a run-once regime pays in full (the
+    # r16 driver bench measured mm02 2.67 -> 8.11 s at 32 cores from an
+    # unconditional spread; the warm-regime sweep that motivated it did
+    # not transfer). The shuffle, when taken, moves only the narrow
+    # (id, text) rows, never blobs; cap=8 bounds the handshake count in
+    # the single-big-split band (r16 sweep: 8-way beat 32-way warm).
     src = spread(
         source_df.select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
         ),
         cap=8,
+        min_bytes=PY_CHAIN_SPREAD_MIN_BYTES,
     )
     return src.mapInPandas(build, schema=AUDIO_SCHEMA)
 

@@ -199,7 +199,7 @@ def pagerank_weighted(
     weight_col: str = "weight",
     reset_prob: float = 0.15,
     max_iter: int = 10,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Weighted PageRank: contribution of u to v is rank(u) * w(u,v) /
     sum_x w(u,x) -- the natural generalization the reference's graph
@@ -208,7 +208,14 @@ def pagerank_weighted(
     them as unweighted). With all weights equal this reduces exactly to
     ``pagerank``. Same scale shape: loop-invariant edge+weight-sum frame
     checkpointed once, rank frame broadcast per round below
-    BROADCAST_VERTEX_LIMIT so the edge table never reshuffles."""
+    BROADCAST_VERTEX_LIMIT so the edge table never reshuffles.
+
+    checkpoint_every=2, NOT the plain variant's 3: each broadcast build
+    re-executes the rank plan back to the last checkpoint, and the
+    weighted per-iteration tail is heavier (the weight-normalization
+    join rides every re-execution), so the r16 cadence sweep run on
+    PLAIN pagerank did not transfer -- the driver's r16 bench showed
+    cadence 3 costing g06 43% (5.94 -> 8.50 s) while g02 stayed flat."""
     damp = 1.0 - reset_prob
     small = vertices.count() < BROADCAST_VERTEX_LIMIT
     wsums = edges.groupBy(F.col("src").alias("id")).agg(

@@ -64,8 +64,12 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-    c = spread(candidates).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    # select BEFORE spread so the widening repartition shuffles only the
+    # two consumed columns, not every column of the candidates table
+    c = spread(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
     )
     c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
@@ -184,9 +188,13 @@ def ivf_cosine_topk(
     # spread: a replay-sized embeddings parquet arrives as ONE split, which
     # serializes the |corpus| x |centroids| HOF dot-product lattice below
     # onto a single core (no-op on real multi-split scans -- the same
-    # discipline as cosine_topk_bruteforce / lsh_cosine_topk).
-    e = spread(embeddings).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    # discipline as cosine_topk_bruteforce / lsh_cosine_topk). select
+    # FIRST so the widening repartition shuffles only (id, vec), never
+    # unconsumed payload columns.
+    e = spread(
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
     )
     e = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(
@@ -373,7 +381,9 @@ def lsh_cosine_topk(
         )
 
     qb = bucketed(queries, "q")
-    cb = bucketed(spread(candidates), "c")
+    # select before spread: the repartition moves only (id, vec), never
+    # unconsumed payload columns of the candidates table
+    cb = bucketed(spread(candidates.select(F.col(id_col), F.col(vec_col))), "c")
     pairs = (
         cb.join(F.broadcast(qb), ["t", "b"])
         .filter(F.col("c_id") != F.col("q_id"))
@@ -442,9 +452,13 @@ def nsw_beam_topk(
     # spread: a replay-sized embeddings parquet arrives as ONE split, which
     # serializes the |corpus| x |centroids| HOF dot-product lattice below
     # onto a single core (no-op on real multi-split scans -- the same
-    # discipline as cosine_topk_bruteforce / lsh_cosine_topk).
-    e = spread(embeddings).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    # discipline as cosine_topk_bruteforce / lsh_cosine_topk). select
+    # FIRST so the widening repartition shuffles only (id, vec), never
+    # unconsumed payload columns.
+    e = spread(
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
     )
     e = e.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.text import ROLLING_BASE, ROLLING_MOD, rolling_hash, shingles, tokenize
 from ..operators.dedup import ngram_jaccard_join
 from ..operators.similarity import cosine_near_dup_matmul, ivf_cosine_topk
-from ..sources.readers import load_table
+from ..sources.readers import load_table, spread
 from .catalog import register, shingle_rows_sql
 
 _DUCK_H32 = "(('0x'||substr(md5({expr}),1,8))::UBIGINT)::BIGINT"
@@ -785,9 +785,14 @@ def e06_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _as_double, _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
-        "vn", F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
+    # spread AFTER the select so the widening shuffle moves only the two
+    # consumed columns (never `label`); a replay-sized embeddings parquet
+    # arrives as ONE split, serializing the |corpus| x |centroids| coarse
+    # scoring below onto a single core (no-op on real multi-split scans
+    # -- the ivf_cosine_topk discipline, r16).
+    e = spread(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = e.filter(F.col("vec_id") % _E06_CENT_STRIDE == 0).select(
         F.col("vec_id").alias("ccid"), F.col("v").alias("cv"), F.col("vn").alias("cvn")
     )
@@ -795,8 +800,15 @@ def e06_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc", _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))
     )
     wc = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("ccid"))
-    ranked = scored.withColumn("crn", F.row_number().over(wc)).select(
-        "vec_id", "ccid", "crn"
+    ranked = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .select("vec_id", "ccid", "crn")
+        # the coarse quantizer feeds BOTH lists and probes; unpersisted,
+        # each consumer re-executed the whole crossJoin + window pipeline
+        # -- the exact defect fixed in e03/e13 (r16), applied to the third
+        # family member (r16 VERDICT item 3). Narrow (vec_id, ccid, crn)
+        # rows only: the full vectors never enter the cache.
+        .persist()
     )
     lists = ranked.filter(F.col("crn") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "ccid"
@@ -811,7 +823,12 @@ def e06_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    e2 = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # spread the PQ side too: the per-subvector L2 scoring against the
+    # broadcast codebook runs map-side in the scan stage, so a 1-split
+    # replay scan would serialize it (select-first: narrow rows shuffle)
+    e2 = spread(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
     codes = pq_codes(e2).withColumnRenamed("vec_id", "neighbor_id")
     sub_e = pq_subvectors(e2)
     sub_cb = (

@@ -58,7 +58,32 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def spread(df: DataFrame, cap: int | None = None) -> DataFrame:
+# Minimum estimated input bytes before a CHAINED-PYTHON pipeline (two or
+# more mapInPandas/mapInArrow hops fused into one stage) is worth
+# spreading. Each spread task of such a pipeline pays the round-robin
+# Exchange plus TWO Python-worker handshakes; in a run-once regime that
+# fixed cost is seconds (the r16 driver bench: mm02 2.67 -> 8.11 s at 32
+# cores from spreading a 5000-row / ~600 KB corpus whose single-threaded
+# encode is <1 s), while the work it parallelizes grows with input size.
+# Below this floor the serialized compute is cheaper than the spread's
+# fixed cost; above it (any real corpus -- at 100 TB a scan is thousands
+# of splits and spread() no-ops anyway) the widening pays.
+PY_CHAIN_SPREAD_MIN_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the frame (driver-side plan stats,
+    no job): file-size-derived for parquet scans, which is exactly the
+    scale signal the spread gate needs. None when unavailable."""
+    try:
+        # Py4J maps scala.math.BigInt to a Python int already; str() round-
+        # trips both that and a raw Java object safely
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def spread(df: DataFrame, cap: int | None = None, min_bytes: int | None = None) -> DataFrame:
     """Widen a narrow scan before CPU-heavy per-row projections.
 
     A small parquet file arrives as ONE input partition, serializing any
@@ -74,10 +99,24 @@ def spread(df: DataFrame, cap: int | None = None) -> DataFrame:
     handshake-dominated (r16 mm02 sweep at sf0.1: 4/8/16/32 partitions ->
     1.46/1.35/1.55/2.14 s warm; full parallelism LOST time). The cap only
     changes the replay regime: real multi-split scans skip the
-    repartition entirely, cap or not."""
+    repartition entirely, cap or not.
+
+    ``min_bytes`` skips the widening outright when Catalyst's size
+    estimate for ``df`` is below it (pass PY_CHAIN_SPREAD_MIN_BYTES for
+    chained-Python pipelines): on replay-sized inputs the spread's fixed
+    cost -- an Exchange plus a fresh wave of Python-worker spawns per
+    hop, paid in full when every query runs exactly once -- exceeds the
+    serialized compute it saves (r16 driver bench: mm02 3x WORSE spread
+    than not). Scale-adaptive, not environment-pinned: the gate reads
+    the input's estimated size, so the same code spreads any real corpus
+    and no-ops on replay fixtures."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if cap is not None:
         target = min(target, cap)
+    if min_bytes is not None:
+        est = _plan_size_bytes(df)
+        if est is not None and est < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
