@@ -64,11 +64,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # Exchange plus TWO Python-worker handshakes; in a run-once regime that
 # fixed cost is seconds (the r16 driver bench: mm02 2.67 -> 8.11 s at 32
 # cores from spreading a 5000-row / ~600 KB corpus whose single-threaded
-# encode is <1 s), while the work it parallelizes grows with input size.
-# Below this floor the serialized compute is cheaper than the spread's
-# fixed cost; above it (any real corpus -- at 100 TB a scan is thousands
-# of splits and spread() no-ops anyway) the widening pays.
-PY_CHAIN_SPREAD_MIN_BYTES = 64 << 20
+# encode is <1 s), while the work it parallelizes grows with rows.
+# Break-even arithmetic: the synth encode runs ~5-10k rows/s serial and
+# narrow (id, text) rows estimate ~50-120 B each, so ~8 MB is ~50-100k
+# rows is ~10 s of serial encode -- past the worst driver-measured spread
+# fixed cost with margin. Below the floor the serialized compute is
+# cheaper than the spread; above it (any real corpus -- at 100 TB a scan
+# is thousands of splits and spread() no-ops anyway) the widening pays.
+PY_CHAIN_SPREAD_MIN_BYTES = 8 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:

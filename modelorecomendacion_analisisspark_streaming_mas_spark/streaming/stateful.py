@@ -115,6 +115,12 @@ def longest_run_per_user(stream: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     stream = stream.filter(F.col("user_id").isNotNull())
+    # project BEFORE the Python boundary: the handler reads only (ts,
+    # event_id, event_type); an opaque applyInPandasWithState over the
+    # full row would ship value and the props MAP through Arrow per
+    # batch and defeat scan pruning upstream (guide section 4 -- the
+    # same fix as stateful_v2.running_count_sum_per_type, r16)
+    stream = stream.select("user_id", "ts", "event_id", "event_type")
     return stream.groupBy("user_id").applyInPandasWithState(
         _longest_run_fn,
         outputStructType=OUT_SCHEMA,

@@ -53,10 +53,18 @@ def main() -> None:
             time.sleep(0.05)
 
     names = [x for x in args.queries.split(",") if x]
+    # validate up front so a typo'd name fails readably before any timing
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(
+            f"unknown quer{'y' if len(unknown) == 1 else 'ies'}: "
+            f"{', '.join(unknown)} (not in REGISTRY; see plans/__init__.py)"
+        )
     for name in names:
         q = REGISTRY[name]
         secs = []
         rows = None
+        df = None
         for rep in range(args.reps):
             drain()
             spark.sparkContext.setJobDescription(f"profile:{name}#{rep}")
@@ -70,14 +78,18 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
-            df = q.fn(spark, sf_dir)
+            # reuse the last timed run's frame: rebuilding the plan here
+            # re-executed any build-time jobs the query function runs
             path = os.path.join(args.explain_dir, f"{name}_{args.suffix}.txt")
             text = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             with open(path, "w") as f:
                 f.write(text)
-        print(json.dumps({"name": name, "secs": secs, "rows": rows}))
+        out = {"name": name, "secs": secs}
+        if not args.noop:
+            out["rows"] = rows  # undefined under --noop: omit, don't print null
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
